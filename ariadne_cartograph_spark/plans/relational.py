@@ -1,0 +1,747 @@
+"""Relational operator surface (SURVEY.md §2 rows J6, A5, W3-W6, P14).
+
+The reference contains a single relational query (a 2-column projection,
+`/root/reference/update_ways_metadata.py:22`); the full join / aggregate
+/ window / set-op surface below is the driver-contract layer ([C] rows)
+expressed with built-in Catalyst operators — zero custom rules, per
+SURVEY.md §4.2.
+
+Scale design notes appear per query; the recurring ones:
+- dimension tables (`region`, `nation`, `supplier`) are explicitly
+  `broadcast()` — at 100 TB the fact side never shuffles for them;
+- aggregates are declarative `groupBy` → Tungsten partial+final hash
+  aggregation (map-side combine) — no driver-side accumulation;
+- top-k uses `orderBy().limit(k)` which Spark plans as
+  TakeOrderedAndProject (per-partition heap + merge, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources.tables import load_table
+from .catalog import register
+
+# --------------------------------------------------------------------------
+# Aggregations (A5): TPC-H Q1-style pricing summary — the canonical
+# wide hash-aggregate. Map-side partial agg keeps shuffle tiny (6 groups).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    headline=True,
+    tags=["A4", "A5"],
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                    AS sum_qty,
+       round(sum(l_extendedprice), 2)                               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(avg(l_quantity) AS FLOAT)                               AS avg_qty,
+       CAST(avg(l_extendedprice) AS FLOAT)                          AS avg_price,
+       CAST(avg(l_discount) AS FLOAT)                               AS avg_disc,
+       count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.avg("l_quantity").cast("float").alias("avg_qty"),
+            F.avg("l_extendedprice").cast("float").alias("avg_price"),
+            F.avg("l_discount").cast("float").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way join + top-k (J6 + W4): TPC-H Q3-style shipping priority.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    headline=True,
+    tags=["J6", "W4"],
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Star join over all dimensions (J6): TPC-H Q5-style regional revenue.
+# region/nation/supplier are broadcast — the lineitem side never moves
+# for dimension lookups, only for the customer⋈orders co-shuffle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q5_region_revenue",
+    headline=True,
+    tags=["J6", "A5"],
+    oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (J6). Spark plans these as broadcast/shuffled
+# hash joins with semi/anti build sides — no row duplication, no
+# post-join distinct needed.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_orders_with_big_items",
+    tags=["J6"],
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+ORDER BY o_orderkey
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    tags=["J6"],
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_outer_customer_order_stats",
+    tags=["J6", "A5"],
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey)                          AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2)   AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+ORDER BY c_custkey
+""",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Non-equi (theta) join (J6): equi key + range residual. Catalyst plans
+# the equi part as the join key and evaluates the band as a post-join
+# filter — still a hash join, not a nested loop.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_range_price_band",
+    tags=["J6"],
+    oracle="""
+SELECT p_partkey, count(*) AS n_in_band,
+       CAST(avg(l_extendedprice) AS FLOAT) AS avg_band_price
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+            AND l_extendedprice BETWEEN p_retailprice * 5 AND p_retailprice * 20
+GROUP BY p_partkey
+ORDER BY p_partkey
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_partkey == part.p_partkey)
+        & (li.l_extendedprice >= part.p_retailprice * 5)
+        & (li.l_extendedprice <= part.p_retailprice * 20)
+    )
+    return (
+        part.join(li, cond)
+        .groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_band"),
+            F.avg("l_extendedprice").cast("float").alias("avg_band_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets (A5): rollup / cube with grouping() markers so the
+# NULL-as-subtotal rows hash identically to the oracle's.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_orders",
+    tags=["A5"],
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus)  AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "total")
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "agg_cube_lineitem",
+    tags=["A5"],
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "qty")
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    tags=["A5"],
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_filtered",
+    tags=["A5"],
+    oracle="""
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_totalprice > 1000)  AS n_big,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS urgent_total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") > 1000, 1)).alias("n_big"),
+            F.count(F.when(urgent, 1)).alias("n_urgent"),
+            F.round(F.sum(F.when(urgent, F.col("o_totalprice"))), 2).alias("urgent_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (W3): ranking, running aggregates, lag/lead.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_topn_per_group",
+    tags=["W1", "W3"],
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+ORDER BY o_orderpriority, rn
+""",
+)
+def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@register(
+    "window_running_total",
+    tags=["W3"],
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total,
+       rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_drank,
+       ntile(4)     OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_rank = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_status = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    w_nt = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+            F.rank().over(w_rank).alias("price_rank"),
+            F.dense_rank().over(w_status).alias("status_drank"),
+            F.ntile(4).over(w_nt).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_lag_lead_events",
+    tags=["W3"],
+    oracle="""
+SELECT user_id, event_id, event_type,
+       round(value - lag(value)  OVER w, 2) AS delta_prev,
+       lead(event_type) OVER w              AS next_type,
+       round(first_value(value) OVER w, 2)  AS first_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.round(F.first("value").over(w), 2).alias("first_val"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k (W4) — planned as TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_by_price",
+    tags=["W4"],
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (W5).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect_nations",
+    tags=["W5"],
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+@register(
+    "set_except_nations",
+    tags=["W5"],
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp).orderBy("nationkey")
+
+
+@register(
+    "set_union_all_counts",
+    tags=["W5"],
+    oracle="""
+SELECT nationkey, count(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) u
+GROUP BY nationkey
+ORDER BY nationkey
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        cust.unionAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (P14): strings, dates, math, conditionals, JSON.
+# All stay inside whole-stage codegen — no UDFs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    tags=["P14"],
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand)                      AS brand_upper,
+       substr(p_name, 1, 8)                AS name_prefix,
+       length(p_name)                      AS name_len,
+       concat(p_brand, ':', p_type)        AS brand_type,
+       replace(p_type, 'ECONOMY', 'ECO')   AS type_short,
+       contains(p_name, 'a')               AS has_a
+FROM part
+WHERE p_name LIKE '%a%' OR p_type LIKE 'S%'
+ORDER BY p_partkey
+""",
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%a%") | F.col("p_type").like("S%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+            F.col("p_name").contains("a").alias("has_a"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    tags=["P14"],
+    oracle="""
+SELECT year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS d, hour(ts) AS h,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY year(ts), month(ts), dayofmonth(ts), hour(ts)
+ORDER BY y, m, d, h
+""",
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("y", "m", "d", "h")
+    )
+
+
+@register(
+    "scalar_case_when",
+    tags=["P14"],
+    oracle="""
+SELECT CASE WHEN value < 50 THEN 'low'
+            WHEN value < 150 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       event_type, count(*) AS n, CAST(avg(value) AS FLOAT) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+""",
+)
+def scalar_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "low").when(F.col("value") < 150, "mid").otherwise("high")
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").cast("float").alias("avg_value"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+@register(
+    "scalar_json_extract",
+    tags=["P3", "P14"],
+    oracle="""
+SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+       count(*) AS n, CAST(avg(value) AS FLOAT) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY k_mod
+""",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON text → typed value: same pattern as the reference's
+    # json.loads(geojson)['coordinates'] (update_ways_metadata.py:25),
+    # done engine-side with get_json_object.
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy((k % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").cast("float").alias("avg_value"))
+        .orderBy("k_mod")
+    )
+
+
+# --------------------------------------------------------------------------
+# Subqueries (J6 family): scalar + correlated EXISTS/IN, decorrelated by
+# Catalyst into joins.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "subquery_above_avg_orders",
+    tags=["J6"],
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+ORDER BY o_orderkey
+""",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _sq_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _sq_orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "subquery_correlated_max_item",
+    tags=["J6"],
+    oracle="""
+SELECT o_orderkey,
+       (SELECT round(max(l_extendedprice), 2) FROM lineitem
+        WHERE l_orderkey = o_orderkey) AS max_item_price
+FROM orders
+WHERE o_orderstatus = 'O'
+ORDER BY o_orderkey
+""",
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq2_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sq2_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               (SELECT round(max(l_extendedprice), 2) FROM _sq2_lineitem
+                WHERE l_orderkey = o_orderkey) AS max_item_price
+        FROM _sq2_orders
+        WHERE o_orderstatus = 'O'
+        ORDER BY o_orderkey
+        """
+    )

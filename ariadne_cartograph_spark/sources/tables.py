@@ -1,0 +1,67 @@
+"""Parquet scan surface over the driver testdata (SURVEY.md §2.1 S10).
+
+The reference's only scan is a 2-column projection over a PostGIS table
+(`/root/reference/update_ways_metadata.py:22`); here the analogous
+surface is `spark.read.parquet` with Catalyst handling column pruning
+and predicate pushdown automatically.
+
+Scale notes (100 TB posture):
+- No `.cache()` / `.collect()` here — loaders return lazy DataFrames so
+  filters/projections written by callers push down into the scan.
+- Timestamp columns arrive as INT64 TIMESTAMP(NANOS) (Arrow default),
+  which the Spark vectorized reader rejects; we read them as raw longs
+  (`spark.sql.legacy.parquet.nanosAsLong`) and convert with *integer*
+  division (`div 1000`) — double division would lose precision at
+  nanosecond epoch magnitudes (~1.7e18 > 2^53).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Columns stored as TIMESTAMP(NANOS) in the driver parquet; read as long
+# nanos and converted to native TimestampType (microsecond, truncating —
+# matching how a microsecond-precision oracle reads the same files).
+_NANO_TS_COLS = {
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+    "events": ["ts"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a lazy DataFrame with native types."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANO_TS_COLS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register all tables as temp views (for the SQL entry points)."""
+    for t, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(t + suffix)
