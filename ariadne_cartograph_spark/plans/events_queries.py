@@ -1,1 +1,244 @@
-"""Populated later in this round."""
+"""Temporal/event operator surface (SURVEY.md §2.6 batch analogs + J6
+as-of join). The streaming twins of these queries live in
+``ariadne_cartograph_spark.streaming``; these batch forms are the
+oracle-checkable semantics contract.
+
+Cross-engine determinism notes:
+- time arithmetic is done on ``unix_micros`` BIGINTs (exact), never on
+  seconds-as-double casts (engine-dependent);
+- window bucketing uses epoch-aligned origins in both engines
+  (Spark ``window()`` and DuckDB ``time_bucket`` agree on alignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators.asof import asof_join
+from ..operators.sessionize import session_bounds, sessionize
+from ..sources.tables import load_table
+from .catalog import register
+
+# --------------------------------------------------------------------------
+# As-of join: for each purchase, the latest signup at-or-before it for
+# the same user. One shuffle (union + window), no candidate-pair blowup
+# — see operators/asof.py for the scale analysis.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_after_signup",
+    headline=True,
+    tags=["J6"],
+    oracle="""
+SELECT p.event_id, p.user_id,
+       round(p.value, 2) AS purchase_value,
+       s.ts AS signup_ts,
+       epoch_us(p.ts) - epoch_us(s.ts) AS micros_since_signup
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id
+""",
+)
+def asof_purchase_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(purchases, signups, on="user_id", left_ts="ts", right_ts="ts")
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("purchase_value"),
+            F.col("ts_r").alias("signup_ts"),
+            (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("micros_since_signup"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (T2/T4 batch analog).
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_SEC = 3600
+
+
+@register(
+    "sessionize_bounds",
+    headline=True,
+    tags=["T2", "W3"],
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                > {_SESSION_GAP_SEC}::BIGINT * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM tagged)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS duration_sec,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+)
+def sessionize_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_bounds(
+        ev, key="user_id", ts="ts", gap_seconds=_SESSION_GAP_SEC, order_tiebreak="event_id"
+    ).orderBy("user_id", "session_seq")
+
+
+@register(
+    "sessionize_user_stats",
+    tags=["T2", "W3", "A5"],
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                > {_SESSION_GAP_SEC}::BIGINT * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT user_id, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM tagged)
+SELECT user_id,
+       max(session_seq)                    AS n_sessions,
+       count(*)                            AS n_events,
+       CAST(count(*) AS DOUBLE) / max(session_seq) AS events_per_session,
+       round(sum(value), 2)                AS total_value
+FROM sess
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def sessionize_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=_SESSION_GAP_SEC, order_tiebreak="event_id")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.count(F.lit(1)).cast("double") / F.max("session_seq")).alias(
+                "events_per_session"
+            ),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time windows, batch analogs (T2). Spark `window()` and DuckDB
+# `time_bucket` are both epoch-aligned, so the buckets coincide.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_hourly",
+    headline=True,
+    tags=["T2"],
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value", "n_users")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_hourly",
+    tags=["T2"],
+    oracle="""
+SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS win_start,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+CROSS JOIN (VALUES (0), (1)) offsets(k)
+GROUP BY 1
+ORDER BY win_start
+""",
+)
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+        .orderBy("win_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Median + broadcast-normalize — the reference's A1/A2/A3 aggregation
+# pattern (update_ways_metadata.py:29-33) transplanted onto `events`:
+# exact per-group median, global max, divide. The global scalar is
+# attached via crossJoin(broadcast(...)) — no single-partition window.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_median_normalize",
+    tags=["A1", "A2", "A3"],
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS median_value
+  FROM events GROUP BY event_type),
+gmax AS (SELECT max(median_value) AS gmax FROM med)
+SELECT event_type,
+       CAST(median_value AS FLOAT) AS median_value,
+       CAST(median_value / gmax AS FLOAT) AS normalized
+FROM med, gmax
+ORDER BY event_type
+""",
+)
+def events_median_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("median_value"))
+    gmax = med.agg(F.max("median_value").alias("gmax"))
+    return (
+        med.crossJoin(F.broadcast(gmax))
+        .select(
+            "event_type",
+            F.col("median_value").cast("float").alias("median_value"),
+            (F.col("median_value") / F.col("gmax")).cast("float").alias("normalized"),
+        )
+        .orderBy("event_type")
+    )
