@@ -1,0 +1,153 @@
+"""Text-analysis column functions (SURVEY.md §2.7 U5 + north-star
+"text analysis" operators: token counting, quality scoring, language
+ID, fingerprinting).
+
+Everything here returns Column expression trees built from
+`pyspark.sql.functions` — JVM-side, whole-stage-codegen'd, no Python
+UDFs in the hot path. At 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small English-ish stopword list for quality scoring. Deliberately
+# tiny & fixed: the score is a filter signal, not linguistics.
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.col(text) if isinstance(text, str) else text, pattern)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND between
+    letter/digit/punctuation class transitions — a cheap stand-in for a
+    BPE tokenizer's fragment count (useful for token budgeting)."""
+    t = F.col(text) if isinstance(text, str) else text
+    # Insert breaks at class transitions, then count pieces.
+    marked = F.regexp_replace(t, r"([a-zA-Z])([0-9])|([0-9])([a-zA-Z])", r"$1$3 $2$4")
+    marked = F.regexp_replace(marked, r"([a-zA-Z0-9])([^\sa-zA-Z0-9])", r"$1 $2")
+    marked = F.regexp_replace(marked, r"([^\sa-zA-Z0-9])([a-zA-Z0-9])", r"$1 $2")
+    return F.size(F.split(F.trim(marked), r"\s+")).cast("long")
+
+
+def avg_word_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.size(toks)
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?'\"()\[\]{}-]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, word-length
+    sanity, low punctuation density. Mirrors the shape of C4/Gopher-style
+    rule filters (public heuristics), not any specific implementation."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = token_count(t)
+    len_score = F.least(n.cast("double") / 50.0, F.lit(1.0))
+    awl = avg_word_length(t)
+    wl_score = F.when((awl >= 3.0) & (awl <= 10.0), 1.0).otherwise(0.5)
+    p_score = F.lit(1.0) - F.least(punct_ratio(t) * 5.0, F.lit(1.0))
+    return (len_score + wl_score + p_score) / 3.0
+
+
+def word_shingles(text: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """Distinct word n-gram shingles → array<string>. Array-native
+    (transform over index sequence), no explode/shuffle."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    grams = F.when(
+        k >= 1,
+        F.transform(idx, lambda i: F.concat_ws(sep, F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    k = F.length(t) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
+    grams = F.when(k >= 1, F.transform(idx, lambda i: F.substring(t, i, F.lit(n))))\
+        .otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Content fingerprint for exact dedup — stable across engines."""
+    return F.md5(F.col(text) if isinstance(text, str) else text)
+
+
+def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min of xxhash64 over word
+    ``window``-shingles — a single stable 64-bit summary that is robust
+    to small edits (public winnowing scheme, Schleimer et al. 2003)."""
+    sh = word_shingles(text, n=window)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    return F.when(F.size(hashed) > 0, F.array_min(hashed)).otherwise(
+        F.xxhash64(F.col(text) if isinstance(text, str) else text)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: char-frequency heuristic. Scores each candidate language
+# by overlap between the doc's frequent character bigrams and a small
+# per-language profile. Pure column math (no UDF).
+# ---------------------------------------------------------------------------
+
+LANG_PROFILES: dict[str, list[str]] = {
+    # Tiny, public-knowledge bigram profiles — enough to separate
+    # broad languages on real text; on synthetic word-soup it simply
+    # produces a deterministic score.
+    "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+    "de": ["en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"],
+    "fr": ["es", "le", "de", "en", "re", "nt", "on", "er", "te", "el"],
+    "es": ["de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"],
+}
+
+
+def lang_scores(text: Column | str) -> Column:
+    """map<string,double> of per-language overlap scores."""
+    grams = char_ngrams(F.lower(F.col(text) if isinstance(text, str) else text), 2)
+    entries = []
+    for lang, profile in LANG_PROFILES.items():
+        prof = F.array(*[F.lit(g) for g in profile])
+        score = F.size(F.array_intersect(grams, prof)).cast("double") / len(profile)
+        entries.extend([F.lit(lang), score])
+    return F.create_map(*entries)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Best-scoring language code (deterministic tie-break by code)."""
+    scores = lang_scores(text)
+    arr = F.map_entries(scores)  # array<struct<key,value>>
+    best = F.array_max(
+        F.transform(arr, lambda e: F.struct(e["value"].alias("v"), e["key"].alias("k")))
+    )
+    # array_max on struct compares fieldwise: value desc wins... max by
+    # (v, k); ties on v resolved by max k — flip key ordering for
+    # determinism is fine since profiles differ.
+    return best["k"]

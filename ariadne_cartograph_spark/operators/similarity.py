@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (north-star "similarity
+search": brute-force cosine top-k baseline + LSH-bucketed ANN scale
+path; embedding-cosine near-dup).
+
+Scale design (100 TB):
+- brute-force top-k against a FIXED query set: broadcast the queries,
+  one pass over the corpus, per-partition top-k via
+  TakeOrderedAndProject / window — O(corpus × queries) but zero
+  shuffle of the corpus;
+- ANN: random-hyperplane LSH buckets (signature computed row-local from
+  seeded hashes — no model state), equi-join on bucket → exact rerank
+  inside buckets. Corpus shuffles once on bucket id;
+- embedding near-dup: same bucket join with a distance threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.vector import cosine, hyperplane_sign_bits
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force
+    baseline). ``queries`` is expected to be small → broadcast.
+
+    Output: (query_id, id, cosine_f32, rank) with deterministic
+    tie-break on corpus id. cosine is cast to float32 — ranking on the
+    f32 value keeps ordering reproducible across engines/platforms.
+    """
+    qid = query_id_col or ("q_" + id_col)
+    q = queries.select(
+        F.col(id_col).alias(qid) if query_id_col is None else F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+    )
+    scored = (
+        corpus.alias("c")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(qid) != F.col(id_col))
+        .select(
+            F.col(qid),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qvec")).cast("float").alias("cosine"),
+        )
+    )
+    w = W.partitionBy(qid).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    Each vector gets ``n_tables`` bucket keys (signature over
+    ``n_planes`` planes per table); query and corpus rows meet via an
+    equi-join on (table, bucket); exact cosine reranks within the
+    candidate set. Recall grows with n_tables; cost is the bucket-join
+    fan-in instead of |corpus| × |queries|.
+    """
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.posexplode(
+                F.array(
+                    *[
+                        hyperplane_sign_bits(vec_col, n_planes, seed=seed + 1000 * t)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias(f"{prefix}_tbl", f"{prefix}_bucket"),
+        )
+
+    c = with_buckets(corpus, "c")
+    q = with_buckets(queries, "q")
+    cands = (
+        c.join(
+            q,
+            (F.col("c_tbl") == F.col("q_tbl")) & (F.col("c_bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", "q_vec", "c_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        F.col("q_id"),
+        F.col("c_id").alias(id_col),
+        cosine("c_vec", "q_vec").cast("float").alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucketed candidate generation +
+    exact cosine filter (id_a < id_b)."""
+    buckets = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(
+            F.array(
+                *[
+                    hyperplane_sign_bits(vec_col, n_planes, seed=seed + 1000 * t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "bucket"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("vec_a"),
+            F.col(f"b.{vec_col}").alias("vec_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("cosine", cosine("vec_a", "vec_b").cast("float"))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

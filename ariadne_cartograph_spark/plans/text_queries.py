@@ -1,1 +1,276 @@
-"""Populated later in this round."""
+"""Text-analysis / dedup / similarity catalog entries (SURVEY.md §2.7
+U4-U5 + north-star LLM-pipeline operators) over `documents` and
+`embeddings`.
+
+Oracle-expressible semantics get DuckDB SQL; hash-scheme-dependent ops
+(MinHash/SimHash/LSH — xxhash64 has no DuckDB twin) are rows-only here
+and are instead verified in tests against exact recomputation
+(tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..sources.tables import load_table
+from .catalog import register
+
+# --------------------------------------------------------------------------
+# Token counting / quality scoring (U5) — pure column math.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    tags=["U5"],
+    oracle=r"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len(string_split_regex(text, '\s+'))) AS total_tokens,
+       CAST(avg(len(string_split_regex(text, '\s+'))) AS FLOAT) AS avg_tokens,
+       max(len(string_split_regex(text, '\s+'))) AS max_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = T.token_count("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n).alias("total_tokens"),
+            F.avg(n).cast("float").alias("avg_tokens"),
+            F.max(n).alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_quality_metrics",
+    tags=["U5"],
+    oracle=r"""
+SELECT doc_id,
+       len(string_split_regex(text, '\s+')) AS n_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(string_split_regex(text, '\s+')) AS avg_word_len_d,
+       CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+         / len(string_split_regex(text, '\s+')) AS stopword_ratio_d
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(
+            "doc_id",
+            T.token_count("text").alias("n_tokens"),
+            T.avg_word_length("text").alias("avg_word_len_d"),
+            T.stopword_ratio("text").alias("stopword_ratio_d"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint_exact_dedup",
+    headline=True,
+    tags=["W6", "U5"],
+    oracle="""
+WITH fp AS (SELECT doc_id, source, md5(text) AS fingerprint FROM documents),
+keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+SELECT f.source,
+       count(*) AS n_docs,
+       count(k.doc_id) AS n_kept
+FROM fp f LEFT JOIN keep k ON f.fingerprint = k.fingerprint AND f.doc_id = k.doc_id
+GROUP BY f.source
+ORDER BY f.source
+""",
+)
+def text_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = D.dedup_exact(docs, "text", "doc_id").select("doc_id", F.lit(1).alias("__kept"))
+    return (
+        docs.join(kept, "doc_id", "left")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.count("__kept").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard similarity join — exact, oracle-checked (W6/U4).
+# --------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.6
+
+
+@register(
+    "ngram_jaccard_near_dup",
+    headline=True,
+    tags=["W6", "U4"],
+    oracle=rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=_JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH / SimHash — hash-scheme-dependent: rows-only for the
+# driver; exactness vs brute force is pinned in tests/test_dedup.py.
+# --------------------------------------------------------------------------
+
+
+@register("minhash_lsh_near_dup", headline=True, tags=["W6", "U4"])
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(
+        docs, "doc_id", "text", n_hashes=32, bands=8, threshold=_JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+@register("simhash_near_dup", tags=["W6", "U4"])
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register("text_rolling_fingerprint", tags=["U5"])
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            T.rolling_fingerprint("text").alias("fingerprint"),
+            T.bpe_ish_token_count("text").alias("n_subword_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("text_lang_id", tags=["U5"])
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", T.lang_id("text").alias("detected_lang"))
+        .groupBy("lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "detected_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings (U4).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_cosine",
+    headline=True,
+    tags=["U4"],
+    oracle="""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         CAST(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))) AS FLOAT) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0)
+SELECT vec_id, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0)
+    return (
+        S.cosine_topk(emb, queries, "vec_id", "embedding", k=10, query_id_col=None)
+        .select("vec_id", "cosine", "rank")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+@register("similarity_ann_lsh", tags=["U4"])
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return (
+        S.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+@register("embedding_near_dup", tags=["U4", "W6"])
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.99).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "embedding_label_norms",
+    tags=["U4", "A5"],
+    oracle="""
+SELECT label,
+       count(*) AS n_vecs,
+       CAST(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS FLOAT)
+         AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg(norm("embedding")).cast("float").alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,113 @@
+"""Ground-truth checks for the hash-scheme operators that cannot be
+DuckDB-oracled (MinHash-LSH, SimHash, hyperplane ANN): compare against
+exact brute-force recomputation on the same data (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_cartograph_spark.operators import dedup as D
+from ariadne_cartograph_spark.operators import similarity as S
+from ariadne_cartograph_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+THRESH = 0.6
+
+
+def _exact_pairs(spark):
+    """Exact jaccard>=THRESH pairs via plain python (independent oracle)."""
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    sh = {
+        r.doc_id: set(
+            " ".join(r.text.split()[i : i + 3]) for i in range(len(r.text.split()) - 2)
+        )
+        for r in rows
+    }
+    out = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= THRESH:
+            out.add((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    return _exact_pairs(spark)
+
+
+def test_minhash_lsh_recall_and_precision(spark, exact_pairs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dup_pairs(
+            load_table(spark, SF, "documents"), "doc_id", "text", threshold=THRESH
+        ).collect()
+    }
+    # Verification step makes precision exact: every reported pair IS a
+    # real pair.
+    assert got <= exact_pairs
+    # LSH with b=8,r=4 at these similarities (~0.95+) has detection
+    # probability ≈ 1 - (1 - s^4)^8 > 0.9999 → expect full recall here.
+    recall = len(got) / max(len(exact_pairs), 1)
+    assert recall >= 0.95, f"recall {recall}: missed {exact_pairs - got}"
+
+
+def test_exact_dedup_deterministic_keep_min(spark):
+    docs = load_table(spark, SF, "documents")
+    kept = D.dedup_exact(docs, "text", "doc_id")
+    # one row per distinct text, and each kept id is the min for its text
+    assert kept.count() == docs.select("text").distinct().count()
+    joined = kept.alias("k").join(docs.alias("d"), "text").groupBy("k.doc_id").agg(
+        F.min("d.doc_id").alias("min_id")
+    )
+    assert joined.filter(F.col("doc_id") != F.col("min_id")).count() == 0
+
+
+def test_simhash_near_dup_finds_heavy_overlap(spark, exact_pairs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_dup_pairs(
+            load_table(spark, SF, "documents"), "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    # SimHash(hamming<=3 of 64) targets the very-high-similarity band;
+    # require it to recover most of the jaccard>=0.95 subset.
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    sh = {
+        r.doc_id: set(
+            " ".join(r.text.split()[i : i + 3]) for i in range(len(r.text.split()) - 2)
+        )
+        for r in rows
+    }
+    very_high = {
+        (a, b)
+        for (a, b) in exact_pairs
+        if len(sh[a] & sh[b]) / (len(sh[a]) + len(sh[b]) - len(sh[a] & sh[b])) >= 0.95
+    }
+    inter = got & very_high
+    assert len(inter) >= 0.8 * len(very_high), (len(inter), len(very_high), very_high - got)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    brute = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    # This corpus is near-uniform (top-5 cosine ≈ 0.3) — the hardest
+    # regime for LSH. planes=4/tables=12 gives expected per-neighbor
+    # detection ≈ 1-(1-p^4)^12 ≈ 0.80 at p = 1-acos(0.3)/π ≈ 0.6.
+    ann = S.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=4, n_tables=12)
+    b = {(r["q_vec_id"] if "q_vec_id" in r.__fields__ else r["q_id"], r["vec_id"]) for r in brute.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"ANN recall vs brute force too low: {recall}"
+
+
+def test_embedding_near_dup_precision(spark):
+    emb = load_table(spark, SF, "embeddings")
+    pairs = S.embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.99)
+    for r in pairs.collect():
+        assert r.id_a < r.id_b
+        assert r.cosine >= 0.99
