@@ -1,0 +1,152 @@
+"""Raster-tile enrichment dataflow (SURVEY.md §3 E1) — the reference's
+signature pipeline (`/root/reference/update_ways_metadata.py:12-35`)
+re-expressed as one lazy DataFrame plan:
+
+    ways(gid, geom)
+      → posexplode vertices                      (P4)
+      → Web-Mercator + tile/pixel, native math   (P5, P6 — no UDF)
+      → distinct tiles → materialize → join back (S2/S3/J2: the dict
+        cache becomes dedup + broadcast join — pure dataflow)
+      → per-tile vectorized pixel sampling       (P7/P9: applyInPandas,
+        decode each tile ONCE, numpy-sample all its coordinates — the
+        reference decodes once but samples scalar-ly)
+      → exact median per way                     (A1: percentile, not
+        approx — np.median parity)
+      → global max → broadcast-normalize         (A2/A3: crossJoin of a
+        1-row aggregate, no single-partition window)
+
+Boundaries that were process hops in the reference (DB cursor, HTTP,
+dict) are shuffles here; the only Python is the Arrow-batched pixel
+sampler, which is O(distinct tiles) not O(vertices).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geo import lnglat_to_tile_pixel
+from ..sources.tiles import decode_tile, synthetic_tiles
+
+
+@dataclass
+class Provider:
+    """The reference's CachedTiledDataProvider as plan configuration
+    (`dataproviders.py:59-69`): URL/template is replaced by a
+    tile-materialization function; value_fn by a named vectorized
+    sampler (U1/U2 extension point)."""
+
+    name: str
+    mode: str  # 'L' | 'RGB'
+    zoom: int = 12
+    tile_size: int = 256
+    value_kind: str = "gray"  # 'gray' | 'greenery_abs' | 'greenery_rel'
+    tile_source: Callable[[SparkSession, DataFrame], DataFrame] | None = None
+    extra: dict = field(default_factory=dict)
+
+
+STRAVA_PROVIDER = Provider(name="strava_popularity", mode="L", zoom=12, value_kind="gray")
+STRAVA_HIGHRES_PROVIDER = Provider(
+    # defined-but-not-wired in the reference (update_ways_metadata.py:138)
+    name="strava_popularity_highres", mode="L", zoom=15, tile_size=512, value_kind="gray"
+)
+GMAPS_GREENERY_PROVIDER = Provider(
+    name="gmaps_greenery", mode="RGB", zoom=15, value_kind="greenery_abs"
+)
+
+
+def _sample_values(pdf: pd.DataFrame, value_kind: str, tile_size: int, mode: str) -> pd.DataFrame:
+    """Vectorized per-tile sampler: pdf holds every coordinate of ONE
+    tile plus the tile bytes (identical in all rows)."""
+    img_bytes = pdf["img"].iloc[0]
+    px = pdf["px"].to_numpy()
+    py = pdf["py"].to_numpy()
+    if img_bytes is None:
+        vals = np.full(len(pdf), np.nan)
+    else:
+        arr = decode_tile(bytes(img_bytes), mode, tile_size)
+        if value_kind == "gray":
+            # reference strava_value: img.getpixel((x,y))/255
+            # (update_ways_metadata.py:64-65)
+            vals = arr[py, px].astype(np.float64) / 255.0
+        elif value_kind == "greenery_abs":
+            # reference greenery_value_absolute (update_ways_metadata.py:109-118):
+            # 21x21 crop clipped to tile edges; fraction of green-dominant px
+            vals = np.empty(len(pdf))
+            for i, (cx, cy) in enumerate(zip(px, py)):
+                x0, y0 = max(0, cx - 10), max(0, cy - 10)
+                x1, y1 = min(tile_size, cx + 10), min(tile_size, cy + 10)
+                crop = arr[y0:y1, x0:x1].astype(np.int64)
+                r, g, b = crop[..., 0], crop[..., 1], crop[..., 2]
+                vals[i] = np.clip(np.minimum(g - r, g - b), 0, 1).mean()
+        elif value_kind == "greenery_rel":
+            # reference greenery_value_relative — defined but UNWIRED
+            # (update_ways_metadata.py:102-107, PyUnusedLocal); mirrored
+            # with mean-pool as the 1px resize.
+            vals = np.empty(len(pdf))
+            for i, (cx, cy) in enumerate(zip(px, py)):
+                x0, y0 = max(0, cx - 10), max(0, cy - 10)
+                x1, y1 = min(tile_size, cx + 10), min(tile_size, cy + 10)
+                m = arr[y0:y1, x0:x1].mean(axis=(0, 1))
+                vals[i] = min(1.0, max(float(m[1]) - max(float(m[0]), float(m[2])), 0.0) / 200.0)
+        else:
+            raise ValueError(f"unknown value_kind {value_kind}")
+    return pd.DataFrame({"gid": pdf["gid"], "value": vals})
+
+
+def sample_tile_values(
+    spark: SparkSession, ways: DataFrame, provider: Provider
+) -> DataFrame:
+    """ways(gid, geom) → (gid, value) one row per vertex."""
+    coords = ways.select(
+        "gid", F.posexplode("geom").alias("pos", "pt")
+    ).select(
+        "gid", F.col("pt.lng").alias("lng"), F.col("pt.lat").alias("lat")
+    )
+    tx, ty, px, py = lnglat_to_tile_pixel("lng", "lat", provider.zoom, provider.tile_size)
+    keyed = coords.select(
+        "gid",
+        F.lit(provider.zoom).cast("int").alias("z"),
+        tx.alias("x"),
+        ty.alias("y"),
+        px.cast("int").alias("px"),
+        py.cast("int").alias("py"),
+    )
+    tile_source = provider.tile_source or (
+        lambda sp, needed: synthetic_tiles(sp, needed, provider.mode, provider.tile_size)
+    )
+    tiles = tile_source(spark, keyed)
+    # Distinct tiles over a region are few (BASELINE.md: 1-2 at z12) —
+    # broadcast; at continental scale switch to a shuffle join on
+    # (z,x,y) by dropping the hint.
+    joined = keyed.join(F.broadcast(tiles), ["z", "x", "y"], "left")
+    sampled = joined.groupBy("z", "x", "y").applyInPandas(
+        lambda pdf: _sample_values(
+            pdf, provider.value_kind, provider.tile_size, provider.mode
+        ),
+        schema="gid long, value double",
+    )
+    return sampled
+
+
+def enrich_ways(
+    spark: SparkSession, ways: DataFrame, provider: Provider
+) -> DataFrame:
+    """Full E1: per-way exact median of sampled values, normalized by
+    the global max median (update_ways_metadata.py:29-33). Returns
+    (gid, <provider.name>) with values in [0,1]."""
+    sampled = sample_tile_values(spark, ways, provider)
+    medians = sampled.groupBy("gid").agg(F.median("value").alias("median_value"))
+    gmax = medians.agg(F.max("median_value").alias("gmax"))
+    return medians.crossJoin(F.broadcast(gmax)).select(
+        "gid",
+        # NB all-zero tiles → 0/0 = NaN, matching the reference's numpy
+        # semantics (documented edge case, FIXTURES.md).
+        (F.col("median_value") / F.col("gmax")).alias(provider.name),
+    )

@@ -1,0 +1,106 @@
+"""Key-matched upsert / MERGE (SURVEY.md §2.1 S4, §2.2 J1).
+
+The reference's sink is `INSERT … ON CONFLICT (gid) DO UPDATE SET col =
+excluded.col` (`/root/reference/update_ways_metadata.py:50-54`). With
+plain parquet (no Delta in this environment — checked SURVEY.md §4.2),
+the engine provides the same semantics as a pure dataflow:
+
+    merged = existing FULL OUTER JOIN updates ON key
+             → update cols: coalesce(updates.col, existing.col)
+             → other  cols: existing.col
+
+plus an atomic-swap writer for persistence. Per-column upsert matches
+the reference exactly: a run that only computes `popularity` must not
+null out `greenery` (column-wise coalesce, not row replacement).
+
+Scale: the join shuffles both sides on the key — the same cost Delta
+MERGE pays in its join phase; with both tables bucketed by key it
+becomes co-located.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    existing: DataFrame | None,
+    updates: DataFrame,
+    key: str,
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """ON CONFLICT (key) DO UPDATE semantics as a DataFrame transform.
+
+    ``existing`` may be None (first run → pure insert). Columns present
+    only in one side are carried through (missing side contributes
+    NULL).
+    """
+    if update_cols is None:
+        update_cols = [c for c in updates.columns if c != key]
+    if existing is None:
+        return updates
+    e = existing.alias("e")
+    u = updates.select(key, *update_cols).alias("u")
+    joined = e.join(u, F.col(f"e.{key}") == F.col(f"u.{key}"), "full_outer")
+    out_cols = [F.coalesce(F.col(f"e.{key}"), F.col(f"u.{key}")).alias(key)]
+    for c in existing.columns:
+        if c == key:
+            continue
+        if c in update_cols:
+            out_cols.append(F.coalesce(F.col(f"u.{c}"), F.col(f"e.{c}")).alias(c))
+        else:
+            out_cols.append(F.col(f"e.{c}").alias(c))
+    for c in update_cols:
+        if c not in existing.columns:
+            out_cols.append(F.col(f"u.{c}").alias(c))
+    return joined.select(*out_cols)
+
+
+class ParquetMergeTable:
+    """A parquet-backed table with upsert + atomic swap — the engine's
+    `ways_metadata` sink (`/root/reference/sql/ways_metadata.ddl`).
+
+    Writes go to a fresh directory, then a pointer file flips — readers
+    resolve the pointer first, so a crash mid-write never corrupts the
+    visible table (poor-man's snapshot isolation; Delta/Iceberg replace
+    this wholesale when available).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key: str):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def _current_dir(self) -> str | None:
+        if not os.path.exists(self._pointer):
+            return None
+        with open(self._pointer) as f:
+            name = f.read().strip()
+        d = os.path.join(self.path, name)
+        return d if os.path.exists(d) else None
+
+    def read(self) -> DataFrame | None:
+        d = self._current_dir()
+        return self.spark.read.parquet(d) if d else None
+
+    def upsert(self, updates: DataFrame, update_cols: list[str] | None = None) -> None:
+        merged = merge_into(self.read(), updates, self.key, update_cols)
+        new_dir = f"v_{uuid.uuid4().hex[:12]}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, new_dir))
+        old = self._current_dir()
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new_dir)
+        os.replace(tmp, self._pointer)  # atomic flip
+        if old:
+            shutil.rmtree(old, ignore_errors=True)

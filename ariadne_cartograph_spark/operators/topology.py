@@ -1,0 +1,104 @@
+"""Routable-topology builder (SURVEY.md §2.6 topology / §2.1 S8) — the
+engine's analog of osm2pgrouting's `--addnodes` import
+(`/root/reference/README.md:44`): split ways at shared interior
+vertices so every edge runs intersection→intersection, emit `ways`
+edges + vertices.
+
+Pure windows + aggregation (SURVEY.md's plan): count node occurrences
+across ways → intersection nodes → per-way running segment id →
+re-collect per (way, segment). No graph library, three shuffles total,
+each keyed (node_id / way_id) — scales like any wide agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def routable_ways(ways: DataFrame, highway_filter: bool = True) -> DataFrame:
+    """Filter to routable ways (mapconfig.xml analog: tagged highway)."""
+    if not highway_filter:
+        return ways
+    return ways.filter(F.col("tags").getItem("highway").isNotNull())
+
+
+def build_topology(nodes: DataFrame, ways: DataFrame) -> dict[str, DataFrame]:
+    """→ {edges, vertices}.
+
+    edges: gid (dense id), osm_way_id, source, target (vertex node
+    ids), geom (array<struct<lng,lat>>), plus way tags carried over.
+    A node is a split point if it appears in >1 way or >1 time in one
+    way (self-intersection), or is a way endpoint.
+    """
+    rw = ways
+    refs = rw.select(
+        F.col("id").alias("way_id"),
+        F.size("node_refs").alias("n_refs"),
+        F.posexplode("node_refs").alias("pos", "node_id"),
+    )
+    # occurrence count across all ways
+    occ = refs.groupBy("node_id").agg(F.count(F.lit(1)).alias("n_occ"))
+    marked = (
+        refs.join(occ, "node_id")
+        .withColumn(
+            "is_split",
+            (F.col("n_occ") > 1)
+            | (F.col("pos") == 0)
+            | (F.col("pos") == F.col("n_refs") - 1),
+        )
+    )
+    # running segment id per way: a split vertex closes one segment and
+    # opens the next, so it belongs to both — emit it twice (as segment
+    # end and segment start) via the classic duplicate-on-boundary trick.
+    w_ord = W.partitionBy("way_id").orderBy("pos").rowsBetween(W.unboundedPreceding, W.currentRow)
+    seg = marked.withColumn(
+        "seg_id", F.sum(F.when(F.col("is_split") & (F.col("pos") > 0), 1).otherwise(0)).over(w_ord)
+    )
+    as_end = seg.filter(F.col("is_split") & (F.col("pos") > 0)).withColumn(
+        "seg_id", F.col("seg_id") - 1
+    )
+    both = seg.unionByName(as_end)
+    pts = both.join(
+        nodes.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id"
+    )
+    edges = (
+        pts.groupBy("way_id", "seg_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.struct(
+                                F.col("lon").alias("lng"), F.col("lat").alias("lat")
+                            ).alias("pt"),
+                            F.col("node_id"),
+                        )
+                    )
+                ),
+                lambda s: F.struct(s["pt"].alias("pt"), s["node_id"].alias("node_id")),
+            ).alias("seq")
+        )
+        .filter(F.size("seq") >= 2)
+        .select(
+            F.col("way_id").alias("osm_way_id"),
+            F.col("seg_id"),
+            F.col("seq")[0]["node_id"].alias("source"),
+            F.element_at("seq", -1)["node_id"].alias("target"),
+            F.transform("seq", lambda s: s["pt"]).alias("geom"),
+        )
+    )
+    # dense gid via zipWithIndex-free ranking (deterministic)
+    edges = edges.withColumn(
+        "gid",
+        F.row_number().over(W.orderBy("osm_way_id", "seg_id")).cast("long"),
+    ).select("gid", "osm_way_id", "seg_id", "source", "target", "geom")
+    vertices = (
+        edges.select(F.col("source").alias("node_id"))
+        .unionAll(edges.select(F.col("target")))
+        .distinct()
+        .join(nodes.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id")
+    )
+    return {"edges": edges, "vertices": vertices}

@@ -1,0 +1,237 @@
+"""OSM XML source (SURVEY.md §2.1 S6, §1.1): parse nodes / ways /
+relations (+ tags) into typed DataFrames — the engine's analog of the
+osm2pgsql import path (`/root/reference/README.md:17`), built on Spark
+alone.
+
+Execution model: `binaryFile` scan → per-file SAX-ish parse inside
+``mapInPandas`` (executor-side, Arrow-batched). Parallelism is
+per-file: a planet-scale ingest feeds pre-split extracts (the standard
+practice for OSM XML, which is not line-splittable); each executor
+parses its files independently, so the stage scales linearly with file
+count. Tags travel as JSON strings through Arrow (maps are awkward in
+the pandas bridge) and become `map<string,string>` columns at the end.
+
+The unified element frame is produced once and filtered into the three
+element kinds; callers materialize (cache/write) it when deriving
+multiple tables — at real scale this is the bronze parquet layer.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Unified element schema (kind ∈ node|way|relation). Audit attrs per
+# osm/example.osm:4-6; tags/member lists JSON-encoded at this layer.
+_PARSED_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("id", LongType()),
+        StructField("lat_e7", LongType()),  # lat * 1e7 as integer (exact)
+        StructField("lon_e7", LongType()),
+        StructField("version", LongType()),
+        StructField("changeset", LongType()),
+        StructField("ts", StringType()),
+        StructField("uid", LongType()),
+        StructField("user", StringType()),
+        StructField("visible", StringType()),
+        StructField("tags_json", StringType()),
+        StructField("node_refs", ArrayType(LongType())),
+        StructField("members_json", StringType()),
+    ]
+)
+
+
+def _parse_osm_bytes(content: bytes) -> Iterator[dict]:
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(content)
+    for el in root:
+        if el.tag not in ("node", "way", "relation"):
+            continue
+        a = el.attrib
+        tags = {t.get("k"): t.get("v") for t in el if t.tag == "tag"}
+        row = {
+            "kind": el.tag,
+            "id": int(a["id"]),
+            "lat_e7": int(round(float(a["lat"]) * 1e7)) if "lat" in a else None,
+            "lon_e7": int(round(float(a["lon"]) * 1e7)) if "lon" in a else None,
+            "version": int(a["version"]) if "version" in a else None,
+            "changeset": int(a["changeset"]) if "changeset" in a else None,
+            "ts": a.get("timestamp"),
+            "uid": int(a["uid"]) if "uid" in a else None,
+            "user": a.get("user"),
+            "visible": a.get("visible"),
+            "tags_json": json.dumps(tags, sort_keys=True) if tags else None,
+            "node_refs": None,
+            "members_json": None,
+        }
+        if el.tag == "way":
+            row["node_refs"] = [int(nd.get("ref")) for nd in el if nd.tag == "nd"]
+        elif el.tag == "relation":
+            row["members_json"] = json.dumps(
+                [
+                    {
+                        "member_type": m.get("type"),
+                        "ref": int(m.get("ref")),
+                        "role": m.get("role", ""),
+                    }
+                    for m in el
+                    if m.tag == "member"
+                ]
+            )
+        yield row
+
+
+def read_osm_elements(spark: SparkSession, path: str) -> DataFrame:
+    """Parse OSM XML file(s) at ``path`` (glob ok) into the unified
+    element DataFrame with typed columns."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = list(_parse_osm_bytes(bytes(content)))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    parsed = files.mapInPandas(parse, schema=_PARSED_SCHEMA)
+    members_type = ArrayType(
+        StructType(
+            [
+                StructField("member_type", StringType()),
+                StructField("ref", LongType()),
+                StructField("role", StringType()),
+            ]
+        )
+    )
+    return parsed.select(
+        "kind",
+        "id",
+        (F.col("lat_e7") / 1e7).alias("lat"),
+        (F.col("lon_e7") / 1e7).alias("lon"),
+        "version",
+        "changeset",
+        F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ssX").alias("ts"),
+        "uid",
+        "user",
+        (F.col("visible") == "true").alias("visible"),
+        F.from_json("tags_json", "map<string,string>").alias("tags"),
+        "node_refs",
+        F.from_json("members_json", members_type).alias("members"),
+    )
+
+
+def split_elements(elements: DataFrame) -> dict[str, DataFrame]:
+    """Unified frame → the three OSM element tables (SURVEY.md §1.1)."""
+    nodes = elements.filter(F.col("kind") == "node").select(
+        "id", "lat", "lon", "version", "changeset", "ts", "uid", "user", "visible", "tags"
+    )
+    ways = elements.filter(F.col("kind") == "way").select(
+        "id", "version", "changeset", "ts", "uid", "user", "visible", "node_refs", "tags"
+    )
+    relations = elements.filter(F.col("kind") == "relation").select(
+        "id", "version", "changeset", "ts", "uid", "user", "visible", "members", "tags"
+    )
+    return {"nodes": nodes, "ways": ways, "relations": relations}
+
+
+def assemble_way_geometries(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """Way-geometry assembly join (SURVEY.md J3): ordered `<nd ref>`
+    list → array<struct<lng,lat>> geometry.
+
+    posexplode → equi-join to nodes → groupBy way + sort_array(struct(
+    pos, point)) keeps vertex order without a window. Two shuffles
+    (join on node id, re-group on way id) — the unavoidable minimum for
+    this denormalization; at scale both sides can be bucketed by their
+    keys to make the join co-located.
+    """
+    refs = ways.select(
+        F.col("id").alias("way_id"), F.posexplode("node_refs").alias("pos", "node_id")
+    )
+    pts = refs.join(
+        nodes.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id"
+    )
+    geom = (
+        pts.groupBy("way_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.struct(
+                                F.col("lon").alias("lng"), F.col("lat").alias("lat")
+                            ).alias("pt"),
+                        )
+                    )
+                ),
+                lambda s: s["pt"],
+            ).alias("geom")
+        )
+    )
+    return ways.join(geom, ways.id == geom.way_id, "left").drop("way_id")
+
+
+# ---------------------------------------------------------------------------
+# Style-driven tag promotion (P12) — the osm2pgsql "style file" as data:
+# (tag key → column) promotion, residual tags kept as the hstore-like
+# map (README.md:24-25).
+# ---------------------------------------------------------------------------
+
+DEFAULT_STYLE: list[str] = [
+    # subset of osm2pgsql default.style keys relevant to the fixture
+    "access", "addr:housename", "addr:housenumber", "addr:street",
+    "amenity", "barrier", "bicycle", "building", "crossing", "foot",
+    "highway", "landuse", "layer", "leisure", "name", "natural",
+    "oneway", "railway", "service", "source", "surface", "waterway",
+]
+
+
+def promote_tags(df: DataFrame, style: list[str] | None = None) -> DataFrame:
+    """Promote style keys to typed columns; keep the residual map."""
+    style = style or DEFAULT_STYLE
+    cols = [df[c] for c in df.columns]
+    promoted = [
+        F.col("tags").getItem(k).alias(k.replace(":", "_")) for k in style
+    ]
+    residual = F.map_filter("tags", lambda k, _: ~k.isin(*[F.lit(s) for s in style]))
+    return df.select(*cols, *promoted).withColumn("other_tags", residual).drop("tags")
+
+
+def derive_feature_tables(
+    nodes: DataFrame, ways_with_geom: DataFrame, style: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """The planet_osm_* table family (README.md:33-38):
+    point (tagged nodes), line (all ways), polygon (closed tagged ways),
+    roads (low-zoom subset of line)."""
+    from ..functions.geometry import is_closed_ring
+
+    tagged_nodes = nodes.filter(
+        F.col("tags").isNotNull() & (F.size(F.map_keys("tags")) > 0)
+    )
+    point = promote_tags(tagged_nodes, style)
+    line = promote_tags(ways_with_geom, style)
+    closed = ways_with_geom.filter(
+        is_closed_ring("node_refs") & F.col("tags").isNotNull()
+    )
+    polygon = promote_tags(closed, style)
+    roads = line.filter(
+        F.col("highway").isin(
+            "motorway", "trunk", "primary", "secondary", "tertiary", "residential"
+        )
+        | F.col("railway").isNotNull()
+    )
+    return {"point": point, "line": line, "polygon": polygon, "roads": roads}

@@ -1,0 +1,166 @@
+"""Tile sources (SURVEY.md §2.1 S2/S3): the reference fetches XYZ
+raster tiles over HTTP per *distinct* (x,y,z) with a dict cache
+(`/root/reference/dataproviders.py:79-105`). The engine replaces the
+side-effecting cache with pure dataflow: the coordinate frame is
+deduplicated to distinct tiles, tiles are materialized (fetched or
+synthesized) once, and joined back — same fetch amplification (1 GET
+per distinct tile, BASELINE.md), but sharded across executors.
+
+Two providers:
+
+- ``synthetic_tiles``: deterministic closed-form pixels (FIXTURES.md
+  §7) — grayscale v = (px+py+x+y+z) mod 256; RGB r=px, g=(px+py),
+  b=py (mod 256). Stored as raw row-major uint8 bytes (mode 'L': 1
+  byte/px; 'RGB': 3). No image libs needed; the pure-Python oracle
+  recomputes values exactly.
+- ``http_tiles``: executor-side HTTP GET via mapInPandas, gated behind
+  an import-try (no network in tests — SURVEY.md §5.2). Fetch failures
+  yield NULL img (the reference's crash-on-failed-fetch,
+  `dataproviders.py:103-105`, is a documented deviation: we propagate
+  NULL instead, P11).
+
+PNG decode: this container has no image codecs — ``decode_tile``
+handles mode 'L'/'RGB' raw bytes natively and raises NotImplementedError
+for 'png' unless PIL is importable (multimodal stub contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from string import Template
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TILE_SCHEMA = StructType(
+    [
+        StructField("z", IntegerType()),
+        StructField("x", LongType()),
+        StructField("y", LongType()),
+        StructField("mode", StringType()),
+        StructField("tile_size", IntegerType()),
+        StructField("img", BinaryType()),
+    ]
+)
+
+
+def synth_tile_array(x: int, y: int, z: int, mode: str, tile_size: int) -> np.ndarray:
+    px = np.arange(tile_size, dtype=np.int64)
+    PX, PY = np.meshgrid(px, px, indexing="xy")  # PX varies along axis 1
+    if mode == "L":
+        return ((PX + PY + x + y + z) % 256).astype(np.uint8)
+    if mode == "RGB":
+        r = (PX % 256).astype(np.uint8)
+        g = ((PX + PY) % 256).astype(np.uint8)
+        b = (PY % 256).astype(np.uint8)
+        return np.stack([r, g, b], axis=-1)
+    raise ValueError(f"unknown mode {mode}")
+
+
+def decode_tile(img: bytes, mode: str, tile_size: int) -> np.ndarray:
+    """bytes → HxW (L) or HxWx3 (RGB) uint8 array."""
+    if mode in ("L", "RGB"):
+        arr = np.frombuffer(img, dtype=np.uint8)
+        if mode == "L":
+            return arr.reshape(tile_size, tile_size)
+        return arr.reshape(tile_size, tile_size, 3)
+    if mode == "png":
+        try:
+            from io import BytesIO
+
+            from PIL import Image  # noqa: F401  (not present in this container)
+        except ImportError as e:  # multimodal decode stub (SURVEY.md north star)
+            raise NotImplementedError(
+                "PNG decode requires an image codec (PIL); this environment "
+                "ships none — use raw 'L'/'RGB' tiles or install PIL."
+            ) from e
+        return np.asarray(Image.open(BytesIO(img)))
+    raise ValueError(f"unknown mode {mode}")
+
+
+def synthetic_tiles(
+    spark: SparkSession, needed: DataFrame, mode: str, tile_size: int = 256
+) -> DataFrame:
+    """Materialize the distinct tiles listed in ``needed`` (cols z,x,y)
+    with closed-form pixels. Generation happens executor-side in
+    mapInPandas — only tile *keys* move through the plan."""
+    distinct = needed.select("z", "x", "y").distinct()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"]):
+                arr = synth_tile_array(int(x), int(y), int(z), mode, tile_size)
+                rows.append(
+                    {
+                        "z": int(z),
+                        "x": int(x),
+                        "y": int(y),
+                        "mode": mode,
+                        "tile_size": tile_size,
+                        "img": arr.tobytes(),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return distinct.mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+def http_tiles(
+    spark: SparkSession,
+    needed: DataFrame,
+    url_template: str,
+    mode: str,
+    tile_size: int = 256,
+    headers: dict | None = None,
+) -> DataFrame:
+    """Fetch distinct tiles over HTTP (reference S2 semantics, URL
+    ${x}/${y}/${z} Template — `dataproviders.py:96`). Executor-side,
+    one GET per distinct tile; failures → NULL img (P11 fixed)."""
+    distinct = needed.select("z", "x", "y").distinct()
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import requests
+        except ImportError:
+            requests = None
+        for pdf in batches:
+            rows = []
+            for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"]):
+                img = None
+                if requests is not None:
+                    url = Template(url_template).substitute(
+                        {"x": int(x), "y": int(y), "z": int(z)}
+                    )
+                    try:
+                        resp = requests.get(url, headers=headers, timeout=30)
+                        resp.raise_for_status()
+                        img = resp.content
+                    except Exception:
+                        img = None  # NULL propagation, not a crash
+                rows.append(
+                    {
+                        "z": int(z),
+                        "x": int(x),
+                        "y": int(y),
+                        "mode": mode,
+                        "tile_size": tile_size,
+                        "img": img,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return distinct.mapInPandas(fetch, schema=TILE_SCHEMA)
