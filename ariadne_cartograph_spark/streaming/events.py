@@ -1,0 +1,193 @@
+"""Structured Streaming surface over `events` (SURVEY.md §2.6 T1-T6).
+
+The reference is strictly batch; this module is the driver-contract
+streaming layer, built so every streaming transformation shares its
+semantics with an oracle-checked batch twin in
+``plans/events_queries.py``:
+
+    tumbling/sliding  ≙ events_tumbling_hourly / events_sliding_hourly
+    session_window    ≙ sessionize_bounds (gap semantics)
+    dedup-in-watermark≙ dedup_exact on the key
+    foreachBatch MERGE≙ operators/merge.py (T6 incremental enrichment —
+                        the reference's `-a` append mode, README.md:19)
+
+Scale notes: all aggregations are keyed by (window, …) — state is
+bounded by watermark eviction; sinks use Update/Append modes, never
+Complete, so state and output stay incremental.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stage_events_as_stream_source(
+    spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 4
+) -> str:
+    """Materialize the batch events table as an N-file parquet directory
+    with native (µs) timestamps — a replayable file-stream source
+    (each file ≙ one micro-batch under maxFilesPerTrigger=1)."""
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(stage_dir)
+    return stage_dir
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+# ---- T2/T3: event-time windows + watermark --------------------------------
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+    )
+
+
+def session_agg(
+    stream: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """T2 session windows: same gap semantics as operators/sessionize."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---- T4: stateful dedup ----------------------------------------------------
+
+
+def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once events by event_id within the watermark horizon —
+    bounded state (vs unbounded dropDuplicates)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# ---- T5/T6: sinks — foreachBatch reusing the batch MERGE -------------------
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """availableNow drain into an in-memory table (test/debug sink)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def incremental_upsert_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    key: str,
+    checkpoint_dir: str,
+    update_cols: list[str] | None = None,
+):
+    """T6: every micro-batch MERGEs into a ParquetMergeTable — the
+    engine's incremental re-enrichment sink (same upsert as the batch
+    reference flow, reused via foreachBatch)."""
+    from ..operators.merge import ParquetMergeTable
+
+    def do_merge(batch_df: DataFrame, batch_id: int) -> None:
+        table = ParquetMergeTable(batch_df.sparkSession, table_path, key)
+        table.upsert(batch_df, update_cols)
+
+    q = (
+        stream_df.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+# ---- T4b: arbitrary stateful processing -----------------------------------
+
+_STATE_SCHEMA = StructType([StructField("total_events", LongType())])
+_OUT_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("total_events", LongType())]
+)
+
+
+def running_user_counts(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState: running per-user event counts across
+    micro-batches (the minimal arbitrary-state operator; state is one
+    long per user)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

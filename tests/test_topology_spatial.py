@@ -1,0 +1,88 @@
+"""Topology builder + POI nearest-edge assignment tests (SURVEY.md
+§2.6 / J4) — golden structure on example.osm plus a hand-built
+micro-fixture with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_cartograph_spark.operators.spatial import assign_pois_to_edges
+from ariadne_cartograph_spark.operators.topology import build_topology, routable_ways
+from ariadne_cartograph_spark.sources.osm import read_osm_elements, split_elements
+
+OSM_PATH = "/root/reference/osm/example.osm"
+
+
+@pytest.fixture(scope="module")
+def topo(spark):
+    t = split_elements(read_osm_elements(spark, OSM_PATH))
+    rw = routable_ways(t["ways"]).cache()
+    out = build_topology(t["nodes"], rw)
+    out["edges"] = out["edges"].cache()
+    return {"nodes": t["nodes"], "rways": rw, **out}
+
+
+def test_topology_structure(topo):
+    n_ways = topo["rways"].count()
+    n_edges = topo["edges"].count()
+    # splitting can only create more edges than ways
+    assert n_edges >= n_ways
+    # every edge has >=2 vertices, endpoints = source/target
+    bad = topo["edges"].filter(F.size("geom") < 2).count()
+    assert bad == 0
+    # gids dense 1..N
+    agg = topo["edges"].agg(F.min("gid"), F.max("gid"), F.count("*")).collect()[0]
+    assert agg[0] == 1 and agg[1] == agg[2] == n_edges
+
+
+def test_topology_micro_fixture(spark):
+    # two ways crossing at node 3: A = 1-2-3-4, B = 5-3-6
+    nodes = spark.createDataFrame(
+        [(i, 0.001 * i, 0.0) for i in (1, 2, 4)]
+        + [(3, 0.003, 0.0), (5, 0.003, -0.001), (6, 0.003, 0.001)],
+        "id long, lon double, lat double",
+    )
+    ways = spark.createDataFrame(
+        [(100, [1, 2, 3, 4]), (200, [5, 3, 6])],
+        "id long, node_refs array<long>",
+    )
+    edges = build_topology(nodes, ways)["edges"].collect()
+    segs = {(e.osm_way_id, e.source, e.target) for e in edges}
+    assert segs == {(100, 1, 3), (100, 3, 4), (200, 5, 3), (200, 3, 6)}
+
+
+def test_poi_assignment_micro(spark):
+    # one horizontal edge along lat=0 from lng 0 to 0.002 (~222m)
+    edges = spark.createDataFrame(
+        [(1, [(0.0, 0.0), (0.002, 0.0)]), (2, [(1.0, 1.0), (1.001, 1.0)])],
+        "gid long, geom array<struct<lng:double,lat:double>>",
+    )
+    pois = spark.createDataFrame(
+        [
+            (10, 0.001, 0.0002),   # ~22m above the middle of edge 1 → match
+            (11, 0.001, 0.0015),   # ~167m away → inside radius, outside within
+            (12, 0.5, 0.5),        # nowhere near anything → too_far
+        ],
+        "pid long, lng double, lat double",
+    )
+    got = {r.pid: r for r in assign_pois_to_edges(pois, edges).collect()}
+    assert got[10].gid == 1 and not got[10].too_far
+    assert abs(got[10].dist_m - 22.2) < 1.0
+    assert got[11].gid is None and got[11].too_far
+    assert got[12].gid is None and got[12].too_far
+
+
+def test_poi_assignment_fixture_scale(spark, topo):
+    # place POIs at slight offsets from real edge vertices → all match
+    sample = topo["edges"].limit(20).select(
+        F.col("gid"), F.element_at("geom", 1).alias("p")
+    )
+    pois = sample.select(
+        F.col("gid").alias("pid"),
+        (F.col("p.lng") + 0.0001).alias("lng"),  # ~9m east
+        F.col("p.lat").alias("lat"),
+    )
+    got = assign_pois_to_edges(pois, topo["edges"])
+    assert got.filter(F.col("too_far")).count() == 0
+    assert got.filter(F.col("dist_m") > 50).count() == 0
