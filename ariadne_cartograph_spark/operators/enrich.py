@@ -61,14 +61,17 @@ GMAPS_GREENERY_PROVIDER = Provider(
 )
 
 
-def _sample_values(pdf: pd.DataFrame, value_kind: str, tile_size: int, mode: str) -> pd.DataFrame:
-    """Vectorized per-tile sampler: pdf holds every coordinate of ONE
-    tile plus the tile bytes (identical in all rows)."""
-    img_bytes = pdf["img"].iloc[0]
-    px = pdf["px"].to_numpy()
-    py = pdf["py"].to_numpy()
+def _sample_values(
+    pixels: pd.DataFrame, tile: pd.DataFrame, value_kind: str, tile_size: int, mode: str
+) -> pd.DataFrame:
+    """Vectorized per-tile sampler (cogrouped): ``pixels`` holds the
+    DISTINCT (px,py) of ONE tile; ``tile`` holds that tile's single row
+    (or is empty if the fetch failed → NaN, P11)."""
+    img_bytes = tile["img"].iloc[0] if len(tile) else None
+    px = pixels["px"].to_numpy()
+    py = pixels["py"].to_numpy()
     if img_bytes is None:
-        vals = np.full(len(pdf), np.nan)
+        vals = np.full(len(pixels), np.nan)
     else:
         arr = decode_tile(bytes(img_bytes), mode, tile_size)
         if value_kind == "gray":
@@ -78,7 +81,7 @@ def _sample_values(pdf: pd.DataFrame, value_kind: str, tile_size: int, mode: str
         elif value_kind == "greenery_abs":
             # reference greenery_value_absolute (update_ways_metadata.py:109-118):
             # 21x21 crop clipped to tile edges; fraction of green-dominant px
-            vals = np.empty(len(pdf))
+            vals = np.empty(len(pixels))
             for i, (cx, cy) in enumerate(zip(px, py)):
                 x0, y0 = max(0, cx - 10), max(0, cy - 10)
                 x1, y1 = min(tile_size, cx + 10), min(tile_size, cy + 10)
@@ -89,7 +92,7 @@ def _sample_values(pdf: pd.DataFrame, value_kind: str, tile_size: int, mode: str
             # reference greenery_value_relative — defined but UNWIRED
             # (update_ways_metadata.py:102-107, PyUnusedLocal); mirrored
             # with mean-pool as the 1px resize.
-            vals = np.empty(len(pdf))
+            vals = np.empty(len(pixels))
             for i, (cx, cy) in enumerate(zip(px, py)):
                 x0, y0 = max(0, cx - 10), max(0, cy - 10)
                 x1, y1 = min(tile_size, cx + 10), min(tile_size, cy + 10)
@@ -97,7 +100,9 @@ def _sample_values(pdf: pd.DataFrame, value_kind: str, tile_size: int, mode: str
                 vals[i] = min(1.0, max(float(m[1]) - max(float(m[0]), float(m[2])), 0.0) / 200.0)
         else:
             raise ValueError(f"unknown value_kind {value_kind}")
-    return pd.DataFrame({"gid": pdf["gid"], "value": vals})
+    out = pixels[["z", "x", "y", "px", "py"]].copy()
+    out["value"] = vals
+    return out
 
 
 def sample_tile_values(
@@ -122,17 +127,31 @@ def sample_tile_values(
         lambda sp, needed: synthetic_tiles(sp, needed, provider.mode, provider.tile_size)
     )
     tiles = tile_source(spark, keyed)
-    # Distinct tiles over a region are few (BASELINE.md: 1-2 at z12) —
-    # broadcast; at continental scale switch to a shuffle join on
-    # (z,x,y) by dropping the hint.
-    joined = keyed.join(F.broadcast(tiles), ["z", "x", "y"], "left")
-    sampled = joined.groupBy("z", "x", "y").applyInPandas(
-        lambda pdf: _sample_values(
-            pdf, provider.value_kind, provider.tile_size, provider.mode
-        ),
-        schema="gid long, value double",
+    # A pixel's value depends only on (z,x,y,px,py) — so the Python
+    # sampling stage runs over DISTINCT pixels (≤ tile_size² per tile,
+    # independent of vertex count: the scale-invariant. At 100 TB the
+    # vertex frame grows; this stage doesn't). Cogrouped applyInPandas
+    # pairs each tile's pixel group with its single tile row, so image
+    # bytes are never replicated per coordinate and never shuffled more
+    # than once.
+    pixels = keyed.select("z", "x", "y", "px", "py").dropDuplicates()
+    sampled_px = (
+        pixels.groupBy("z", "x", "y")
+        .cogroup(tiles.groupBy("z", "x", "y"))
+        .applyInPandas(
+            lambda pix, tile: _sample_values(
+                pix, tile, provider.value_kind, provider.tile_size, provider.mode
+            ),
+            schema="z int, x long, y long, px int, py int, value double",
+        )
     )
-    return sampled
+    # Join the small value frame back to per-vertex rows. AQE turns
+    # this into a broadcast join at region scale (values ≤ 65k/tile);
+    # at continental scale it stays a well-distributed shuffle join on
+    # the 5-part pixel key.
+    return keyed.join(sampled_px, ["z", "x", "y", "px", "py"], "left").select(
+        "gid", "value"
+    )
 
 
 def enrich_ways(
