@@ -56,6 +56,7 @@ def _load_all() -> None:
     from . import events_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import geo_queries  # noqa: F401
+    from . import multimodal_queries  # noqa: F401
 
 
 def get_queries() -> dict[str, QueryFn]:
