@@ -184,7 +184,37 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_lang_id", tags=["U5"])
+def _lang_id_oracle() -> str:
+    # Generated from the same LANG_PROFILES the Spark side uses, so the
+    # two can never drift. Tie-break mirrors array_max on struct(v, k):
+    # max score, then max lang code.
+    structs = ",\n           ".join(
+        "{'k': '%s', 'v': CAST(len(list_intersect(grams, [%s])) AS DOUBLE) / %d}"
+        % (lang, ", ".join(f"'{g}'" for g in profile), len(profile))
+        for lang, profile in T.LANG_PROFILES.items()
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, length(text)),
+                       i -> substring(lower(text), CAST(i AS INT), 2))) AS grams
+  FROM documents),
+sc AS (
+  SELECT doc_id, lang,
+         unnest([{structs}]) AS s
+  FROM g),
+best AS (
+  SELECT doc_id, lang, s.k AS detected_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s.v DESC, s.k DESC) AS rn
+  FROM sc)
+SELECT lang, detected_lang, count(*) AS n
+FROM best WHERE rn = 1
+GROUP BY lang, detected_lang
+ORDER BY lang, detected_lang
+"""
+
+
+@register("text_lang_id", tags=["U5"], oracle=_lang_id_oracle())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -246,6 +276,40 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.99).orderBy(
         "id_a", "id_b"
+    )
+
+
+@register(
+    "embedding_near_dup_exact",
+    tags=["U4", "W6"],
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        AS FLOAT) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+       AS FLOAT) >= 0.99
+ORDER BY id_a, id_b
+""",
+)
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force O(n²) twin of embedding_near_dup — the hash-checked
+    correctness reference for the LSH scale path (same filter, exact
+    candidate set). Run at oracle SF only; at 100 TB use the LSH form."""
+    from ..functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").cast("float").alias("cosine"))
+        .filter(F.col("cosine") >= 0.99)
+        .orderBy("id_a", "id_b")
     )
 
 
