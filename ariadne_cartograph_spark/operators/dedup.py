@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_md5, word_shingles
+from ..functions.text import fingerprint_md5, hashed_word_shingles
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -43,19 +43,20 @@ def minhash_signature(
     """Append ``mh_sig``: array<long> MinHash signature of the doc's
     word-shingle set. Row-local: shingles → n_hashes seeded xxhash64
     min-reductions, all inside array expressions (no shuffle)."""
-    sh = word_shingles(text_col, n=shingle_size)
-    d = df.withColumn("__shingles", sh)
-
-    def _seeded(seed: int):
-        # NB: must be a ONE-arg lambda — F.transform treats a 2-arg
-        # lambda as (element, index), which would silently replace the
-        # seed with the array position.
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
+    # Shingles are built directly as longs (hashed_word_shingles: token
+    # hashes combined per gram — no gram strings), then the i-th family
+    # member rehashes the fixed-width long with a seed. String hashing
+    # runs once per TOKEN total, not once per gram per hash function.
+    # (Plain h1 + i·h2 double hashing would wrap, which ANSI mode —
+    # Spark 4 default — rejects as overflow.)
+    d = df.withColumn("__h1", hashed_word_shingles(text_col, n=shingle_size))
     sig = F.array(
-        *[F.array_min(F.transform(F.col("__shingles"), _seeded(i))) for i in range(n_hashes)]
+        *[
+            F.array_min(F.transform(F.col("__h1"), lambda h: F.xxhash64(F.lit(i), h)))
+            for i in range(n_hashes)
+        ]
     )
-    return d.withColumn("mh_sig", sig).drop("__shingles")
+    return d.withColumn("mh_sig", sig).drop("__h1")
 
 
 def lsh_candidate_pairs(
@@ -106,9 +107,11 @@ def jaccard_verify(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs only. Emits
-    (id_a, id_b, jaccard) for pairs ≥ threshold."""
+    (id_a, id_b, jaccard) for pairs ≥ threshold. Shingle sets are
+    compared as hashes (hashed_word_shingles) — same sets, 8-byte
+    elements."""
     sh = df.select(
-        F.col(id_col), word_shingles(text_col, n=shingle_size).alias("sh")
+        F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
     )
     out = (
         candidates.join(sh.withColumnRenamed("sh", "sh_a"), candidates.id_a == sh[id_col])
@@ -153,16 +156,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Exhaustive (non-approximate) n-gram Jaccard similarity join:
-    explode distinct shingles → self-equi-join on shingle → count
-    intersections per pair → Jaccard ≥ threshold.
+    explode distinct hashed shingles → self-equi-join on shingle →
+    count intersections per pair → Jaccard ≥ threshold.
 
-    This is the oracle-checkable exact semantics; at 100 TB you'd use
-    minhash_near_dup_pairs (same output for pairs above the LSH
-    threshold) — the exact form's shingle join is quadratic in hot
-    shingles. Kept as the correctness reference and for small tables.
+    The shingle frame is persisted (it feeds the self-join twice plus
+    both size lookups — without it the shingle expression re-runs 4×);
+    shingles travel as xxhash64 longs, so the shuffle carries 8-byte
+    keys. The explode join is Σ df(g)² pairs — fine when shingle
+    doc-frequencies are uniform (measured max df ≈ 25 on the test
+    corpus). For corpora with HOT shingles (boilerplate), use
+    ngram_jaccard_pairs_prefix, which bounds the blowup.
     """
-    sh = df.select(F.col(id_col), word_shingles(text_col, n=shingle_size).alias("sh"))
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    sh = (
+        df.select(F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .persist()
+    )
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("g"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -171,8 +180,8 @@ def ngram_jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -181,6 +190,68 @@ def ngram_jaccard_pairs(
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """AllPairs prefix-filtered exact Jaccard join (Bayardo et al.
+    2007, lossless): under one global total order of shingles — rarest
+    first, by (doc-frequency, shingle) — any pair with Jaccard ≥ t must
+    share a shingle inside each doc's first (n − ⌈t·n⌉ + 1) shingles.
+    Only prefixes enter the self-join, so HOT shingles (the Σ df²
+    quadratic blowup of ngram_jaccard_pairs at 100 TB) sort to the end
+    and almost never into a prefix. Same exact output; pays an extra
+    frequency pass + per-doc rank, so on uniform corpora the plain
+    count-based form is faster.
+    """
+    from pyspark.sql.window import Window as W
+
+    sh = (
+        df.select(F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .persist()
+    )
+    exploded = sh.select(F.col(id_col), "n_sh", F.explode("sh").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    rnk = F.row_number().over(W.partitionBy(id_col).orderBy("df_g", "g"))
+    prefix = (
+        exploded.join(freq, "g")
+        .withColumn("__rnk", rnk)
+        .filter(F.col("__rnk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        .select(id_col, "n_sh", "g")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: jaccard ≤ min(n)/max(n), so sizes must be
+            # within a factor 1/t of each other
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    # Exact verification on the (small) candidate set only.
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

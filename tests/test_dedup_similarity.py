@@ -111,3 +111,20 @@ def test_embedding_near_dup_precision(spark):
     for r in pairs.collect():
         assert r.id_a < r.id_b
         assert r.cosine >= 0.99
+
+
+def test_prefix_filter_variant_matches_count_based(spark, exact_pairs):
+    """ngram_jaccard_pairs_prefix (AllPairs prefix filter) is lossless:
+    identical pair set + jaccard values as the count-based exact join
+    and the python oracle."""
+    docs = load_table(spark, SF, "documents")
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, THRESH).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 3, THRESH).collect()
+    }
+    assert set(base) == exact_pairs
+    assert base == pref
