@@ -745,3 +745,104 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=["A5"],
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A5) — the general form behind
+    cube/rollup; Spark plans one Expand + hash aggregate, identical
+    shape to the rollup plan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@register(
+    "subquery_exists_waiting_orders",
+    tags=["J6"],
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def subquery_exists_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated by Catalyst into
+    a left-semi hash join — the oracle-contract subquery surface (J6)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ex_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_ex_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM _ex_orders
+        WHERE EXISTS (
+          SELECT 1 FROM _ex_lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "join_cross_region_pairs",
+    tags=["J6"],
+    oracle="""
+SELECT a.r_name AS region_a, b.r_name AS region_b
+FROM region a CROSS JOIN region b
+WHERE a.r_name < b.r_name
+ORDER BY region_a, region_b
+""",
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (J6) — tiny dims, broadcast nested loop."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    a = r.select(F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_name").alias("region_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("region_a") < F.col("region_b"))
+        .orderBy("region_a", "region_b")
+    )
+
+
+@register("agg_approx_distinct", tags=["A5"])
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per group — the at-scale
+    substitute for exact COUNT(DISTINCT). Approximate by construction →
+    no value-hash oracle; tests pin the estimate within rsd bounds of
+    the exact count (test_relational_extras.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
