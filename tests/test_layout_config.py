@@ -1,0 +1,65 @@
+"""Tests for the YAML config source (S5) and tile-partitioned layout
+(partition pruning, SURVEY.md §4.1)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ariadne_cartograph_spark.sources import config as C
+from ariadne_cartograph_spark.sources import layout as L
+
+
+def test_load_config_roundtrip(tmp_path):
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        """
+database:
+  host: db.example.com
+  port: 5433
+  dbname: gis
+  user: ariadne
+  password: s3cret
+providers:
+  strava_highres:
+    headers:
+      Cookie: abc=1
+"""
+    )
+    cfg = C.load_config(str(p))
+    opts = C.jdbc_options(cfg)
+    assert opts["url"] == "jdbc:postgresql://db.example.com:5433/gis"
+    assert opts["user"] == "ariadne" and opts["password"] == "s3cret"
+    assert C.provider_headers(cfg, "strava_highres") == {"Cookie": "abc=1"}
+    assert C.provider_headers(cfg, "missing") == {}
+
+
+def test_load_config_missing_file(tmp_path):
+    cfg = C.load_config(str(tmp_path / "nope.yaml"))
+    assert C.jdbc_options(cfg)["url"].startswith("jdbc:postgresql://localhost:5432/")
+
+
+def test_tile_partitioned_write_prunes(spark, tmp_path):
+    # Points in two distinct z6 tile cells (Los Angeles vs Berlin).
+    df = spark.createDataFrame(
+        [(1, -118.12, 34.14), (2, -118.11, 34.13), (3, 13.40, 52.52)],
+        "id long, lng double, lat double",
+    )
+    path = os.path.join(str(tmp_path), "pts")
+    L.write_partitioned_by_tile(df, path, "lng", "lat", zoom=6)
+
+    # layout on disk is hive-partitioned
+    assert any(d.startswith("pt_z=6") for d in os.listdir(path))
+
+    keyed = L.with_tile_partition(df, "lng", "lat", 6).filter(F.col("id") == 1).collect()[0]
+    cell = (6, keyed.pt_x, keyed.pt_y)
+    got = L.read_tile_cells(spark, path, [cell])
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+
+    # the cell predicate must land in PartitionFilters (directory
+    # pruning), not post-scan filters
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "pt_x" in pf and "pt_y" in pf, plan
