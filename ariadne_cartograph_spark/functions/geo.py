@@ -38,10 +38,16 @@ def world_to_tile_pixel(
     w: Column, zoom: int, tile_size: int = 256
 ) -> tuple[Column, Column]:
     """One world axis → (tile index, pixel within tile) at ``zoom``
-    (`dataproviders.py:51-56`). scale = 1 << zoom."""
+    (`dataproviders.py:51-56`). scale = 1 << zoom.
+
+    pmod, not `%`: the reference uses Python modulo, which is always
+    non-negative; Spark's `%` is a remainder (sign of the dividend) and
+    would emit negative pixels for the out-of-domain world coords that
+    clamped latitudes (|lat| > 85.05°) produce — caught by
+    test_geo_properties."""
     scale = 1 << zoom
     scaled = w * F.lit(float(scale))
-    pixel = F.floor(scaled % tile_size).cast("long")
+    pixel = F.floor(F.pmod(scaled, F.lit(float(tile_size)))).cast("long")
     tile = F.floor(scaled / tile_size).cast("long")
     return tile, pixel
 

@@ -50,8 +50,10 @@ SELECT event_id,
        CAST(wx AS FLOAT) AS wx_f, CAST(wy AS FLOAT) AS wy_f,
        CAST(floor(wx * 4096 / 256) AS BIGINT) AS tile_x,
        CAST(floor(wy * 4096 / 256) AS BIGINT) AS tile_y,
-       CAST(floor(wx * 4096 % 256) AS BIGINT) AS px,
-       CAST(floor(wy * 4096 % 256) AS BIGINT) AS py
+       -- python-modulo (always >= 0), not remainder: matches the
+       -- reference's `w * scale % T` and the engine's pmod
+       CAST(floor(((wx * 4096 % 256) + 256) % 256) AS BIGINT) AS px,
+       CAST(floor(((wy * 4096 % 256) + 256) % 256) AS BIGINT) AS py
 FROM proj
 ORDER BY event_id
 """,
