@@ -113,6 +113,85 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: a coarse
+    quantizer partitions the corpus into centroid cells; each query
+    scans only its ``n_probe`` nearest cells with exact cosine rerank.
+
+    Centroid selection is deterministic hash-sampling (rows with the
+    smallest xxhash64(id) become centroids — reproducible, no RNG
+    state), collected to the driver once: n_centroids × dim doubles,
+    the same footprint as broadcasting any small ML model. Assignment
+    is pure column math (argmax over literal-centroid cosines — no
+    join), so building the index is ONE projection + the cell write;
+    at 100 TB the cell id becomes the partition key and each query
+    touches n_probe/n_centroids of the data.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
+
+    def centroid_scores(vec: str) -> F.Column:
+        return F.array(
+            *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents]
+        )
+
+    def argmax_cell(scores: F.Column) -> F.Column:
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        argmax_cell(centroid_scores(vec_col)).alias("cell"),
+    )
+    # query side: explode the n_probe best cells
+    q_scored = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        centroid_scores(vec_col).alias("__cs"),
+    )
+    probe = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("__cs"),
+                    lambda s, i: F.struct(s.alias("s"), i.cast("int").alias("cell")),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q_probes = q_scored.select(
+        "q_id", "q_vec", F.explode(F.transform(probe, lambda p: p["cell"])).alias("cell")
+    )
+    scored = (
+        c_assigned.join(q_probes, "cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("c_id").alias(id_col),
+            cosine("c_vec", "q_vec").cast("float").alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

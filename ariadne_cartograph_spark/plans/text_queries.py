@@ -271,6 +271,19 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ann_ivf", tags=["U4"])
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (scale path twin of the LSH variant);
+    recall vs brute force pinned in tests/test_dedup_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return (
+        S.ann_ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_centroids=16, n_probe=6)
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 @register("embedding_near_dup", tags=["U4", "W6"])
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -128,3 +128,19 @@ def test_prefix_filter_variant_matches_count_based(spark, exact_pairs):
     }
     assert set(base) == exact_pairs
     assert base == pref
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    brute = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    # probing 6/16 cells of a near-uniform corpus: expected recall
+    # ~n_probe/n_centroids per neighbor if cells were random (worst
+    # case); require at least that much.
+    ivf = S.ann_ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_centroids=16, n_probe=6)
+    b = {(r["q_vec_id"], r["vec_id"]) for r in brute.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.3, f"IVF recall vs brute force too low: {recall}"
+    for r in ivf.collect():
+        assert r.q_id != r.vec_id
