@@ -165,7 +165,13 @@ def enrich_ways(
     gmax = medians.agg(F.max("median_value").alias("gmax"))
     return medians.crossJoin(F.broadcast(gmax)).select(
         "gid",
-        # NB all-zero tiles → 0/0 = NaN, matching the reference's numpy
-        # semantics (documented edge case, FIXTURES.md).
-        (F.col("median_value") / F.col("gmax")).alias(provider.name),
+        # All-zero tiles → 0/0: the reference's numpy yields NaN; ANSI
+        # mode (Spark 4 default) would throw DIVIDE_BY_ZERO instead, so
+        # the NaN branch is explicit (documented edge case, FIXTURES.md,
+        # pinned in test_enrichment).
+        F.when(
+            F.col("gmax") != 0, F.col("median_value") / F.col("gmax")
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias(provider.name),
     )

@@ -128,3 +128,37 @@ def test_merge_upsert_semantics(spark, tmp_path):
 def test_merge_into_no_existing(spark):
     up = spark.createDataFrame([(1, 0.5)], "gid long, v double")
     assert merge_into(None, up, "gid").collect()[0].v == 0.5
+
+
+def test_all_zero_tiles_normalize_to_nan(spark):
+    """Pinned deviation edge case (SURVEY.md §7): when every sampled
+    value is 0 the global max is 0 and normalization divides 0/0 — the
+    reference's numpy would produce NaN; the engine matches instead of
+    crashing or silently zeroing."""
+    import math as _m
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def zero_tiles(sp, needed):
+        keys = needed.select("z", "x", "y").dropDuplicates().collect()
+        rows = [
+            {
+                "z": k.z, "x": k.x, "y": k.y, "mode": "L", "tile_size": 8,
+                "img": bytes(8 * 8),
+            }
+            for k in keys
+        ]
+        return sp.createDataFrame(pd.DataFrame(rows))
+
+    prov = Provider(
+        name="zeroed", zoom=3, tile_size=8, mode="L", value_kind="gray",
+        tile_source=zero_tiles,
+    )
+    ways = spark.createDataFrame(
+        [(1, [(-118.12, 34.14), (-118.11, 34.13)]), (2, [(13.4, 52.52)])],
+        "gid long, geom array<struct<lng:double,lat:double>>",
+    )
+    got = {r.gid: r.zeroed for r in enrich_ways(spark, ways, prov).collect()}
+    assert set(got) == {1, 2}
+    assert all(_m.isnan(v) for v in got.values()), got
