@@ -309,3 +309,58 @@ def osm_ways_enrichment_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("gid"), "geom"
     )
     return enrich_ways(spark, ways, GMAPS_GREENERY_PROVIDER).orderBy("gid")
+
+
+@register(
+    "trajectory_jaccard_pairs",
+    tags=["U4"],
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id,
+         CAST(floor(({_EV_LNG}) / 10.0) AS BIGINT) * 1000000
+         + CAST(floor(({_EV_LAT}) / 10.0) AS BIGINT) AS cell
+  FROM events),
+c AS (SELECT DISTINCT user_id, cell FROM pts),
+sizes AS (SELECT user_id, count(*) AS n FROM c GROUP BY user_id),
+inter AS (
+  SELECT a.user_id AS id_a, b.user_id AS id_b, count(*) AS ni
+  FROM c a JOIN c b ON a.cell = b.cell AND a.user_id < b.user_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jaccard
+FROM inter JOIN sizes sa ON sa.user_id = id_a JOIN sizes sb ON sb.user_id = id_b
+WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.6
+ORDER BY id_a, id_b
+""",
+)
+def trajectory_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity via grid-cell signature sets (PAPERS.md
+    REPOSE pattern; operators/trajectory.py) on the events-derived
+    world coordinates — cell math is pure integer arithmetic, so the
+    full pipeline is value-hash checked."""
+    from ..operators.trajectory import trajectory_jaccard_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", F.expr(_EV_LNG).alias("lng"), F.expr(_EV_LAT).alias("lat")
+    )
+    return trajectory_jaccard_pairs(
+        pts, "user_id", "lng", "lat", cell_deg=10.0, threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
+@register("trajectory_topk_similar", tags=["U4", "W4"])
+def trajectory_topk_similar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k similar trajectories for a fixed query set (rows-only:
+    top-k rank ties at equal jaccard are broken by id deterministically,
+    but the windowed form is cheaper to keep rows-only; pair semantics
+    are already hash-checked by trajectory_jaccard_pairs)."""
+    from ..operators.trajectory import trajectory_topk_similar
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", F.expr(_EV_LNG).alias("lng"), F.expr(_EV_LAT).alias("lat")
+    )
+    return trajectory_topk_similar(
+        pts, "user_id", "lng", "lat", query_ids=[0, 1, 2, 3], k=5, cell_deg=10.0
+    ).orderBy("q_id", "rank")
