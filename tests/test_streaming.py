@@ -104,3 +104,25 @@ def test_running_user_counts_stateful(spark, source_dir):
     )
     want = _batch_events(spark).groupBy("user_id").agg(F.count(F.lit(1)).alias("total_events"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sliding_stream_matches_batch(spark, source_dir):
+    stream = SE.read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    SE.run_to_memory(
+        SE.sliding_counts(stream, window="1 hour", slide="30 minutes"),
+        "t_slide",
+        output_mode="complete",
+    )
+    got = {
+        r.win_start: (r.n, r.total_value) for r in spark.table("t_slide").collect()
+    }
+    want = {
+        r.win_start: (r.n, r.total_value)
+        for r in (
+            _batch_events(spark)
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("win_start"), "n", "total_value")
+        ).collect()
+    }
+    assert got == want
