@@ -49,14 +49,21 @@ def minhash_signature(
     # runs once per TOKEN total, not once per gram per hash function.
     # (Plain h1 + i·h2 double hashing would wrap, which ANSI mode —
     # Spark 4 default — rejects as overflow.)
-    d = df.withColumn("__h1", hashed_word_shingles(text_col, n=shingle_size))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__h1"), lambda h: F.xxhash64(F.lit(i), h)))
-            for i in range(n_hashes)
-        ]
+    from ..functions.text import _bind
+
+    sig = _bind(
+        hashed_word_shingles(text_col, n=shingle_size),
+        # let-bound (shingles build once per row) AND expressed as one
+        # nested transform over a seed sequence rather than n_hashes
+        # separate expressions — 32 unrolled copies made whole-stage
+        # codegen compile for seconds (cold-start dominant at bench
+        # scale); the loop form generates ~1/30th the bytecode.
+        lambda h1: F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.array_min(F.transform(h1, lambda h: F.xxhash64(i, h))),
+        ),
     )
-    return d.withColumn("mh_sig", sig).drop("__h1")
+    return df.withColumn("mh_sig", sig)
 
 
 def lsh_candidate_pairs(
