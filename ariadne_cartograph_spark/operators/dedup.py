@@ -277,36 +277,49 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     # with doc length, so small edits flip few bits — distinct-token
     # voting has near-zero margins on repetitive corpora and degrades
     # the sketch (measured: hamming 5-8 vs 1-3 on ~99%-similar docs).
+    #
+    # Shape note: the bit tests ride a literal MASK array + nested
+    # transforms (bit b ↔ h & mask[b], sign bit via the MIN_VALUE
+    # mask), NOT 64 unrolled when-expressions — the unrolled form made
+    # whole-stage codegen compile for ~6s. Packing sums the masks of
+    # positive-vote bits: distinct power-of-two masks (one negative)
+    # can't overflow, so ANSI mode is satisfied.
+    from ..functions.text import _bind
+
+    masks = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(63)],
+        F.lit(-(1 << 63)).cast("long"),
+    )
+
+    def _pack(bit_counts):
+        signed = F.zip_with(
+            bit_counts,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
     toks = F.split(F.col(text_col), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def _bitvec(h):
-        # shift amounts must be Python ints (shiftright doesn't take a
-        # Column), so the 64 bit-tests are unrolled; bit 63 via sign.
-        bits = [
-            F.when(h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1).cast("long")
-            for b in range(63)
-        ]
-        bits.append(F.when(h < 0, 1).otherwise(-1).cast("long"))
-        return F.array(*bits)
-
-    bit_counts = F.aggregate(
+    packed = _bind(
         hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(acc, _bitvec(h), lambda x, y: x + y),
+        lambda hs: _pack(
+            F.aggregate(
+                hs,
+                F.array_repeat(F.lit(0).cast("long"), 64),
+                lambda acc, h: F.zip_with(
+                    acc,
+                    F.transform(
+                        masks,
+                        lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1))
+                        .otherwise(F.lit(-1))
+                        .cast("long"),
+                    ),
+                    lambda x, y: x + y,
+                ),
+            )
+        ),
     )
-    terms = [
-        F.when(bit_counts[b] > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        for b in range(63)
-    ]
-    terms.append(
-        F.when(bit_counts[63] > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    )
-    packed = terms[0]
-    for t in terms[1:]:
-        packed = packed + t
     return df.withColumn(out_col, packed)
 
 
