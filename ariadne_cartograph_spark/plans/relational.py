@@ -846,3 +846,44 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_salted_revenue",
+    tags=["A5"],
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) proven
+    value-identical to the plain GROUP BY the oracle runs — the rewrite
+    a 100 TB job applies when one group key is hot enough to straggle."""
+    from ..operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "revenue": ("l_extendedprice", "sum"),
+            "n": ("l_extendedprice", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("revenue", 2).alias("revenue"),
+        "n",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    ).orderBy("l_returnflag")
