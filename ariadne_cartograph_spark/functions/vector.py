@@ -40,23 +40,42 @@ def hyperplane_sign_bits(vec: Column | str, n_planes: int, seed: int = 42) -> Co
     Plane components are deterministic pseudo-randoms derived from
     xxhash64(seed, plane, dim) — reproducible across runs/executors
     with no side data to ship. Sign of dot(vec, plane) → bit.
+    (component_d = hash mapped to {-1,+1}: cheap Rademacher planes —
+    public SRP-LSH variant, Achlioptas-style sparse projection.)
+
+    Shape: let-bound vector + one nested transform over plane indices +
+    mask-array packing — the unrolled per-plane form re-evaluated the
+    cast array per plane and compiled ~3× slower (same fix as
+    minhash/simhash in operators/dedup.py).
     """
-    v = as_double(vec)
-    bits = []
-    for p in range(n_planes):
-        # component_d = hash(seed,p,d) mapped to {-1,+1}: cheap Rademacher
-        # planes (public SRP-LSH variant; Achlioptas-style sparse proj.)
-        prods = F.zip_with(
-            v,
-            F.sequence(F.lit(0), F.size(v) - 1),
-            lambda x, d: x
-            * F.when(F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2)) == 0, 1.0).otherwise(
-                -1.0
+    from .text import _bind
+
+    masks = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+
+    def body(vv: Column) -> Column:
+        signs = F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.aggregate(
+                F.zip_with(
+                    vv,
+                    F.sequence(F.lit(0), F.size(vv) - 1),
+                    lambda x, d: x
+                    * F.when(
+                        F.pmod(F.xxhash64(F.lit(seed), p, d), F.lit(2)) == 0, 1.0
+                    ).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             ),
         )
-        s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(s >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * (1 << p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        return F.aggregate(
+            F.zip_with(
+                signs,
+                masks,
+                lambda s, m: F.when(s >= 0, m).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return _bind(as_double(vec), body)
