@@ -90,10 +90,14 @@ def build_topology(nodes: DataFrame, ways: DataFrame) -> dict[str, DataFrame]:
             F.transform("seq", lambda s: s["pt"]).alias("geom"),
         )
     )
-    # dense gid via zipWithIndex-free ranking (deterministic)
+    # Deterministic gid derived from the natural key: osm2pgrouting
+    # assigns a serial, but a global row_number would be a
+    # single-partition sort at scale; key-derived ids are stable,
+    # shuffle-free, and unique (seg_id < 2^16: ways have ≤ ~140
+    # vertices; OSM way ids < 2^47).
     edges = edges.withColumn(
         "gid",
-        F.row_number().over(W.orderBy("osm_way_id", "seg_id")).cast("long"),
+        (F.col("osm_way_id") * F.lit(65536) + F.col("seg_id")).cast("long"),
     ).select("gid", "osm_way_id", "seg_id", "source", "target", "geom")
     vertices = (
         edges.select(F.col("source").alias("node_id"))

@@ -31,9 +31,13 @@ def test_topology_structure(topo):
     # every edge has >=2 vertices, endpoints = source/target
     bad = topo["edges"].filter(F.size("geom") < 2).count()
     assert bad == 0
-    # gids dense 1..N
-    agg = topo["edges"].agg(F.min("gid"), F.max("gid"), F.count("*")).collect()[0]
-    assert agg[0] == 1 and agg[1] == agg[2] == n_edges
+    # gids are unique and key-derived (osm_way_id * 2^16 + seg_id) —
+    # deterministic and shuffle-free, unlike a global row_number
+    assert topo["edges"].select("gid").distinct().count() == n_edges
+    mismatched = topo["edges"].filter(
+        F.col("gid") != F.col("osm_way_id") * 65536 + F.col("seg_id")
+    ).count()
+    assert mismatched == 0
 
 
 def test_topology_micro_fixture(spark):
