@@ -887,3 +887,34 @@ def agg_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_price", 2).alias("min_price"),
         F.round("max_price", 2).alias("max_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "window_range_frame",
+    tags=["W3"],
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2)
+         AS nearby_total,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS nearby_n
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frames — the W3 frame kind not
+    exercised by the ROWS-based running total."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_trail = W.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-1000, 0)
+    w_sym = W.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-1000, 1000)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w_trail), 2).alias("nearby_total"),
+            F.count(F.lit(1)).over(w_sym).alias("nearby_n"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
