@@ -11,7 +11,6 @@ the mapInPandas plumbing, not a rows-only check.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators import multimodal as M
 from ..sources.tables import load_table
