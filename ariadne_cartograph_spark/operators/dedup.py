@@ -37,6 +37,21 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _minhash_from_shingles(shingles: "F.Column", n_hashes: int) -> "F.Column":
+    """array<long> MinHash signature from an array<long> shingle set.
+    The i-th family member rehashes each fixed-width shingle hash with
+    seed i; expressed as one nested transform over a seed sequence
+    rather than n_hashes separate expressions — 32 unrolled copies made
+    whole-stage codegen compile for seconds (cold-start dominant at
+    bench scale); the loop form generates ~1/30th the bytecode. (Plain
+    h1 + i·h2 double hashing would wrap, which ANSI mode — Spark 4
+    default — rejects as overflow.)"""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda h: F.xxhash64(i, h))),
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, n_hashes: int = 32, shingle_size: int = 3
 ) -> DataFrame:
@@ -44,24 +59,14 @@ def minhash_signature(
     word-shingle set. Row-local: shingles → n_hashes seeded xxhash64
     min-reductions, all inside array expressions (no shuffle)."""
     # Shingles are built directly as longs (hashed_word_shingles: token
-    # hashes combined per gram — no gram strings), then the i-th family
-    # member rehashes the fixed-width long with a seed. String hashing
-    # runs once per TOKEN total, not once per gram per hash function.
-    # (Plain h1 + i·h2 double hashing would wrap, which ANSI mode —
-    # Spark 4 default — rejects as overflow.)
+    # hashes combined per gram — no gram strings), so string hashing
+    # runs once per TOKEN total, not once per gram per hash function;
+    # the shingle array is let-bound to build once per row.
     from ..functions.text import _bind
 
     sig = _bind(
         hashed_word_shingles(text_col, n=shingle_size),
-        # let-bound (shingles build once per row) AND expressed as one
-        # nested transform over a seed sequence rather than n_hashes
-        # separate expressions — 32 unrolled copies made whole-stage
-        # codegen compile for seconds (cold-start dominant at bench
-        # scale); the loop form generates ~1/30th the bytecode.
-        lambda h1: F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: F.array_min(F.transform(h1, lambda h: F.xxhash64(i, h))),
-        ),
+        lambda h1: _minhash_from_shingles(h1, n_hashes),
     )
     return df.withColumn("mh_sig", sig)
 
@@ -112,13 +117,19 @@ def jaccard_verify(
     text_col: str,
     shingle_size: int = 3,
     threshold: float = 0.6,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs only. Emits
     (id_a, id_b, jaccard) for pairs ≥ threshold. Shingle sets are
     compared as hashes (hashed_word_shingles) — same sets, 8-byte
-    elements."""
-    sh = df.select(
-        F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
+    elements. Pass ``shingles`` (id_col, sh) to reuse an
+    already-materialized shingle frame instead of re-deriving it."""
+    sh = (
+        shingles
+        if shingles is not None
+        else df.select(
+            F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
+        )
     )
     out = (
         candidates.join(sh.withColumnRenamed("sh", "sh_a"), candidates.id_a == sh[id_col])
@@ -149,10 +160,22 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: signature → band join →
     exact-Jaccard verification. b=8, r=4 → LSH threshold ≈ (1/8)^(1/4)
-    ≈ 0.59, matched to the default verify threshold."""
-    sigs = minhash_signature(df.select(id_col, text_col), text_col, n_hashes, shingle_size)
+    ≈ 0.59, matched to the default verify threshold.
+
+    The shingle frame is computed ONCE and persisted: signatures derive
+    from it row-locally and the verification step reuses the same sets,
+    so tokenize+hash (the scan-side cost at 100 TB) runs a single time
+    instead of twice."""
+    sh = df.select(
+        F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
+    ).persist()
+    sigs = sh.select(
+        F.col(id_col), _minhash_from_shingles(F.col("sh"), n_hashes).alias("mh_sig")
+    )
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
-    return jaccard_verify(cands, df, id_col, text_col, shingle_size, threshold)
+    return jaccard_verify(
+        cands, df, id_col, text_col, shingle_size, threshold, shingles=sh
+    )
 
 
 def ngram_jaccard_pairs(
