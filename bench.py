@@ -20,8 +20,16 @@ def main() -> int:
     headline = get_headline()
 
     # Warm the JVM + parquet footers once so timings measure query
-    # execution, not session bootstrap.
+    # execution, not session bootstrap: one trivial job, then a
+    # schema (footer) read per table — what a metastore would cache.
     spark.range(1).count()
+    from ariadne_cartograph_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        try:
+            _ = load_table(spark, sf_dir, t).schema
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in sorted(headline.items()):
