@@ -1,0 +1,116 @@
+"""Physical-plan regression tests: the 100 TB posture is a property of
+the PLAN, not of small-SF timings, so pin it directly.
+
+Each test asserts the plan shape SURVEY.md §4 promises:
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema);
+- dimension joins broadcast (no fact-side shuffle for small dims);
+- ORDER BY + LIMIT plans as TakeOrderedAndProject (distributed top-k
+  heap, never a global sort);
+- relational hot paths contain NO row-at-a-time Python eval
+  (BatchEvalPython) — Python appears only in the Arrow-batched
+  multimodal/tile stages (ArrowEvalPython / FlatMapsGroupsInArrow).
+
+If a refactor regresses one of these, correctness tests stay green but
+the plan silently stops scaling; these tests make that loud.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """executedPlan explain text without printing to stdout."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from ariadne_cartograph_spark.plans.catalog import get_queries
+
+    return get_queries()
+
+
+def test_q1_filter_and_projection_pushed_to_scan(spark, queries):
+    df = queries["q1_pricing_summary"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    # Column PRUNING must reach the scan: q1 touches 7 of lineitem's 11
+    # columns; reading the rest at 100 TB is pure waste.
+    scan = next(s for s in plan.split("\n\n") if "ReadSchema:" in s)
+    assert "l_partkey" not in scan, "unused key column read at scan"
+    assert "l_quantity" in scan
+    assert "PushedFilters: [" in scan and "PushedFilters: []" not in scan
+    # Aggregation is partial+final hash agg (map-side combine).
+    assert plan.count("HashAggregate") >= 2
+    # Whole-stage codegen spans show as *(n) in the finalized AQE plan.
+    df.collect()
+    assert "*(" in plan_of(df, "simple")
+
+
+def test_q6_predicate_pushdown_reaches_parquet(spark, queries):
+    plan = plan_of(queries["q6_forecast_revenue"](spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    # At least one real (non-empty) pushed filter set on lineitem.
+    assert "PushedFilters: []" != _pushed(plan), plan
+
+
+def _pushed(plan: str) -> str:
+    for line in plan.splitlines():
+        if "PushedFilters" in line:
+            return line.split("PushedFilters:", 1)[1].strip().rstrip(",")
+    return ""
+
+
+def test_q5_dimension_joins_broadcast(spark, queries):
+    plan = plan_of(queries["q5_region_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, "dimension joins must broadcast"
+
+
+def test_topk_plans_as_take_ordered_not_global_sort(spark, queries):
+    plan = plan_of(queries["topk_orders_by_price"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_topk_after_join_is_take_ordered(spark, queries):
+    plan = plan_of(queries["q3_shipping_priority"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_relational_paths_have_no_python_row_eval(spark, queries):
+    """Every oracled relational/text query must stay JVM-side: Python
+    only ever appears Arrow-batched (pandas UDFs) — and in these
+    catalog families, not at all."""
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "join_semi_orders_with_big_items",
+        "window_topn_per_group",
+        "agg_rollup_orders",
+        "text_token_stats",
+        "text_quality_metrics",
+        "minhash_lsh_near_dup",
+        "similarity_topk_cosine",
+    ]:
+        plan = plan_of(queries[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_exact_dedup_single_shuffle_then_semi_join(spark, queries):
+    plan = plan_of(queries["text_fingerprint_exact_dedup"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    # Representative-selection is an aggregate + semi join, not a
+    # global window sort.
+    assert "Window" not in plan
+
+
+def test_enrichment_python_stages_are_arrow_batched(spark, queries):
+    """The tile sampler is the one place Python is allowed in E1 — it
+    must be the cogrouped-Arrow operator, not row-at-a-time eval."""
+    plan = plan_of(queries["ways_enrichment_pipeline"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan or "FlatMapCoGroupsInArrow" in plan
