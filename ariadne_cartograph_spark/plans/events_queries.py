@@ -206,6 +206,42 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Interval join (J6 + T2 batch analog of the stream-stream join in
+# streaming/events.py): equi-join on user + event-time band. Planned as
+# a hash join on user_id with the band as a post-join filter — the
+# range never explodes into a cross product. The streaming twin holds
+# both sides in watermark-bounded state.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_click_purchase_interval",
+    tags=["J6", "T2"],
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+ORDER BY click_id, purchase_id
+""",
+)
+def events_click_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from ..streaming.events import click_purchase_interval_join
+
+    return click_purchase_interval_join(ev, horizon="30 minutes").orderBy(
+        "click_id", "purchase_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # Median + broadcast-normalize — the reference's A1/A2/A3 aggregation
 # pattern (update_ways_metadata.py:29-33) transplanted onto `events`:
 # exact per-group median, global max, divide. The global scalar is

@@ -108,6 +108,55 @@ def session_agg(
     )
 
 
+# ---- T2b: stream-stream interval join --------------------------------------
+
+
+def click_purchase_interval_join(
+    stream: DataFrame, horizon: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream self-join: each click pairs with the
+    same user's purchases inside [click_ts, click_ts + horizon].
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so the state store evicts rows once the
+    watermark passes click_ts + horizon — bounded state, the
+    requirement for an unbounded-input join. Batch twin (oracle-
+    checked): ``events_click_purchase_interval``."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {horizon}"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 # ---- T4: stateful dedup ----------------------------------------------------
 
 

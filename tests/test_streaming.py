@@ -106,6 +106,26 @@ def test_running_user_counts_stateful(spark, source_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_stream_stream_interval_join_matches_batch(spark, source_dir):
+    stream = SE.read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    SE.run_to_memory(
+        SE.click_purchase_interval_join(stream, horizon="30 minutes"),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    got = sorted(
+        (r.click_id, r.purchase_id) for r in spark.table("t_ssjoin").collect()
+    )
+    # batch twin: same function on the batch frame (watermark no-ops)
+    want = sorted(
+        (r.click_id, r.purchase_id)
+        for r in SE.click_purchase_interval_join(
+            _batch_events(spark), horizon="30 minutes"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_sliding_stream_matches_batch(spark, source_dir):
     stream = SE.read_events_stream(spark, source_dir, max_files_per_trigger=1)
     SE.run_to_memory(
