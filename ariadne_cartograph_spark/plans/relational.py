@@ -1062,3 +1062,74 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "agg_pivot_priority_by_status",
+    tags=["A5", "P14"],
+    oracle="""
+SELECT o_orderstatus,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent,
+       round(sum(CASE WHEN o_orderpriority = '2-HIGH'   THEN o_totalprice ELSE 0 END), 2) AS high,
+       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END), 2) AS medium,
+       round(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+                      THEN o_totalprice ELSE 0 END), 2) AS other
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (A5): `groupBy().pivot()` compiles to exactly the
+    conditional-aggregation plan of the oracle — one pass, one shuffle,
+    no per-pivot-value scans. The pivot value list is given explicitly:
+    at 100 TB, omitting it costs a separate distinct-values job."""
+    orders = load_table(spark, sf_dir, "orders")
+    known = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    bucket = (
+        F.when(F.col("o_orderpriority").isin(known), F.col("o_orderpriority"))
+        .otherwise("other")
+    )
+    return (
+        orders.withColumn("prio", bucket)
+        .groupBy("o_orderstatus")
+        .pivot("prio", known + ["other"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0.0)).alias("urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0.0)).alias("high"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0.0)).alias("medium"),
+            F.coalesce(F.col("other"), F.lit(0.0)).alias("other"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "explode_priority_words",
+    tags=["P4", "P14"],
+    oracle="""
+SELECT o_orderpriority, ord - 1 AS pos, word, count(*) AS n
+FROM (SELECT o_orderpriority,
+             unnest(string_split(o_orderpriority, '-')) AS word,
+             generate_subscripts(string_split(o_orderpriority, '-'), 1) AS ord
+      FROM orders)
+GROUP BY o_orderpriority, pos, word
+ORDER BY o_orderpriority, pos, word
+""",
+)
+def explode_priority_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode/UNNEST (P4) in the oracle gate — the same
+    order-preserving explode the geometry assembly (J3) relies on,
+    checked against DuckDB's UNNEST WITH ORDINALITY semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.posexplode(F.split("o_orderpriority", "-")).alias("pos", "word"),
+        )
+        .groupBy("o_orderpriority", "pos", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority", "pos", "word")
+    )
