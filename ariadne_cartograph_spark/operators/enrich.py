@@ -161,6 +161,11 @@ def enrich_ways(
     the global max median (update_ways_metadata.py:29-33). Returns
     (gid, <provider.name>) with values in [0,1]."""
     sampled = sample_tile_values(spark, ways, provider)
+    # NOTE: the static plan shows the gmax broadcast side repeating the
+    # whole sampling subtree, but runtime ReuseExchange/ReuseSubquery
+    # dedupes the identical shuffle stages — measured FASTER than an
+    # explicit persist of the median frame, which breaks exchange reuse
+    # and pays a cache materialization (2.7s vs 8-17s at sf0.1).
     medians = sampled.groupBy("gid").agg(F.median("value").alias("median_value"))
     gmax = medians.agg(F.max("median_value").alias("gmax"))
     return medians.crossJoin(F.broadcast(gmax)).select(

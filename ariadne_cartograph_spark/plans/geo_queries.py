@@ -228,6 +228,8 @@ def ways_enrichment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ways = ways_from_lineitem(spark, sf_dir)
     sampled = sample_tile_values(spark, ways, STRAVA_PROVIDER)
+    # no persist: runtime exchange reuse dedupes the shared subtree
+    # under gmax (see operators/enrich.py:enrich_ways note)
     med = sampled.groupBy("gid").agg(F.median("value").alias("med"))
     gmax = med.agg(F.max("med").alias("gmax"))
     return (

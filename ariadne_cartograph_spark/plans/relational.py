@@ -179,6 +179,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6_forecast_revenue",
+    headline=True,
     tags=["A5", "P1", "P14"],
     oracle="""
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -219,6 +220,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
+    headline=True,
     tags=["J6", "A5", "W4"],
     oracle="""
 SELECT c_custkey, c_name,
@@ -276,6 +278,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
+    headline=True,
     tags=["J6", "A5", "P14"],
     oracle="""
 SELECT CAST(100.00 * sum(CASE WHEN p_type = 'PROMO'
