@@ -1136,3 +1136,70 @@ def explode_priority_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority", "pos", "word")
     )
+
+
+@register(
+    "window_rank_variants",
+    tags=["W3"],
+    oracle="""
+SELECT c_custkey, o_orderkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       CAST(percent_rank() OVER w AS FLOAT) AS pct_rank,
+       CAST(cume_dist()    OVER w AS FLOAT) AS cdist
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY c_custkey, rnk, o_orderkey
+""",
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining W3 ranking functions (rank/dense_rank/ntile/
+    percent_rank/cume_dist) in one window — a single sort-within-
+    partition serves all five; no extra shuffles per function."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).cast("float").alias("pct_rank"),
+            F.cume_dist().over(w).cast("float").alias("cdist"),
+        )
+        .orderBy("c_custkey", "rnk", "o_orderkey")
+    )
+
+
+@register(
+    "agg_ordered_string_concat",
+    tags=["A5", "P14"],
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+def agg_ordered_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is NOT deterministic
+    across partitions/retries, so the order is imposed explicitly with
+    sort_array before joining — the only safe way to oracle-match (or
+    reproduce) a string_agg at scale."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("r_name")
+    )
