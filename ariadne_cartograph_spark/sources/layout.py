@@ -51,6 +51,26 @@ def write_partitioned_by_tile(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write a catalog table bucketed (and optionally sorted) by
+    ``key`` — the co-located-join layout: two tables bucketed the same
+    way join with NO shuffle on either side (verified by plan in
+    tests/test_layout_config.py). At 100 TB this is the difference
+    between a fact-fact join moving both tables and moving neither;
+    pick n_buckets ≈ cluster cores × a small factor, and keep it
+    IDENTICAL across tables that join together."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def read_tile_cells(
     spark: SparkSession, path: str, cells: list[tuple[int, int, int]]
 ) -> DataFrame:

@@ -63,3 +63,27 @@ def test_tile_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "pt_x" in pf and "pt_y" in pf, plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Two tables bucketed identically on the join key must sort-merge
+    join with no Exchange on either side — the co-located fact-fact
+    join layout for 100 TB."""
+    a = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("w", F.col("id") + 1)
+    L.write_bucketed(a, "t_bucket_a", "id", n_buckets=4, sort_cols=["id"])
+    L.write_bucketed(b, "t_bucket_b", "id", n_buckets=4, sort_cols=["id"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "id")
+            assert joined.count() == 1000
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
