@@ -351,3 +351,34 @@ def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "text_winnow_fingerprint_md5",
+    tags=["U5"],
+    oracle=r"""
+SELECT doc_id,
+       CASE WHEN len(words) >= 8
+            THEN list_min(list_transform(
+                   generate_series(1, len(words) - 7),
+                   i -> md5(array_to_string(words[i:i+7], ' '))))
+            ELSE md5(text) END AS fingerprint
+FROM (SELECT doc_id, text,
+             string_split_regex(text, '\s+') AS words
+      FROM documents)
+ORDER BY doc_id
+""",
+)
+def text_winnow_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint with a cross-engine hash: min(md5) over
+    word 8-shingles, falling back to md5(text) for short docs. Same
+    scheme as text_rolling_fingerprint but oracle-checkable; the
+    xxhash64 variant stays the scale path (8-byte hashes, no string
+    materialization per gram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = T.word_shingles("text", n=8)
+    fp = F.when(
+        F.size(sh) > 0,
+        F.array_min(F.transform(sh, lambda s: F.md5(s))),
+    ).otherwise(F.md5(F.col("text")))
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
