@@ -157,6 +157,25 @@ def click_purchase_interval_join(
     )
 
 
+# ---- T2c: stream-static enrichment join ------------------------------------
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static join: enrich each event with dimension attributes.
+    The static side is broadcast per micro-batch (no state store at
+    all — unlike stream-stream joins); at 100 TB the dimension is the
+    small side by construction, so this is the zero-shuffle enrichment
+    path for streams."""
+    d = F.broadcast(dim.select(F.col(dim_key).alias("__dk"), *dim_cols))
+    return stream.join(d, F.col(stream_key) == F.col("__dk"), "left").drop("__dk")
+
+
 # ---- T4: stateful dedup ----------------------------------------------------
 
 

@@ -126,6 +126,30 @@ def test_stream_stream_interval_join_matches_batch(spark, source_dir):
     assert got == want and len(got) > 0
 
 
+def test_stream_static_dimension_join(spark, source_dir):
+    stream = SE.read_events_stream(spark, source_dir)
+    cust = load_table(spark, SF, "customer")
+    enriched = SE.enrich_with_dimension(
+        stream, cust, "user_id", "c_custkey", ["c_mktsegment"]
+    )
+    SE.run_to_memory(enriched, "t_dimjoin", output_mode="append")
+    got = spark.table("t_dimjoin")
+    ev = _batch_events(spark)
+    assert got.count() == ev.count()  # left join keeps every event
+    # spot-check the enrichment against a batch join
+    want = (
+        ev.join(cust, ev.user_id == cust.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    w = {(r.c_mktsegment, r["count"]) for r in want.collect()}
+    g = {
+        (r.c_mktsegment, r["count"])
+        for r in got.groupBy("c_mktsegment").count().collect()
+    }
+    assert g == w
+
+
 def test_sliding_stream_matches_batch(spark, source_dir):
     stream = SE.read_events_stream(spark, source_dir, max_files_per_trigger=1)
     SE.run_to_memory(
