@@ -107,9 +107,16 @@ def test_running_user_counts_stateful(spark, source_dir):
 
 
 def test_stream_stream_interval_join_matches_batch(spark, source_dir):
-    stream = SE.read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    # No maxFilesPerTrigger and a watermark wider than the replayed
+    # span: micro-batch FILE order is not chronological (listing
+    # order), so a tight watermark would nondeterministically evict
+    # click state before a matching purchase's file arrives — real
+    # late-data semantics, but the test pins exact batch equality.
+    stream = SE.read_events_stream(spark, source_dir)
     SE.run_to_memory(
-        SE.click_purchase_interval_join(stream, horizon="30 minutes"),
+        SE.click_purchase_interval_join(
+            stream, horizon="30 minutes", watermark="40 days"
+        ),
         "t_ssjoin",
         output_mode="append",
     )
