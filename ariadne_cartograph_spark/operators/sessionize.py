@@ -1,11 +1,13 @@
 """Gap-based sessionization (SURVEY.md §2.6 T2 batch analog).
 
 Assigns a session id to each event: a new session starts when the gap
-to the previous event of the same key exceeds ``gap``. Built from
-lag + conditional + running sum windows — one shuffle on the key,
-identical to the plan Structured Streaming's ``session_window`` uses
-for batch, but usable with arbitrary downstream batch ops and
-expressible in ANSI SQL for oracle checks.
+to the previous event of the same key reaches ``gap`` (inclusive — an
+event exactly ``gap`` after its predecessor opens a NEW session, the
+same boundary Structured Streaming's ``session_window`` uses: events
+merge only while ts < prev_ts + gap). Built from lag + conditional +
+running sum windows — one shuffle on the key, identical to the plan
+``session_window`` uses for batch, but usable with arbitrary
+downstream batch ops and expressible in ANSI SQL for oracle checks.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ def sessionize(
     # Exact BIGINT micros arithmetic — seconds-as-double casts round
     # differently across engines and poison oracle parity.
     gap = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w)
-    is_new = F.when(gap.isNull() | (gap > F.lit(gap_seconds).cast("long") * 1000000), 1).otherwise(0)
+    is_new = F.when(gap.isNull() | (gap >= F.lit(gap_seconds).cast("long") * 1000000), 1).otherwise(0)
     run = W.partitionBy(key).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
     return df.withColumn("__new", is_new).withColumn(
         "session_seq", F.sum("__new").over(run).cast("long")

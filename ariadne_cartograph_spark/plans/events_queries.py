@@ -77,14 +77,16 @@ WITH tagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                > {_SESSION_GAP_SEC}::BIGINT * 1000000
+                >= {_SESSION_GAP_SEC}::BIGINT * 1000000
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM events),
 sess AS (
+  -- DuckDB sum(int) yields HUGEINT (int128), which Arrow canonicalizes
+  -- differently from Spark's int64 — cast every integer sum to BIGINT.
   SELECT user_id, ts, event_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM tagged)
 SELECT user_id, session_seq,
        min(ts) AS session_start,
@@ -111,19 +113,19 @@ WITH tagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                > {_SESSION_GAP_SEC}::BIGINT * 1000000
+                >= {_SESSION_GAP_SEC}::BIGINT * 1000000
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM events),
 sess AS (
   SELECT user_id, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM tagged)
 SELECT user_id,
-       max(session_seq)                    AS n_sessions,
+       CAST(max(session_seq) AS BIGINT)    AS n_sessions,
        count(*)                            AS n_events,
-       CAST(count(*) AS DOUBLE) / max(session_seq) AS events_per_session,
+       CAST(count(*) AS DOUBLE) / CAST(max(session_seq) AS BIGINT) AS events_per_session,
        round(sum(value), 2)                AS total_value
 FROM sess
 GROUP BY user_id

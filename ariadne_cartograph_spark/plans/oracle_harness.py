@@ -97,9 +97,26 @@ def compare(
         if own_con:
             con = duckdb_connection(sf_dir)
         try:
-            res = con.execute(oracle_sql)
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
+            # Fetch through Arrow — the driver's hasher canonicalizes the
+            # Arrow representation, so type drift invisible to fetchall()
+            # (e.g. DuckDB sum(int) → HUGEINT → decimal128 while Spark
+            # emits int64) must fail HERE, not only in the driver gate.
+            tbl = con.execute(oracle_sql).arrow()
+            o_cols = list(tbl.schema.names)
+            hugeints = [
+                f.name
+                for f in tbl.schema
+                if str(f.type).startswith("decimal")
+            ]
+            if hugeints:
+                return ParityReport(
+                    name, False, len(s_rows), tbl.num_rows, s_cols, o_cols,
+                    error=(
+                        "oracle emits decimal128 (DuckDB HUGEINT?) columns "
+                        f"{hugeints} — CAST(... AS BIGINT/DOUBLE) in the oracle"
+                    ),
+                )
+            o_rows = [tuple(d.values()) for d in tbl.to_pylist()]
         finally:
             if own_con:
                 con.close()

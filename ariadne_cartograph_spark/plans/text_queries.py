@@ -30,7 +30,9 @@ from .catalog import register
     oracle=r"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(len(string_split_regex(text, '\s+'))) AS total_tokens,
+       -- CAST: DuckDB sum(int) is HUGEINT (int128) — Arrow-canonicalizes
+       -- differently from Spark's int64 sum.
+       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
        CAST(avg(len(string_split_regex(text, '\s+'))) AS FLOAT) AS avg_tokens,
        max(len(string_split_regex(text, '\s+'))) AS max_tokens
 FROM documents
