@@ -34,6 +34,50 @@ def euclidean(a: Column | str, b: Column | str) -> Column:
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def rademacher_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """±1.0 hyperplane components derived from md5 digests — stable
+    across runs, platforms, and engines, and small enough to inject as
+    literals into both a Spark Column tree and a DuckDB oracle SQL
+    string (that cross-engine injectability is the whole point: the
+    oracle can replicate the exact bucketing, so an LSH query becomes
+    value-hash checkable without the oracle needing xxhash64)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0] & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def literal_plane_sign_bits(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Bit-pack sign(dot(vec, plane_p)) over literal ±1 planes into a
+    BIGINT bucket id. dot folds in element order (matching DuckDB's
+    list_dot_product accumulation), so both engines compute identical
+    IEEE doubles and therefore identical sign bits."""
+    from .text import _bind
+
+    def body(vv: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for p, row in enumerate(planes):
+            arr = F.array(*[F.lit(x) for x in row])
+            dot_p = F.aggregate(
+                F.zip_with(vv, arr, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            out = out + F.when(dot_p >= 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    return _bind(as_double(vec), body)
+
+
 def hyperplane_sign_bits(vec: Column | str, n_planes: int, seed: int = 42) -> Column:
     """Random-hyperplane LSH signature as a BIGINT bit-pack.
 
@@ -50,7 +94,16 @@ def hyperplane_sign_bits(vec: Column | str, n_planes: int, seed: int = 42) -> Co
     """
     from .text import _bind
 
-    masks = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+    if n_planes > 64:
+        raise ValueError(f"n_planes must be <= 64 to pack into one BIGINT, got {n_planes}")
+    # Plane 63's mask is Long.MIN_VALUE (1<<63 overflows LongType) —
+    # same sign-bit trick as the simhash masks in operators/dedup.py.
+    masks = F.array(
+        *[
+            F.lit(-(1 << 63)).cast("long") if p == 63 else F.lit(1 << p).cast("long")
+            for p in range(n_planes)
+        ]
+    )
 
     def body(vv: Column) -> Column:
         signs = F.transform(

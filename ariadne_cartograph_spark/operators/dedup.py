@@ -346,6 +346,94 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     return df.withColumn(out_col, packed)
 
 
+def _md5_token_bits(tok: "F.Column") -> "F.Column":
+    """64 pseudo-random bits for one token from two md5 digests (64 hex
+    digits; bit b = parity of digit b) — the cross-engine hash scheme:
+    DuckDB computes the identical bits with md5 || md5('x:'||tok), so a
+    simhash built on these bits is oracle-checkable (same pattern as
+    text_winnow_fingerprint_md5). xxhash64 stays the scale scheme."""
+    h = F.concat(F.md5(tok), F.md5(F.concat(F.lit("x:"), tok)))
+
+    def bit(b):
+        c = F.ascii(h.substr(b + 1, F.lit(1)))
+        v = F.when(c <= 57, c - 48).otherwise(c - 87)
+        return (v % 2).cast("long")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(63)), bit)
+
+
+def simhash_md5(df: DataFrame, text_col: str, out_col: str = "sim_bits") -> DataFrame:
+    """Frequency-weighted 64-bit SimHash as an ARRAY of bits, votes from
+    md5-derived token bits (cross-engine; see _md5_token_bits). Same
+    vote semantics as simhash(): every occurrence votes, bit set when
+    the vote count is positive."""
+    from ..functions.text import _bind
+
+    toks = F.split(F.col(text_col), r"\s+")
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, _md5_token_bits(t), lambda x, b: x + 2 * b - 1),
+    )
+    bits = _bind(counts, lambda c: F.transform(c, lambda x: F.when(x > 0, 1).otherwise(0).cast("long")))
+    return df.withColumn(out_col, bits)
+
+
+def simhash_md5_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """simhash_near_dup_pairs twin on the md5 bit scheme: pigeonhole
+    block equi-join over (max_hamming+1) 16-bit blocks (lossless — any
+    pair within Hamming k agrees on ≥1 whole block), exact Hamming
+    filter. Output (id_a, id_b, hamming) is value-hash checkable
+    against a DuckDB oracle recomputing the same bits."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    s = simhash_md5(df.select(id_col, text_col), text_col)
+    blocks_arr = F.array(
+        *[
+            F.aggregate(
+                F.slice("sim_bits", j * width + 1, width),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc * 2 + b,  # big-endian pack — order-consistent
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    blocks = s.select(
+        F.col(id_col),
+        F.col("sim_bits"),
+        F.posexplode(blocks_arr).alias("blk_idx", "blk_val"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sim_bits").alias("bits_a"),
+            F.col("b.sim_bits").alias("bits_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:

@@ -113,6 +113,62 @@ def ann_lsh_topk(
     )
 
 
+def ann_lsh_topk_literal(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ann_lsh_topk twin whose hyperplanes are literal ±1 Rademacher
+    components (functions/vector.rademacher_planes) instead of
+    executor-side xxhash64 draws. Identical algorithm and plan shape;
+    the literal planes exist so a DuckDB oracle can recompute the SAME
+    buckets and therefore hash-check the full approximate pipeline —
+    see plans/text_queries.similarity_ann_lsh. The xxhash64 variant
+    stays the 100 TB path (no literal shipping, planes derived
+    executor-side)."""
+    from ..functions.vector import literal_plane_sign_bits, rademacher_planes
+
+    dim = len(corpus.select(vec_col).first()[0])
+    tables = [
+        rademacher_planes(n_planes, dim, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.posexplode(
+                F.array(*[literal_plane_sign_bits(vec_col, planes) for planes in tables])
+            ).alias(f"{prefix}_tbl", f"{prefix}_bucket"),
+        )
+
+    c = with_buckets(corpus, "c")
+    q = with_buckets(queries, "q")
+    cands = (
+        c.join(
+            q,
+            (F.col("c_tbl") == F.col("q_tbl")) & (F.col("c_bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", "q_vec", "c_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        F.col("q_id"),
+        F.col("c_id").alias(id_col),
+        cosine("c_vec", "q_vec").cast("float").alias("cosine"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,23 +177,32 @@ def ann_ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: str = "hash",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: a coarse
     quantizer partitions the corpus into centroid cells; each query
     scans only its ``n_probe`` nearest cells with exact cosine rerank.
 
-    Centroid selection is deterministic hash-sampling (rows with the
-    smallest xxhash64(id) become centroids — reproducible, no RNG
-    state), collected to the driver once: n_centroids × dim doubles,
-    the same footprint as broadcasting any small ML model. Assignment
+    Centroid selection is deterministic: ``centroids="hash"`` samples
+    the rows with the smallest xxhash64(id) (reproducible pseudo-random
+    spread, the 100 TB default); ``centroids="first"`` takes the
+    n_centroids smallest ids — equally deterministic AND expressible in
+    the DuckDB oracle (no xxhash64 there), which is what the
+    driver-checked catalog entry uses. Either way the collect is
+    n_centroids × dim doubles — a model-broadcast footprint. Assignment
     is pure column math (argmax over literal-centroid cosines — no
     join), so building the index is ONE projection + the cell write;
     at 100 TB the cell id becomes the partition key and each query
     touches n_probe/n_centroids of the data.
     """
+    order = (
+        [F.xxhash64(F.col(id_col)), F.col(id_col)]
+        if centroids == "hash"
+        else [F.col(id_col)]
+    )
     cent_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .orderBy(*order)
         .limit(n_centroids)
         .collect()
     )

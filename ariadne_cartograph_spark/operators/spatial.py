@@ -72,15 +72,27 @@ def assign_pois_to_edges(
     poi_id: str = "pid",
     lng: str = "lng",
     lat: str = "lat",
+    max_abs_lat: float | None = None,
 ) -> DataFrame:
     """For each POI: nearest edge within ``within_m`` (ties → lowest
     gid); POIs with no edge inside the radius disk are flagged
     too_far (README.md:54 semantics). Returns one row per POI:
     (pid, gid|null, dist_m|null, too_far).
+
+    ``max_abs_lat`` bounds the data's latitude range for cell sizing
+    (None → one aggregation over the POI side, the small side by
+    construction). A cell spans cell_deg·_DEG_M·cos(lat) meters
+    east-west — NARROWER than its north-south extent — so sizing by
+    the latitude degree alone under-covers longitude once
+    within_m > radius_m·cos(lat) (≈75.5° at the 50/200 defaults);
+    dividing by cos(max|lat|) keeps the 3×3 neighbor ring a superset
+    of the within_m disk at every latitude in the data.
     """
-    cell_deg = radius_m / _DEG_M  # conservative: lat degree; lng cells
-    # are narrower in meters at high latitude, so the 3×3 ring still
-    # over-covers the radius disk.
+    if max_abs_lat is None:
+        row = pois.agg(F.max(F.abs(F.col(lat)))).first()
+        max_abs_lat = float(row[0] or 0.0)
+    max_abs_lat = min(abs(max_abs_lat), 89.0)  # pole guard: cos > 0
+    cell_deg = radius_m / (_DEG_M * math.cos(max_abs_lat * math.pi / 180.0))
     e_cx, e_cy = grid_cell(
         F.element_at(F.col("geom"), 1)["lng"], F.element_at(F.col("geom"), 1)["lat"], cell_deg
     )

@@ -24,6 +24,37 @@ def routable_ways(ways: DataFrame, highway_filter: bool = True) -> DataFrame:
     return ways.filter(F.col("tags").getItem("highway").isNotNull())
 
 
+def extract_turn_restrictions(relations: DataFrame) -> DataFrame:
+    """Turn-restriction relations → a restrictions table keyed to the
+    topology's ways — the `--attributes --tags` part of the
+    osm2pgrouting import (`/root/reference/README.md:44`) that routing
+    engines consume alongside the edge table.
+
+    Each `type=restriction` relation carries (from way, via node,
+    to way) members plus the restriction kind tag (no_left_turn,
+    no_u_turn, only_right_turn, …). Pure column expressions — a filter
+    plus array lookups over the members list, no shuffle; joins to
+    edges on osm_way_id downstream."""
+    r = relations.filter(F.col("tags").getItem("type") == "restriction")
+
+    def member(mtype: str, role: str):
+        return F.element_at(
+            F.filter(
+                "members",
+                lambda m: (m["member_type"] == mtype) & (m["role"] == role),
+            ),
+            1,
+        )["ref"]
+
+    return r.select(
+        F.col("id").alias("relation_id"),
+        F.col("tags").getItem("restriction").alias("restriction"),
+        member("way", "from").alias("from_way"),
+        member("node", "via").alias("via_node"),
+        member("way", "to").alias("to_way"),
+    )
+
+
 def build_topology(nodes: DataFrame, ways: DataFrame) -> dict[str, DataFrame]:
     """→ {edges, vertices}.
 

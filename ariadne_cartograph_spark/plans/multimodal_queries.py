@@ -101,11 +101,40 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(_media(spark, sf_dir)).orderBy("media_id")
 
 
-@register("multimodal_resize_pipeline", tags=["U3"])
+@register(
+    "multimodal_resize_pipeline",
+    tags=["U3"],
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(floor(sqrt(CAST(n_chars AS DOUBLE))) AS INT) AS side,
+         text
+  FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  -- nearest-neighbor sample grid: src index = (dst * src_dim) // 8,
+  -- flat offset = y*side + x (row-major), +1 for 1-based substring
+  SELECT media_id,
+         list_transform(range(0, 64),
+            k -> ascii(substring(text,
+                 CAST(((k // 8) * side // 8) * side
+                      + ((k % 8) * side // 8) + 1 AS INT), 1))) AS v
+  FROM m)
+SELECT media_id,
+       8 AS width,
+       8 AS height,
+       CAST(list_sum(v) AS DOUBLE) / 64 AS mean_px,
+       CAST(list_min(v) AS INT) AS min_px,
+       CAST(list_max(v) AS INT) AS max_px
+FROM px
+ORDER BY media_id
+""",
+)
 def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode → resize(8×8) → re-extract features: the shrink-early
-    pipeline shape. Rows-only for the driver (payload bytes aren't
-    SQL-comparable); the NN-resize math is pinned against a numpy
-    oracle in tests/test_multimodal.py."""
+    """decode → NN-resize(8×8) → re-extract features: the shrink-early
+    pipeline shape. The oracle replays the exact nearest-neighbor
+    sample grid ((dst*src)//out index math) over the same payload
+    bytes, so the resize + re-decode plumbing is value-hash checked
+    end-to-end; the numpy twin in tests/test_multimodal.py pins the
+    same math against an independent implementation."""
     resized = M.resize_media(_media(spark, sf_dir), out_w=8, out_h=8)
     return M.image_features(resized).orderBy("media_id")

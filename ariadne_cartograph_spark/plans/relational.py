@@ -978,18 +978,39 @@ def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", tags=["A5"])
+@register(
+    "agg_approx_distinct",
+    tags=["A5"],
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(*) AS n_rows,
+       TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per group — the at-scale
-    substitute for exact COUNT(DISTINCT). Approximate by construction →
-    no value-hash oracle; tests pin the estimate within rsd bounds of
-    the exact count (test_relational_extras.py)."""
+    substitute for exact COUNT(DISTINCT). The estimate itself has no
+    cross-engine twin, so the hash-checked contract is a bounds check:
+    Spark emits the EXACT distinct count plus a boolean asserting the
+    HLL estimate landed within ±5% of it (rsd=0.02 → ~3σ); the oracle
+    emits the exact count and literal TRUE. An out-of-bounds estimate
+    flips the boolean and fails the value hash."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            exact.alias("exact_parts"),
             F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.abs(approx.cast("double") / exact.cast("double") - F.lit(1.0))
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -1203,3 +1224,121 @@ def agg_ordered_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# S4/J1/J5 — the reference's sink: INSERT … ON CONFLICT (gid) DO UPDATE
+# (/root/reference/update_ways_metadata.py:50-54) as a pure dataflow.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_metadata",
+    tags=["S4", "J1", "J5"],
+    oracle="""
+WITH existing AS (
+  SELECT o_orderkey AS gid,
+         CAST(o_totalprice % 1000 AS DOUBLE) / 1000 AS popularity,
+         CAST(o_custkey % 100 AS DOUBLE) / 100 AS greenery
+  FROM orders WHERE o_orderkey % 2 = 0),
+updates AS (
+  SELECT o_orderkey AS gid,
+         CAST(o_totalprice % 777 AS DOUBLE) / 777 AS popularity
+  FROM orders WHERE o_orderkey % 3 = 0)
+SELECT COALESCE(e.gid, u.gid) AS gid,
+       CAST(COALESCE(u.popularity, e.popularity) AS FLOAT) AS popularity,
+       CAST(e.greenery AS FLOAT) AS greenery
+FROM existing e FULL OUTER JOIN updates u ON e.gid = u.gid
+ORDER BY gid
+""",
+)
+def merge_upsert_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's upsert-sink semantics (operators/merge.merge_into:
+    full-outer join + column-wise coalesce ≙ ON CONFLICT DO UPDATE,
+    update_ways_metadata.py:50-54) hash-checked against DuckDB running
+    the equivalent FULL OUTER JOIN: a popularity-only update batch must
+    overwrite matched popularity, preserve greenery on matched rows,
+    insert unmatched rows with NULL greenery, and keep untouched rows
+    (J5: the key join is the FK surface — no lost or duplicated gids)."""
+    from ..operators.merge import merge_into
+
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("gid"),
+        ((F.col("o_totalprice") % 1000) / 1000).alias("popularity"),
+        ((F.col("o_custkey") % 100).cast("double") / 100).alias("greenery"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("gid"),
+        ((F.col("o_totalprice") % 777) / 777).alias("popularity"),
+    )
+    merged = merge_into(existing, updates, key="gid", update_cols=["popularity"])
+    return merged.select(
+        "gid",
+        F.col("popularity").cast("float").alias("popularity"),
+        F.col("greenery").cast("float").alias("greenery"),
+    ).orderBy("gid")
+
+
+@register(
+    "agg_grouping_structures",
+    tags=["A5"],
+    oracle="""
+SELECT 'rollup' AS src,
+       COALESCE(o_orderpriority, '<all>') AS prio,
+       COALESCE(o_orderstatus, '<all>') AS status,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+UNION ALL
+SELECT 'cube', COALESCE(o_orderpriority, '<all>'), COALESCE(o_orderstatus, '<all>'),
+       count(*), round(sum(o_totalprice), 2)
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+UNION ALL
+SELECT 'gsets', COALESCE(o_orderpriority, '<all>'), COALESCE(o_orderstatus, '<all>'),
+       count(*), round(sum(o_totalprice), 2)
+FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY src, prio, status
+""",
+)
+def agg_grouping_structures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multi-grouping structures (A5) in one union-tagged,
+    hash-checked result: ROLLUP and CUBE via the DataFrame API,
+    GROUPING SETS via Spark SQL (the API has no direct form). Keys are
+    coalesced to '<all>' so the NULLs that encode aggregate levels
+    compare cleanly. One window slot covers the full grouping surface;
+    the standalone rollup/cube/grouping-sets probes remain registered
+    past the driver window."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def shape(grouped, src: str) -> DataFrame:
+        return (
+            grouped.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .select(
+                F.lit(src).alias("src"),
+                F.coalesce("o_orderpriority", F.lit("<all>")).alias("prio"),
+                F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+                "n",
+                "revenue",
+            )
+        )
+
+    rollup = shape(o.rollup("o_orderpriority", "o_orderstatus"), "rollup")
+    cube = shape(o.cube("o_orderpriority", "o_orderstatus"), "cube")
+    view = "orders_gsets_" + sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    o.createOrReplaceTempView(view)
+    gsets = spark.sql(
+        f"""
+        SELECT 'gsets' AS src,
+               COALESCE(o_orderpriority, '<all>') AS prio,
+               COALESCE(o_orderstatus, '<all>') AS status,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM {view}
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+    return rollup.unionByName(cube).unionByName(gsets).orderBy("src", "prio", "status")

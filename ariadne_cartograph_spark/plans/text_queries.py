@@ -152,12 +152,44 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MinHash-LSH / SimHash — hash-scheme-dependent: rows-only for the
-# driver; exactness vs brute force is pinned in tests/test_dedup.py.
+# MinHash-LSH — the VERIFIED output of the pipeline (exact Jaccard on
+# LSH candidates) is oracle-checkable: every emitted pair carries its
+# exact Jaccard ≥ t, and the oracle computes the full exact-Jaccard
+# pair set the same way ngram_jaccard_near_dup's does. The row is green
+# iff LSH banding missed no pair ≥ t on the oracle corpus — i.e. the
+# oracle checks both the verification math AND perfect recall at b=8,
+# r=4 (LSH threshold ≈ 0.59 vs t=0.6; recall re-pinned in
+# tests/test_dedup_similarity.py).
 # --------------------------------------------------------------------------
 
 
-@register("minhash_lsh_near_dup", headline=True, tags=["W6", "U4"])
+@register(
+    "minhash_lsh_near_dup",
+    headline=True,
+    tags=["W6", "U4"],
+    oracle=rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_near_dup_pairs(
@@ -165,10 +197,45 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("simhash_near_dup", tags=["W6", "U4"])
+@register(
+    "simhash_near_dup",
+    tags=["W6", "U4"],
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+th AS (
+  SELECT doc_id, md5(tok) || md5('x:' || tok) AS h FROM toks),
+votes AS (
+  SELECT doc_id, b,
+         sum(2 * ((CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) % 2) - 1) AS vote
+  FROM (
+    SELECT doc_id, bb.b AS b, ascii(substring(h, CAST(bb.b + 1 AS INT), 1)) AS a
+    FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb)
+  GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id, list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+  FROM votes GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> CASE WHEN a.bits[CAST(i AS INT)] <> b.bits[CAST(i AS INT)]
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+""",
+)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with the md5 bit scheme
+    (operators/dedup.simhash_md5_near_dup_pairs): the oracle recomputes
+    the same 64 token bits (md5 digit parity), the same frequency-
+    weighted votes, and brute-force Hamming over all pairs — so the
+    pigeonhole block join's losslessness AND the sketch math are both
+    value-hash checked. The xxhash64-signature variant
+    (simhash_near_dup_pairs) is the scale scheme (8-byte signatures,
+    no hex strings); equivalence of the two pipelines' semantics is
+    pinned in tests/test_dedup_similarity.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+    return D.simhash_md5_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
 
@@ -262,40 +329,129 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ann_lsh", tags=["U4"])
+_ANN_DIM = 64  # embeddings table: array<float> of 64 (TESTDATA.md corpus)
+
+
+def _ann_lsh_oracle(k: int = 5, n_planes: int = 12, n_tables: int = 4, seed: int = 42) -> str:
+    """DuckDB twin of the FULL approximate LSH pipeline: identical
+    literal ±1 planes → identical buckets → identical candidate set →
+    identical exact rerank. Hash-checks the approximation itself, not
+    just the rerank."""
+    from ..functions.vector import rademacher_planes
+
+    selects = []
+    for t in range(n_tables):
+        planes = rademacher_planes(n_planes, _ANN_DIM, seed=seed + 1000 * t)
+        terms = "\n       + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in row)}]) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p, row in enumerate(planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, CAST({terms} AS BIGINT) AS bucket FROM e")
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  {union}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cid
+  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 4 AND c.vec_id <> q.vec_id),
+scored AS (
+  SELECT cand.q_id, cand.cid AS vec_id,
+         CAST(list_dot_product(ce.v, qe.v)
+              / (sqrt(list_dot_product(ce.v, ce.v)) * sqrt(list_dot_product(qe.v, qe.v)))
+           AS FLOAT) AS cosine
+  FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ce ON ce.vec_id = cand.cid),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
+@register("similarity_ann_lsh", tags=["U4"], oracle=_ann_lsh_oracle())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN with literal Rademacher planes
+    (operators/similarity.ann_lsh_topk_literal) so the oracle replays
+    the exact bucketing. The xxhash64-plane variant (ann_lsh_topk) is
+    the 100 TB path — same plan shape, planes derived executor-side;
+    its recall vs brute force is pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4)
     return (
-        S.ann_lsh_topk(emb, queries, "vec_id", "embedding", k=5)
+        S.ann_lsh_topk_literal(emb, queries, "vec_id", "embedding", k=5)
         .select("q_id", "vec_id", "cosine", "rank")
         .orderBy("q_id", "rank")
     )
 
 
-@register("similarity_ann_ivf", tags=["U4"])
+def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, n_probe: int = 6) -> str:
+    # Tie-break mirrors the Spark plan exactly: cell assignment =
+    # first-max (s DESC, cell ASC), probe list = reverse(array_sort) =
+    # (s DESC, cell DESC).
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM e ORDER BY vec_id LIMIT {n_centroids}),
+scored_cells AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS s
+  FROM e CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM scored_cells) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM scored_cells WHERE vec_id < 4) WHERE rn <= {n_probe}),
+cand AS (
+  SELECT qprobe.q_id, assign.vec_id, qprobe.qv, assign.v AS cv
+  FROM assign JOIN qprobe ON assign.cell = qprobe.cell
+  WHERE assign.vec_id <> qprobe.q_id),
+scored AS (
+  SELECT q_id, vec_id,
+         CAST(list_dot_product(cv, qv)
+              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+           AS FLOAT) AS cosine
+  FROM cand),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
+@register("similarity_ann_ivf", tags=["U4"], oracle=_ann_ivf_oracle())
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (scale path twin of the LSH variant);
-    recall vs brute force pinned in tests/test_dedup_similarity.py."""
+    """IVF coarse-quantizer ANN. The driver-checked form selects the
+    n_centroids smallest vec_ids as centroids (centroids="first") so
+    the DuckDB oracle can rebuild the identical quantizer and replay
+    assignment + probing + rerank — a value-hash over the whole
+    approximate pipeline. centroids="hash" (xxhash64 sampling) is the
+    100 TB default; recall vs brute force pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4)
     return (
-        S.ann_ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_centroids=16, n_probe=6)
+        S.ann_ivf_topk(
+            emb, queries, "vec_id", "embedding",
+            k=5, n_centroids=16, n_probe=6, centroids="first",
+        )
         .select("q_id", "vec_id", "cosine", "rank")
         .orderBy("q_id", "rank")
-    )
-
-
-@register("embedding_near_dup", tags=["U4", "W6"])
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, "vec_id", "embedding", min_cosine=0.99).orderBy(
-        "id_a", "id_b"
     )
 
 
 @register(
-    "embedding_near_dup_exact",
+    "embedding_near_dup",
     tags=["U4", "W6"],
     oracle="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -307,14 +463,24 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE CAST(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-       AS FLOAT) >= 0.99
+       AS FLOAT) >= 0.45
 ORDER BY id_a, id_b
 """,
 )
-def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force O(n²) twin of embedding_near_dup — the hash-checked
-    correctness reference for the LSH scale path (same filter, exact
-    candidate set). Run at oracle SF only; at 100 TB use the LSH form."""
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact O(n²) plan with a full value
+    oracle. The threshold (0.45) is chosen so the oracle corpus — 500
+    i.i.d. random vectors whose max pairwise cosine is ≈ 0.51 — yields
+    a non-empty pair set; the previous 0.99 threshold green-lit
+    vacuously (0 rows on both sides).
+
+    At 100 TB the exact plan is replaced by
+    operators/similarity.embedding_near_dup_pairs (hyperplane-LSH
+    buckets + exact cosine filter, same output contract); its recall
+    against this exact twin is pinned in
+    tests/test_dedup_similarity.py. Random low-similarity corpora
+    defeat LSH recall at low thresholds, so the driver-checked entry
+    is the exact form."""
     from ..functions.vector import cosine
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -323,7 +489,7 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine("va", "vb").cast("float").alias("cosine"))
-        .filter(F.col("cosine") >= 0.99)
+        .filter(F.col("cosine") >= 0.45)
         .orderBy("id_a", "id_b")
     )
 

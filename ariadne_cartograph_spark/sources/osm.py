@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -211,12 +212,123 @@ def promote_tags(df: DataFrame, style: list[str] | None = None) -> DataFrame:
     return df.select(*cols, *promoted).withColumn("other_tags", residual).drop("tags")
 
 
+_PT = StructType([StructField("lng", DoubleType()), StructField("lat", DoubleType())])
+_RING_SCHEMA = StructType(
+    [
+        StructField("relation_id", LongType()),
+        StructField("geom", ArrayType(_PT)),
+        StructField("holes", ArrayType(ArrayType(_PT))),
+    ]
+)
+
+
+def assemble_multipolygons(relations: DataFrame, ways_with_geom: DataFrame) -> DataFrame:
+    """Multipolygon-relation assembly — the half of the polygon table
+    the closed-way path misses (`/root/reference/README.md:37`:
+    "closed ways / **multipolygon relations** — buildings, structures";
+    buildings with courtyards, parks with holes).
+
+    Member ways (roles outer/inner) are chained end-to-end into closed
+    rings; inner rings attach as holes to the outer ring whose bbox
+    contains them. One output row per OUTER ring:
+    (relation_id, geom=outer ring, holes=[inner rings]).
+
+    Plan shape: explode way members → equi-join member geometries →
+    groupBy(relation) → applyInPandas ring-stitch. The Python stage
+    holds ONE relation's member ways at a time (bounded state), and the
+    groupBy partitions by relation id — the stage scales horizontally
+    with relation count, never with planet size. Member ways missing
+    from the extract (clipped at the bbox) are skipped; ring sets that
+    cannot close are dropped, matching osm2pgsql's invalid-geometry
+    behavior."""
+    mp = relations.filter(F.col("tags").getItem("type") == "multipolygon")
+    members = mp.select(
+        F.col("id").alias("relation_id"),
+        F.explode("members").alias("m"),
+    ).filter(
+        (F.col("m.member_type") == "way") & F.col("m.role").isin("outer", "inner")
+    ).select(
+        "relation_id", F.col("m.ref").alias("way_id"), F.col("m.role").alias("role")
+    )
+    geoms = ways_with_geom.select(F.col("id").alias("way_id"), "geom")
+    joined = members.join(geoms, "way_id").filter(F.col("geom").isNotNull())
+
+    def stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def chain(ways: list[list[tuple]]) -> list[list[tuple]]:
+            rings, unused = [], [list(w) for w in ways if len(w) >= 2]
+            while unused:
+                ring = unused.pop(0)
+                while ring[0] != ring[-1]:
+                    for i, w in enumerate(unused):
+                        if w[0] == ring[-1]:
+                            ring += w[1:]
+                        elif w[-1] == ring[-1]:
+                            ring += w[-2::-1]
+                        else:
+                            continue
+                        unused.pop(i)
+                        break
+                    else:
+                        ring = None  # open ring set — drop
+                        break
+                if ring is not None and len(ring) >= 4:
+                    rings.append(ring)
+            return rings
+
+        out = []
+        for rel_id, grp in pdf.groupby("relation_id"):
+            by_role = {"outer": [], "inner": []}
+            for _, row in grp.iterrows():
+                pts = [(p["lng"], p["lat"]) for p in row["geom"]]
+                by_role[row["role"]].append(pts)
+            outers = chain(by_role["outer"])
+            inners = chain(by_role["inner"])
+            if not outers:
+                continue
+
+            def bbox(ring):
+                xs = [p[0] for p in ring]
+                ys = [p[1] for p in ring]
+                return min(xs), min(ys), max(xs), max(ys)
+
+            oboxes = [bbox(o) for o in outers]
+            holes_per_outer: list[list] = [[] for _ in outers]
+            for inner in inners:
+                x, y = inner[0]
+                target = 0
+                for j, (x0, y0, x1, y1) in enumerate(oboxes):
+                    if x0 <= x <= x1 and y0 <= y <= y1:
+                        target = j
+                        break
+                holes_per_outer[target].append(inner)
+            for j, outer in enumerate(outers):
+                out.append(
+                    {
+                        "relation_id": rel_id,
+                        "geom": [{"lng": x, "lat": y} for x, y in outer],
+                        "holes": [
+                            [{"lng": x, "lat": y} for x, y in h]
+                            for h in holes_per_outer[j]
+                        ],
+                    }
+                )
+        return pd.DataFrame(out, columns=["relation_id", "geom", "holes"])
+
+    return joined.groupBy("relation_id").applyInPandas(stitch_group, schema=_RING_SCHEMA)
+
+
 def derive_feature_tables(
-    nodes: DataFrame, ways_with_geom: DataFrame, style: list[str] | None = None
+    nodes: DataFrame,
+    ways_with_geom: DataFrame,
+    style: list[str] | None = None,
+    relations: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The planet_osm_* table family (README.md:33-38):
-    point (tagged nodes), line (all ways), polygon (closed tagged ways),
-    roads (low-zoom subset of line)."""
+    point (tagged nodes), line (all ways), polygon (closed tagged ways
+    + multipolygon relations when ``relations`` is given), roads
+    (low-zoom subset of line). Relation-derived polygon rows carry
+    osm2pgsql's id convention: osm_id = -relation_id (negative ids mark
+    relation provenance and cannot collide with way ids)."""
     from ..functions.geometry import is_closed_ring
 
     tagged_nodes = nodes.filter(
@@ -227,7 +339,21 @@ def derive_feature_tables(
     closed = ways_with_geom.filter(
         is_closed_ring("node_refs") & F.col("tags").isNotNull()
     )
-    polygon = promote_tags(closed, style)
+    polygon = promote_tags(closed, style).withColumn(
+        "holes", F.array().cast("array<array<struct<lng:double,lat:double>>>")
+    )
+    if relations is not None:
+        rel_rings = assemble_multipolygons(relations, ways_with_geom)
+        rel_tagged = rel_rings.join(
+            relations.select(F.col("id").alias("relation_id"), "tags"), "relation_id"
+        ).select(
+            (-F.col("relation_id")).alias("id"),
+            "tags",
+            "geom",
+            "holes",
+        )
+        rel_poly = promote_tags(rel_tagged, style)
+        polygon = polygon.unionByName(rel_poly, allowMissingColumns=True)
     roads = line.filter(
         F.col("highway").isin(
             "motorway", "trunk", "primary", "secondary", "tertiary", "residential"

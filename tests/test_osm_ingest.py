@@ -94,3 +94,88 @@ def test_feature_tables(tables):
     assert n_buildings >= 650
     # residual map holds non-style keys
     assert "other_tags" in t["line"].columns
+
+
+def test_multipolygon_assembly(tables, spark):
+    """README.md:37 — the polygon table includes multipolygon
+    relations: all 16 fixture relations stitch to one outer ring each,
+    inner member ways (present in the extract) become holes."""
+    from ariadne_cartograph_spark.sources.osm import assemble_multipolygons
+
+    geo = assemble_way_geometries(tables["nodes"], tables["ways"])
+    mp = assemble_multipolygons(tables["relations"], geo).cache()
+    rows = {r.relation_id: r for r in mp.collect()}
+    assert len(rows) == 16  # one outer ring per fixture relation
+    # rings are closed
+    for r in rows.values():
+        assert r.geom[0] == r.geom[-1] and len(r.geom) >= 4
+        for h in r.holes:
+            assert h[0] == h[-1] and len(h) >= 4
+    # known relation: Beckman Institute (333928) = outer 30086704 with
+    # one courtyard hole (inner 44821191)
+    beckman = rows[333928]
+    assert len(beckman.holes) == 1
+    # relation 2636530: two inner holes in the extract
+    assert len(rows[2636530].holes) == 2
+    # relation 2700722's only inner way is missing from the extract →
+    # outer ring still emitted, zero holes
+    assert len(rows[2700722].holes) == 0
+
+
+def test_feature_tables_with_relations_census(tables):
+    """Independent census: feature-table counts re-derived from the XML
+    with plain ElementTree (no engine code) — the same numbers pinned
+    in the osm_ingest_feature_tables golden oracle."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(OSM_PATH).getroot()
+    tagged_nodes = sum(
+        1 for el in root if el.tag == "node" and any(t.tag == "tag" for t in el)
+    )
+    xml_ways = [el for el in root if el.tag == "way"]
+    closed_tagged = 0
+    for w in xml_ways:
+        refs = [nd.get("ref") for nd in w if nd.tag == "nd"]
+        if any(t.tag == "tag" for t in w) and len(refs) >= 4 and refs[0] == refs[-1]:
+            closed_tagged += 1
+    n_mp = sum(
+        1
+        for el in root
+        if el.tag == "relation"
+        and {t.get("k"): t.get("v") for t in el if t.tag == "tag"}.get("type")
+        == "multipolygon"
+    )
+    t = derive_feature_tables(
+        tables["nodes"],
+        assemble_way_geometries(tables["nodes"], tables["ways"]),
+        relations=tables["relations"],
+    )
+    assert t["point"].count() == tagged_nodes == 333
+    assert t["line"].count() == len(xml_ways) == 1091
+    assert t["polygon"].count() == closed_tagged + n_mp == 775
+    # relation-derived rows carry osm2pgsql's negative-id convention
+    assert t["polygon"].filter(F.col("id") < 0).count() == n_mp == 16
+
+
+def test_turn_restrictions_golden(tables):
+    """osm2pgrouting --attributes/--tags analog: the fixture's 8
+    restriction relations, hand-checked triples from the XML."""
+    from ariadne_cartograph_spark.operators.topology import extract_turn_restrictions
+
+    r = {
+        row.relation_id: row
+        for row in extract_turn_restrictions(tables["relations"]).collect()
+    }
+    assert len(r) == 8
+    assert r[3516928].restriction == "no_left_turn"
+    assert (r[3516928].from_way, r[3516928].via_node, r[3516928].to_way) == (
+        261918653, 122714882, 13302656,
+    )
+    assert r[2430203].restriction == "only_right_turn"
+    assert (r[2430203].from_way, r[2430203].via_node, r[2430203].to_way) == (
+        13298929, 3909613366, 140161509,
+    )
+    # u-turns: from == to
+    for rid in (1109564, 1110020, 7552502, 8107362):
+        assert r[rid].restriction == "no_u_turn"
+        assert r[rid].from_way == r[rid].to_way

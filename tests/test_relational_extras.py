@@ -1,5 +1,8 @@
 """Checks for relational entries whose semantics aren't value-hash
-oracle-able (approximate aggregates)."""
+oracle-able row-for-row (approximate aggregates): the catalog entry
+folds the HLL estimate into an in-bounds boolean; this test re-derives
+the exact counts independently and checks both that boolean and the
+exact column against them."""
 
 from __future__ import annotations
 
@@ -11,7 +14,7 @@ from ariadne_cartograph_spark.sources.tables import load_table
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
     got = {
-        r.l_returnflag: r.approx_parts
+        r.l_returnflag: r
         for r in get_queries()["agg_approx_distinct"](spark, sf_dir).collect()
     }
     exact = {
@@ -22,6 +25,6 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         .collect()
     }
     assert set(got) == set(exact)
-    for k, est in got.items():
-        # rsd=0.02 → 3-sigma ≈ 6%
-        assert abs(est - exact[k]) <= 0.06 * exact[k] + 1, (k, est, exact[k])
+    for k, row in got.items():
+        assert row.exact_parts == exact[k], (k, row.exact_parts, exact[k])
+        assert row.approx_within_5pct, k
