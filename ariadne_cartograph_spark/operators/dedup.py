@@ -22,6 +22,29 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_md5, hashed_word_shingles
 
+# Persisted shingle frames created by the near-dup builders below. The
+# returned DataFrames are lazy, so the builders cannot unpersist before
+# the caller materializes them; instead every persist() is tracked here
+# and callers that loop (bench.py, the parity harness, foreachBatch
+# users) call release_caches() between materializations so repeated
+# invocations in one long-lived session don't accumulate cached
+# partitions until storage-memory eviction churn.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    cached = df.persist()
+    _LIVE_CACHES.append(cached)
+    return cached
+
+
+def release_caches() -> None:
+    """Unpersist every shingle frame cached by near-dup builders since
+    the last call. Safe to call at any time: already-materialized
+    results are unaffected, un-materialized plans just recompute."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep exactly one row per distinct ``text_col`` content — the one
@@ -166,9 +189,9 @@ def minhash_near_dup_pairs(
     from it row-locally and the verification step reuses the same sets,
     so tokenize+hash (the scan-side cost at 100 TB) runs a single time
     instead of twice."""
-    sh = df.select(
+    sh = _track_persist(df.select(
         F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
-    ).persist()
+    ))
     sigs = sh.select(
         F.col(id_col), _minhash_from_shingles(F.col("sh"), n_hashes).alias("mh_sig")
     )
@@ -178,30 +201,38 @@ def minhash_near_dup_pairs(
     )
 
 
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int
+) -> DataFrame:
+    """Persisted (id, sh: array<long>, n_sh) frame shared by the exact
+    n-gram join variants — it feeds self-joins plus size lookups, so
+    without the persist the shingle expression re-runs up to 4×."""
+    return _track_persist(
+        df.select(F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_size: int = 3,
     threshold: float = 0.6,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exhaustive (non-approximate) n-gram Jaccard similarity join:
     explode distinct hashed shingles → self-equi-join on shingle →
     count intersections per pair → Jaccard ≥ threshold.
 
-    The shingle frame is persisted (it feeds the self-join twice plus
-    both size lookups — without it the shingle expression re-runs 4×);
-    shingles travel as xxhash64 longs, so the shuffle carries 8-byte
+    Shingles travel as xxhash64 longs, so the shuffle carries 8-byte
     keys. The explode join is Σ df(g)² pairs — fine when shingle
     doc-frequencies are uniform (measured max df ≈ 25 on the test
     corpus). For corpora with HOT shingles (boilerplate), use
-    ngram_jaccard_pairs_prefix, which bounds the blowup.
+    ngram_jaccard_pairs_prefix, which bounds the blowup, or
+    ngram_jaccard_pairs_auto, which picks per-corpus on measured df.
     """
-    sh = (
-        df.select(F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .persist()
-    )
+    sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_size)
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("g"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -231,6 +262,8 @@ def ngram_jaccard_pairs_prefix(
     text_col: str,
     shingle_size: int = 3,
     threshold: float = 0.6,
+    _sh: DataFrame | None = None,
+    _freq: DataFrame | None = None,
 ) -> DataFrame:
     """AllPairs prefix-filtered exact Jaccard join (Bayardo et al.
     2007, lossless): under one global total order of shingles — rarest
@@ -244,13 +277,13 @@ def ngram_jaccard_pairs_prefix(
     """
     from pyspark.sql.window import Window as W
 
-    sh = (
-        df.select(F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .persist()
-    )
+    sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_size)
     exploded = sh.select(F.col(id_col), "n_sh", F.explode("sh").alias("g"))
-    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    freq = (
+        _freq
+        if _freq is not None
+        else exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    )
     rnk = F.row_number().over(W.partitionBy(id_col).orderBy("df_g", "g"))
     prefix = (
         exploded.join(freq, "g")
@@ -285,6 +318,54 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard join with strategy auto-selected on
+    MEASURED shingle skew — the default entry point for near-dup at
+    scale. One pass computes the shingle doc-frequency table (the same
+    table the prefix path needs anyway); a 1-row collect of
+    (max df, Σ df) — bounded model statistics, not data — picks the
+    plan with a scale-free rule: the count-based join materializes
+    ~df(g)² candidate rows per shingle, so if the single hottest
+    shingle alone would emit more pairs than the linear pass has rows
+    (max_df² ≥ Σ df), the corpus is skew-dominated:
+
+    - max_df² <  Σ df → count-based exhaustive join (cheapest on
+      uniform corpora: no rank window, no frequency join);
+    - max_df² ≥ Σ df → AllPairs prefix filter, which keeps the
+      candidate count bounded because hot boilerplate shingles sort
+      out of every prefix.
+
+    Both strategies are lossless, so the output is identical either
+    way; only the physical plan changes. The persisted shingle frame
+    and the df table are reused by whichever path runs.
+    """
+    sh = _shingle_frame(df, id_col, text_col, shingle_size)
+    exploded = sh.select(F.col(id_col), "n_sh", F.explode("sh").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    stats = freq.agg(
+        F.max("df_g").alias("max_df"), F.sum("df_g").alias("total")
+    ).first()
+    max_df, total = (stats["max_df"] or 0), (stats["total"] or 0)
+    if ngram_join_strategy(max_df, total) == "prefix":
+        return ngram_jaccard_pairs_prefix(
+            df, id_col, text_col, shingle_size, threshold, _sh=sh, _freq=freq
+        )
+    return ngram_jaccard_pairs(df, id_col, text_col, shingle_size, threshold, _sh=sh)
+
+
+def ngram_join_strategy(max_df: int, total_shingle_rows: int) -> str:
+    """The auto-selection rule, exposed for tests: 'prefix' when the
+    hottest shingle alone would emit at least as many candidate pairs
+    as the linear pass has rows, else 'count'."""
+    return "prefix" if max_df * max_df >= total_shingle_rows else "count"
 
 
 # ---------------------------------------------------------------------------

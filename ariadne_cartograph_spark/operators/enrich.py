@@ -61,6 +61,15 @@ GMAPS_GREENERY_PROVIDER = Provider(
 )
 
 
+def _box_sums(plane: np.ndarray, x0, x1, y0, y1) -> np.ndarray:
+    """Sum of ``plane`` over each [y0:y1, x0:x1] box via one integral
+    image (exact int64 math — bitwise-identical to crop.sum()): the
+    per-sample cost is 4 lookups instead of a 21×21 crop reduction."""
+    ii = np.zeros((plane.shape[0] + 1, plane.shape[1] + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(plane, axis=0, dtype=np.int64), axis=1, out=ii[1:, 1:])
+    return ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+
+
 def _sample_values(
     pixels: pd.DataFrame, tile: pd.DataFrame, value_kind: str, tile_size: int, mode: str
 ) -> pd.DataFrame:
@@ -78,26 +87,34 @@ def _sample_values(
             # reference strava_value: img.getpixel((x,y))/255
             # (update_ways_metadata.py:64-65)
             vals = arr[py, px].astype(np.float64) / 255.0
-        elif value_kind == "greenery_abs":
+        elif value_kind in ("greenery_abs", "greenery_rel"):
             # reference greenery_value_absolute (update_ways_metadata.py:109-118):
-            # 21x21 crop clipped to tile edges; fraction of green-dominant px
-            vals = np.empty(len(pixels))
-            for i, (cx, cy) in enumerate(zip(px, py)):
-                x0, y0 = max(0, cx - 10), max(0, cy - 10)
-                x1, y1 = min(tile_size, cx + 10), min(tile_size, cy + 10)
-                crop = arr[y0:y1, x0:x1].astype(np.int64)
-                r, g, b = crop[..., 0], crop[..., 1], crop[..., 2]
-                vals[i] = np.clip(np.minimum(g - r, g - b), 0, 1).mean()
-        elif value_kind == "greenery_rel":
-            # reference greenery_value_relative — defined but UNWIRED
-            # (update_ways_metadata.py:102-107, PyUnusedLocal); mirrored
-            # with mean-pool as the 1px resize.
-            vals = np.empty(len(pixels))
-            for i, (cx, cy) in enumerate(zip(px, py)):
-                x0, y0 = max(0, cx - 10), max(0, cy - 10)
-                x1, y1 = min(tile_size, cx + 10), min(tile_size, cy + 10)
-                m = arr[y0:y1, x0:x1].mean(axis=(0, 1))
-                vals[i] = min(1.0, max(float(m[1]) - max(float(m[0]), float(m[2])), 0.0) / 200.0)
+            # 21x21 crop clipped to tile edges, reduced to a mean. A
+            # crop mean is a box sum / area, so the whole batch rides
+            # integral images (one cumsum per needed plane per tile)
+            # instead of a Python loop over samples — O(tile + samples)
+            # not O(samples × 441), exact int64 → same float64 results.
+            x0, y0 = np.maximum(0, px - 10), np.maximum(0, py - 10)
+            x1 = np.minimum(tile_size, px + 10)
+            y1 = np.minimum(tile_size, py + 10)
+            area = ((x1 - x0) * (y1 - y0)).astype(np.float64)
+            a64 = arr.astype(np.int64)
+            r, g, b = a64[..., 0], a64[..., 1], a64[..., 2]
+            if value_kind == "greenery_abs":
+                # fraction of green-dominant px: clip(min(g-r,g-b),0,1)
+                ind = np.clip(np.minimum(g - r, g - b), 0, 1)
+                vals = _box_sums(ind, x0, x1, y0, y1) / area
+            else:
+                # greenery_value_relative — defined but UNWIRED in the
+                # reference (update_ways_metadata.py:102-107,
+                # PyUnusedLocal); mirrored with mean-pool as the 1px
+                # resize: per-channel crop means via 3 integral images.
+                mr = _box_sums(r, x0, x1, y0, y1) / area
+                mg = _box_sums(g, x0, x1, y0, y1) / area
+                mb = _box_sums(b, x0, x1, y0, y1) / area
+                vals = np.minimum(
+                    1.0, np.maximum(mg - np.maximum(mr, mb), 0.0) / 200.0
+                )
         else:
             raise ValueError(f"unknown value_kind {value_kind}")
     out = pixels[["z", "x", "y", "px", "py"]].copy()

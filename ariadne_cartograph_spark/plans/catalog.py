@@ -77,7 +77,6 @@ WINDOW_ORDER: list[str] = [
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q10_returned_items",
-    "q14_promo_revenue",
     # flagship reference dataflow (E1: S1-S3/J2/P4-P7/A1-A3/U1-U2)
     "ways_enrichment_pipeline",
     # upsert sink + streaming parity (S4/J1/J5, S11/T1-T5)
@@ -95,7 +94,9 @@ WINDOW_ORDER: list[str] = [
     "text_token_stats",
     "text_quality_metrics",
     "text_fingerprint_exact_dedup",
+    "dedup_cluster_resolution",
     "ngram_jaccard_near_dup",
+    "ngram_jaccard_skewed_corpus",
     "minhash_lsh_near_dup",
     "simhash_near_dup",
     "text_lang_id",
@@ -122,7 +123,6 @@ WINDOW_ORDER: list[str] = [
     # relational operator evidence (J6 semi/anti/outer/range, subquery,
     # A5 grouping structures / approx / skew-salted, W5, P3/P14)
     "join_semi_orders_with_big_items",
-    "join_anti_customers_without_orders",
     "join_outer_customer_order_stats",
     "join_range_price_band",
     "subquery_above_avg_orders",

@@ -145,6 +145,8 @@ def run_catalog_parity(
 ) -> list[ParityReport]:
     from .catalog import REGISTRY, get_queries
 
+    from ..operators.dedup import release_caches
+
     get_queries()  # force module load
     reports = []
     con = duckdb_connection(sf_dir)
@@ -155,6 +157,9 @@ def run_catalog_parity(
             if entry.oracle is None:
                 continue
             reports.append(compare(name, entry.fn(spark, sf_dir), entry.oracle, sf_dir, con=con))
+            # near-dup builders persist shingle frames; release between
+            # queries so a 78-entry sweep doesn't accumulate caches
+            release_caches()
     finally:
         con.close()
     return reports

@@ -145,10 +145,142 @@ ORDER BY id_a, id_b
 """,
 )
 def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Direct count-based join: this corpus is measured-uniform (max
+    # shingle df ≈ 25), where the count plan is the cheapest — and
+    # keeping the r1 plan keeps the bench number comparable round over
+    # round. Unknown corpora should use ngram_jaccard_pairs_auto (the
+    # ngram_jaccard_skewed_corpus entry demonstrates it routing to the
+    # prefix-filter plan under boilerplate skew).
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_size=3, threshold=_JACCARD_THRESHOLD
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Skewed-corpus near-dup — the 100 TB stress shape. Every document gets
+# the same boilerplate footer appended (ToS / license banners in real
+# crawls), which makes the footer shingles' doc-frequency equal the
+# corpus size: the count-based self-join would blow up to Σ df² ≈
+# n_docs² candidate rows PER hot shingle, while the AllPairs prefix
+# filter sorts hot shingles to the end of every doc's ordering so they
+# never enter a prefix — candidates stay bounded by genuinely-rare
+# shingle collisions. ngram_jaccard_pairs_auto measures max df and
+# routes to the prefix plan on this corpus (pinned in
+# tests/test_dedup_similarity.py). Lossless → same oracle shape as
+# ngram_jaccard_near_dup, with the footer concatenated in SQL too.
+# --------------------------------------------------------------------------
+
+_BOILERPLATE = (
+    "all rights reserved terms of service apply to this document content"
+)
+
+
+@register(
+    "ngram_jaccard_skewed_corpus",
+    headline=True,
+    tags=["W6", "U4"],
+    oracle=rf"""
+WITH docs2 AS (
+  SELECT doc_id, text || ' {_BOILERPLATE}' AS text FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM docs2),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
+def ngram_jaccard_skewed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(_BOILERPLATE))
+    )
+    return D.ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", shingle_size=3, threshold=_JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# Near-dup CLUSTER RESOLUTION — pairs are not dedup decisions: the
+# similarity graph's connected components are the duplicate clusters,
+# and the pipeline keeps min-id per component (same deterministic-
+# representative convention as dedup_exact). Spark side is iterative
+# min-label propagation (operators/cluster.py); the oracle replays the
+# same reachability with a DuckDB recursive CTE. Members serialize as
+# a sorted comma-joined string so both engines hash identically.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_resolution",
+    tags=["W6", "U4"],
+    oracle=rf"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+SELECT comp AS keep_id,
+       count(*) AS n_members,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+FROM comps GROUP BY comp ORDER BY keep_id
+""",
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", shingle_size=3, threshold=_JACCARD_THRESHOLD
+    )
+    return (
+        dedup_clusters(pairs)
+        .select(
+            "keep_id",
+            "n_members",
+            F.array_join(
+                F.transform("members", lambda x: x.cast("string")), ","
+            ).alias("members"),
+        )
+        .orderBy("keep_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -550,3 +682,95 @@ def text_winnow_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(sh, lambda s: F.md5(s))),
     ).otherwise(F.md5(F.col("text")))
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Ranked retrieval (U5): BM25 top-k and sparse TF-IDF — the corpus-
+# scale "score documents against a query" primitive (decontamination
+# sweeps, quality-targeted sampling). Scores cast to float32 on both
+# sides so last-ulp libm/summation-order differences cannot flip the
+# hash; top-k ties broken by doc_id in both engines.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window", "stream")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+@register(
+    "text_bm25_topk",
+    headline=True,
+    tags=["U5", "W4"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+  WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+n_df AS (SELECT tok, count(DISTINCT doc_id) AS df_t FROM toks GROUP BY tok),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - n_df.df_t + 0.5) / (n_df.df_t + 0.5))
+         * (tf.tf * ({_BM25_K1} + 1))
+         / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+         AS term_score
+  FROM tf
+  JOIN n_df ON n_df.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.tok IN {_BM25_TERMS!r}),
+agg AS (
+  SELECT doc_id, CAST(sum(term_score) AS FLOAT) AS score
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM agg
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_K}
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, list(_BM25_TERMS), "doc_id", "text",
+        k=_BM25_K, k1=_BM25_K1, b=_BM25_B,
+    )
+
+
+@register(
+    "text_tfidf_probe_terms",
+    tags=["U5"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+  WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+n_df AS (SELECT tok, count(DISTINCT doc_id) AS df_t FROM toks GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT tf.doc_id AS doc_id,
+       tf.tok AS term,
+       CAST((CAST(tf.tf AS DOUBLE) / dl.dl) * ln(n.n_docs / n_df.df_t) AS FLOAT)
+         AS tf_idf
+FROM tf
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN n_df ON n_df.tok = tf.tok
+CROSS JOIN n
+WHERE tf.tok IN {_BM25_TERMS!r}
+ORDER BY tf.doc_id, term
+""",
+)
+def text_tfidf_probe_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import tfidf_vectors
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tfidf_vectors(docs, "doc_id", "text")
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .select("doc_id", "term", F.col("tf_idf").cast("float").alias("tf_idf"))
+        .orderBy("doc_id", "term")
+    )

@@ -1,6 +1,10 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Regression fence: per-query times are compared against the recorded
+round-1 numbers (BENCH_r01, also tabulated in BASELINE.md); any query
+>2x slower is reported in a "regressions" key and on stderr.
 """
 
 from __future__ import annotations
@@ -9,6 +13,27 @@ import json
 import os
 import sys
 import time
+
+# BENCH_r01.json at sf0.1 / local[32] — the regression baseline.
+# Queries added after r1 have no fence entry until their first recorded
+# round.
+BASELINE_QUERIES: dict[str, float] = {
+    "asof_purchase_after_signup": 0.335,
+    "events_tumbling_hourly": 0.386,
+    "minhash_lsh_near_dup": 2.455,
+    "ngram_jaccard_near_dup": 1.765,
+    "q10_returned_items": 0.994,
+    "q14_promo_revenue": 0.468,
+    "q1_pricing_summary": 0.394,
+    "q3_shipping_priority": 0.729,
+    "q5_region_revenue": 1.106,
+    "q6_forecast_revenue": 0.236,
+    "sessionize_bounds": 0.753,
+    "similarity_topk_cosine": 0.545,
+    "text_fingerprint_exact_dedup": 0.248,
+    "ways_enrichment_pipeline": 1.813,
+}
+REGRESSION_FACTOR = 2.0
 
 
 def main() -> int:
@@ -41,27 +66,43 @@ def main() -> int:
             except Exception:
                 pass
 
+    from ariadne_cartograph_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name, fn in sorted(headline.items()):
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        # Near-dup builders persist their shingle frames; release them
+        # between queries so a bench loop measures each query cold
+        # rather than accumulating cached partitions.
+        release_caches()
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    regressions = {
+        name: {"sec": t, "baseline_sec": BASELINE_QUERIES[name]}
+        for name, t in timings.items()
+        if name in BASELINE_QUERIES and t > REGRESSION_FACTOR * BASELINE_QUERIES[name]
+    }
+    for name, r in regressions.items():
+        print(
+            f"# REGRESSION {name}: {r['sec']}s vs baseline {r['baseline_sec']}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if regressions:
+        out["regressions"] = regressions
+    print(json.dumps(out))
     return 0
 
 

@@ -130,6 +130,34 @@ def test_prefix_filter_variant_matches_count_based(spark, exact_pairs):
     assert base == pref
 
 
+def test_ngram_auto_strategy_rule():
+    """Scale-free routing rule: prefix iff max_df^2 >= total rows."""
+    # uniform corpus (sf0.01 shape): max df 25, ~26k rows → count path
+    assert D.ngram_join_strategy(25, 26000) == "count"
+    # boilerplate corpus: hottest shingle in every doc → prefix path
+    assert D.ngram_join_strategy(500, 31000) == "prefix"
+    assert D.ngram_join_strategy(0, 0) == "prefix"  # degenerate: empty
+
+
+def test_ngram_auto_matches_both_variants_on_skewed_corpus(spark):
+    """Appending a shared boilerplate footer (hot shingles with df =
+    n_docs) must not change the auto path's OUTPUT — both variants are
+    lossless — and auto must route the skewed corpus to prefix."""
+    docs = load_table(spark, SF, "documents").withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit("all rights reserved terms apply"))
+    )
+    auto = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs_auto(docs, "doc_id", "text", 3, THRESH).collect()
+    }
+    count = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, THRESH).collect()
+    }
+    assert auto == count
+    D.release_caches()
+
+
 def test_ann_ivf_recall_vs_brute_force(spark):
     emb = load_table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4)
