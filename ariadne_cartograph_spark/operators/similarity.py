@@ -207,6 +207,22 @@ def ann_ivf_topk(
         .collect()
     )
     cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    return _ivf_search(corpus, queries, cents, id_col, vec_col, k, n_probe)
+
+
+def _ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """IVF search path shared by the sampled and k-means quantizers:
+    assign corpus rows to their argmax-cosine cell (pure column math
+    over literal centroids), explode each query's n_probe best cells,
+    equi-join on cell, exact cosine rerank."""
 
     def centroid_scores(vec: str) -> F.Column:
         return F.array(
@@ -255,6 +271,84 @@ def ann_ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    init: str = "hash",
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd) for the IVF coarse
+    quantizer. Deterministic: init takes the ``n_centroids`` rows with
+    smallest xxhash64(id) (``init="hash"``, reproducible spread) or
+    smallest id (``init="first"``); assignment ties resolve to the
+    first-max cell; iteration count is fixed.
+
+    Scale design: each Lloyd round is ONE corpus pass — assignment is
+    pure column math against literal broadcast centroids (no join), and
+    the update aggregates vec[i] per dimension as ``dim`` avg columns
+    (map-side combinable, k×dim result — a model, not data; no
+    posexplode shuffle of n×dim rows). Total cost: n_iter scans +
+    n_iter tiny collects.
+
+    Returns the trained centroids as a plain list (a broadcast-sized
+    model for :func:`ann_ivf_topk`'s search path).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    order = (
+        [F.xxhash64(F.col(id_col)), F.col(id_col)]
+        if init == "hash"
+        else [F.col(id_col)]
+    )
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.select(id_col, vec_col).orderBy(*order).limit(n_centroids).collect()
+    ]
+    for _ in range(n_iter):
+        scores = F.array(
+            *[cosine(vec_col, F.array(*[F.lit(x) for x in c])) for c in cents]
+        )
+        cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        upd = (
+            corpus.select(cell.alias("cell"), F.col(vec_col).alias("v"))
+            .groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new_cents = list(cents)  # empty cells keep their old centroid
+        for r in upd:
+            new_cents[r["cell"]] = [float(r[f"d{i}"]) for i in range(dim)]
+        cents = new_cents
+    return cents
+
+
+def ann_ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 5,
+) -> DataFrame:
+    """IVF search over a TRAINED coarse quantizer: Lloyd k-means
+    centroids instead of sampled rows. Cells adapt to the data
+    distribution, so cell populations even out and recall-per-probe
+    beats the sampled-centroid variant on clustered corpora.
+
+    No DuckDB oracle on purpose: k-means assignment is chaotically
+    sensitive (a last-ulp flip on one assignment cascades through every
+    later centroid), so cross-engine hash-equality is not a meaningful
+    contract; quality is pinned in tests/test_dedup_similarity.py as
+    recall against brute force instead. The sampled-centroid variant
+    (ann_ivf_topk, centroids="first") is the oracle-checked twin.
+    """
+    cents = kmeans_centroids(corpus, vec_col, n_centroids, n_iter, id_col=id_col)
+    return _ivf_search(corpus, queries, cents, id_col, vec_col, k, n_probe)
 
 
 def embedding_near_dup_pairs(

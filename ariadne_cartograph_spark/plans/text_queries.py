@@ -582,6 +582,29 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ann_ivf_trained", tags=["U4"])
+def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a TRAINED coarse quantizer (distributed Lloyd k-means,
+    operators/similarity.kmeans_centroids). Rows-only by design:
+    k-means is an iterative algorithm whose assignments are chaotically
+    sensitive to last-ulp float differences, so a cross-engine value
+    hash is not a meaningful contract — determinism within the engine
+    and recall vs brute force are pinned in
+    tests/test_dedup_similarity.py::test_ann_ivf_kmeans_recall_and_determinism
+    instead. The sampled-centroid twin (similarity_ann_ivf) carries the
+    full DuckDB oracle for the shared search path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return (
+        S.ann_ivf_topk_kmeans(
+            emb, queries, "vec_id", "embedding",
+            k=5, n_centroids=16, n_probe=6, n_iter=3,
+        )
+        .select("q_id", "vec_id", "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 @register(
     "embedding_near_dup",
     tags=["U4", "W6"],

@@ -172,3 +172,24 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF recall vs brute force too low: {recall}"
     for r in ivf.collect():
         assert r.q_id != r.vec_id
+
+
+def test_ann_ivf_kmeans_recall_and_determinism(spark):
+    """Trained (Lloyd) IVF: deterministic centroids across runs, and
+    recall vs brute force at least matching the recall floor of the
+    sampled-centroid variant on the same probe budget."""
+    emb = load_table(spark, SF, "embeddings")
+    cents1 = S.kmeans_centroids(emb, "embedding", n_centroids=8, n_iter=3)
+    cents2 = S.kmeans_centroids(emb, "embedding", n_centroids=8, n_iter=3)
+    assert cents1 == cents2  # fixed init + fixed iteration count
+    assert len(cents1) == 8
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    brute = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    ann = S.ann_ivf_topk_kmeans(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=8, n_probe=4, n_iter=3
+    )
+    b = {(r["q_vec_id"], r["vec_id"]) for r in brute.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5, f"trained-IVF recall vs brute force too low: {recall}"
