@@ -460,3 +460,61 @@ def trajectory_topk_similar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory_topk_similar(
         pts, "user_id", "lng", "lat", query_ids=[0, 1, 2, 3], k=5, cell_deg=10.0
     ).orderBy("q_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) locality key — the lakehouse Z-ORDER layout trick as
+# a plain column expression (sources/layout.morton_key): sorting on the
+# interleaved tile bits clusters 2-D-near rows into contiguous file
+# ranges so bbox scans skip row groups on parquet min/max stats. The
+# oracle recomputes the identical bit interleave in DuckDB.
+# --------------------------------------------------------------------------
+
+_MORTON_BITS = 12  # zoom-12 tile coords fit 12 bits
+
+
+def _morton_sql(x: str, y: str, bits: int) -> str:
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "geo_zorder_key",
+    tags=["P5", "P6", "S10"],
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, {_EV_LNG} AS lng, {_EV_LAT} AS lat FROM events),
+proj AS (
+  SELECT event_id,
+         256 * (0.5 + lng / 360) AS wx,
+         256 * (0.5 - ln((1 + least(greatest(sin(lat * pi() / 180), -0.9999), 0.9999))
+                       / (1 - least(greatest(sin(lat * pi() / 180), -0.9999), 0.9999)))
+                 / (4 * pi())) AS wy
+  FROM pts),
+tiles AS (
+  SELECT event_id,
+         CAST(floor(wx * 4096 / 256) AS BIGINT) AS tile_x,
+         CAST(floor(wy * 4096 / 256) AS BIGINT) AS tile_y
+  FROM proj)
+SELECT event_id, tile_x, tile_y,
+       CAST({_morton_sql("tile_x", "tile_y", _MORTON_BITS)} AS BIGINT) AS zkey
+FROM tiles
+ORDER BY event_id
+""",
+)
+def geo_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.layout import morton_key
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", F.expr(_EV_LNG).alias("lng"), F.expr(_EV_LAT).alias("lat")
+    )
+    tx, ty, _, _ = lnglat_to_tile_pixel("lng", "lat", zoom=12)
+    return (
+        pts.select("event_id", tx.alias("tile_x"), ty.alias("tile_y"))
+        .withColumn("zkey", morton_key("tile_x", "tile_y", bits=_MORTON_BITS))
+        .orderBy("event_id")
+    )

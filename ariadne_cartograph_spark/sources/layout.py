@@ -71,6 +71,72 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def morton_key(x_col: str | F.Column, y_col: str | F.Column, bits: int = 16) -> F.Column:
+    """Z-order (Morton) interleave of two non-negative integer columns
+    into one long: bit i of x lands at position 2i, bit i of y at
+    2i+1. Sorting on this key clusters 2-D-near rows near each other
+    in 1-D file order, so a bbox scan touches O(few) row-group ranges
+    instead of striding the whole file — the standard lakehouse
+    Z-ORDER layout trick, here as a plain column expression (pure bit
+    math, whole-stage codegen, no UDF).
+
+    ``bits`` per dimension (≤31; 16 covers tile coords to z16). Values
+    must fit in ``bits`` bits — caller clamps/validates upstream.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = x.cast("long")
+    y = y.cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1).cast("long")), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1).cast("long")), 2 * i + 1)
+        )
+    return out
+
+
+def write_zordered_by_tile(
+    df: DataFrame,
+    path: str,
+    lng_col: str,
+    lat_col: str,
+    partition_zoom: int = 6,
+    order_zoom: int = 14,
+    mode: str = "overwrite",
+) -> None:
+    """Tile-partitioned write with Z-order clustering INSIDE each
+    partition: directory pruning handles the coarse cut
+    (partition_zoom), and sortWithinPartitions on the Morton key of the
+    fine tile coordinates (order_zoom) gives row-group-level locality
+    for min/max skipping — parquet stores per-row-group (x, y) ranges
+    that a bbox predicate can skip without reading.
+
+    The sort leads with the partition columns and the ``zkey`` column
+    stays in the output: the dynamic-partition writer re-sorts each
+    task by the partition expressions (an UNSTABLE sort) unless the
+    incoming ordering already starts with them, and projecting the sort
+    key away would invalidate that ordering — either one silently
+    destroys the Morton order inside files (caught by
+    tests/test_layout_config.py). ``pt_z`` is a foldable constant, so
+    it must NOT be a partition column here: Catalyst eliminates
+    constant sort keys, the writer then sees its required
+    [pt_z, pt_x, pt_y] ordering unsatisfied and re-sorts. The zoom is
+    a dataset-level constant anyway — it stays as a data column
+    (read_tile_cells' pt_z predicate still works as a data filter)."""
+    keyed = with_tile_partition(df, lng_col, lat_col, partition_zoom)
+    fx, fy, _, _ = lnglat_to_tile_pixel(lng_col, lat_col, order_zoom)
+    (
+        keyed.withColumn("zkey", morton_key(fx, fy))
+        .repartition("pt_x", "pt_y")
+        .sortWithinPartitions("pt_x", "pt_y", "zkey")
+        .write.mode(mode)
+        .partitionBy("pt_x", "pt_y")
+        .parquet(path)
+    )
+
+
 def read_tile_cells(
     spark: SparkSession, path: str, cells: list[tuple[int, int, int]]
 ) -> DataFrame:

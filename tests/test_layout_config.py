@@ -87,3 +87,47 @@ def test_bucketed_join_eliminates_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_morton_key_interleaves_bits(spark):
+    from ariadne_cartograph_spark.sources.layout import morton_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (4095, 4095)], ["x", "y"]
+    ).withColumn("z", morton_key("x", "y", bits=12))
+    got = {(r.x, r.y): r.z for r in df.collect()}
+
+    def ref(x, y):
+        z = 0
+        for i in range(12):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == ref(x, y), (x, y, z, ref(x, y))
+    # locality sanity: neighbors in 2-D stay within a small 1-D range
+    assert abs(ref(3, 5) - ref(4, 5)) < 64
+
+
+def test_zordered_write_sorted_within_partition(spark, tmp_path):
+    from ariadne_cartograph_spark.sources.layout import morton_key, write_zordered_by_tile
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        ((F.col("id") % 360) - 180.0 + 0.5).alias("lng"),
+        ((F.col("id") % 120) - 60.0 + 0.5).alias("lat"),
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered_by_tile(df, path, "lng", "lat", partition_zoom=2, order_zoom=10)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    # rows inside each parquet file must be in Morton order (that IS the
+    # row-group-skipping property the writer promises); zkey is stored
+    keyed = back.withColumn("fname", F.input_file_name()).withColumn(
+        "mono", F.monotonically_increasing_id()
+    )
+    pdf = keyed.select("fname", "mono", "zkey").toPandas()
+    assert len(pdf["fname"].unique()) > 1
+    for _, g in pdf.sort_values("mono").groupby("fname"):
+        zs = g["zkey"].tolist()
+        assert zs == sorted(zs), "file not in Morton order"
