@@ -1342,3 +1342,45 @@ def agg_grouping_structures(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return rollup.unionByName(cube).unionByName(gsets).orderBy("src", "prio", "status")
+
+
+@register(
+    "agg_approx_percentile",
+    tags=["A5"],
+    oracle="""
+SELECT l_returnflag,
+       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 2) AS exact_p50,
+       round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 2) AS exact_p95,
+       TRUE AS approx_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) per group — the
+    at-scale substitute for exact quantiles over a shuffle-heavy sort.
+    Same bounds-check contract as agg_approx_distinct: Spark emits the
+    EXACT interpolated quantiles (median/p95 via percentile()) plus a
+    boolean asserting the sketch landed within ±1% relative error of
+    each; the oracle computes the exact quantiles (quantile_cont, the
+    same interpolating definition) and literal TRUE. An out-of-bounds
+    sketch flips the boolean and fails the value hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact95 = F.expr("percentile(l_extendedprice, 0.95)")
+    ap50 = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    ap95 = F.expr("approx_percentile(l_extendedprice, 0.95, 10000)")
+    ok = (
+        (F.abs(ap50 / exact50 - F.lit(1.0)) <= F.lit(0.01))
+        & (F.abs(ap95 / exact95 - F.lit(1.0)) <= F.lit(0.01))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(exact50, 2).alias("exact_p50"),
+            F.round(exact95, 2).alias("exact_p95"),
+            ok.alias("approx_within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )

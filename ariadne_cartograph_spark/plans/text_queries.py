@@ -797,3 +797,124 @@ def text_tfidf_probe_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", F.col("tf_idf").cast("float").alias("tf_idf"))
         .orderBy("doc_id", "term")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation (U5 + W6 composition) — the dataflow an
+# LLM-training pipeline actually runs: exact-dedup the corpus, apply
+# quality gates (token-count band + stopword-ratio floor), report
+# per-source funnel counts. Every stage is an already-oracled operator;
+# this entry proves they COMPOSE into one lazy plan (one shuffle per
+# stage key, no Python).
+# --------------------------------------------------------------------------
+
+_CURATE_MIN_TOKENS, _CURATE_MAX_TOKENS = 20, 90
+_CURATE_MIN_STOPWORD = 0.02
+
+
+@register(
+    "corpus_curation_funnel",
+    tags=["U5", "W6"],
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, text, md5(text) AS fingerprint FROM documents),
+keep AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint),
+dedup AS (
+  SELECT f.doc_id, f.source, f.text
+  FROM fp f JOIN keep k ON f.fingerprint = k.fingerprint AND f.doc_id = k.keep_id),
+scored AS (
+  SELECT doc_id, source,
+         len(string_split_regex(text, '\\s+')) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+           / len(string_split_regex(text, '\\s+')) AS sw_ratio
+  FROM dedup)
+SELECT source,
+       count(*) AS n_dedup,
+       CAST(sum(CASE WHEN n_tokens BETWEEN {_CURATE_MIN_TOKENS} AND {_CURATE_MAX_TOKENS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_token_band,
+       CAST(sum(CASE WHEN n_tokens BETWEEN {_CURATE_MIN_TOKENS} AND {_CURATE_MAX_TOKENS}
+                 AND sw_ratio >= {_CURATE_MIN_STOPWORD}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM scored GROUP BY source ORDER BY source
+""",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dedup = D.dedup_exact(docs, "text", "doc_id")
+    scored = dedup.select(
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_ratio("text").alias("sw_ratio"),
+    )
+    in_band = F.col("n_tokens").between(_CURATE_MIN_TOKENS, _CURATE_MAX_TOKENS)
+    kept = in_band & (F.col("sw_ratio") >= _CURATE_MIN_STOPWORD)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_dedup"),
+            F.sum(in_band.cast("long")).alias("n_token_band"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget sharding (U5/W3): assign documents, in deterministic
+# doc_id order, to training shards by cumulative token budget — the
+# shard-assignment step before packing/serialization. Pure window
+# cumsum, identical definition both engines; per-shard stats keep the
+# output small and hash-stable.
+# --------------------------------------------------------------------------
+
+_SHARD_TOKEN_BUDGET = 2000
+
+
+@register(
+    "text_token_shards",
+    tags=["U5", "W3"],
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM toks),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / {_SHARD_TOKEN_BUDGET}) AS BIGINT)
+           AS shard_id
+  FROM cum)
+SELECT shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM sharded GROUP BY shard_id ORDER BY shard_id
+""",
+)
+def text_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sharded = toks.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double")
+            / _SHARD_TOKEN_BUDGET
+        ),
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
