@@ -896,15 +896,20 @@ FROM sharded GROUP BY shard_id ORDER BY shard_id
 """,
 )
 def text_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    # The global-order cumsum uses the two-phase range-partitioned
+    # rewrite (operators/windows.scalable_cumsum), NOT a bare
+    # `ORDER BY doc_id` window — that would collapse the corpus into
+    # one partition, the canonical 100 TB scale-killer.
+    from ..operators.windows import scalable_cumsum
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    sharded = toks.withColumn(
+    sharded = scalable_cumsum(
+        toks, ["doc_id"], "n_tokens", out_col="cum_tokens"
+    ).withColumn(
         "shard_id",
         F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double")
+            (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
             / _SHARD_TOKEN_BUDGET
         ),
     )
