@@ -923,3 +923,122 @@ def text_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --------------------------------------------------------------------------
+# RAG-style text chunking (U5): overlapping fixed-size token windows —
+# the retrieval-corpus preparation step. Pure column math (sequence →
+# transform → slice → posexplode); chunk text round-trips through md5
+# so the oracle hash-checks CONTENT, not just counts, cross-engine.
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 40, 30  # 10-token overlap
+
+
+@register(
+    "text_chunking",
+    tags=["U5", "P4"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         CAST(i - 1 AS INT) AS chunk_idx,
+         list_slice(t, (i - 1) * {_CHUNK_STRIDE} + 1,
+                       (i - 1) * {_CHUNK_STRIDE} + {_CHUNK_SIZE}) AS c
+  FROM toks,
+       LATERAL unnest(range(1, greatest(CAST(ceil((len(t) - {_CHUNK_SIZE})
+                / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1, 1) + 1)) AS r(i))
+SELECT doc_id, chunk_idx,
+       CAST(len(c) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), r"\s+")
+    # number of chunks: every token covered, last chunk may be short;
+    # ceil((n - size)/stride) + 1, min 1 — identical formula both sides
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.size(t) - F.lit(_CHUNK_SIZE)).cast("double") / _CHUNK_STRIDE
+        ).cast("long")
+        + 1,
+        F.lit(1).cast("long"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(t, i * _CHUNK_STRIDE + 1, _CHUNK_SIZE),
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("c").cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join("c", " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization (U4): per-vector max-abs scaling to int8
+# — the storage/bandwidth shrink (4x vs float32) a 100 TB embedding
+# store applies before ANN. Column math only; the oracle recomputes
+# the identical quantizer (round matches: both engines round half away
+# from zero) and the output aggregates per-vector checksums so the
+# hash covers every quantized component.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_int8_quantize",
+    tags=["U4"],
+    oracle="""
+WITH scaled AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12)
+           AS max_abs
+  FROM embeddings),
+q AS (
+  SELECT e.vec_id,
+         CAST(s.max_abs AS FLOAT) AS scale,
+         list_transform(e.embedding::DOUBLE[],
+                        x -> CAST(round(x / s.max_abs * 127) AS BIGINT)) AS qv
+  FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id)
+SELECT vec_id, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max
+FROM q ORDER BY vec_id
+""",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.greatest(
+        F.array_max(F.transform(xd, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    with_scale = emb.select("vec_id", xd.alias("xd"), max_abs.alias("max_abs"))
+    qv = F.transform(
+        F.col("xd"), lambda x: F.round(x / F.col("max_abs") * 127).cast("long")
+    )
+    return (
+        with_scale.select(
+            "vec_id",
+            F.col("max_abs").cast("float").alias("scale"),
+            qv.alias("qv"),
+        )
+        .select(
+            "vec_id",
+            "scale",
+            F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+            F.array_min("qv").alias("q_min"),
+            F.array_max("qv").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
