@@ -83,10 +83,10 @@ WINDOW_ORDER: list[str] = [
     "merge_upsert_metadata",
     "events_stream_batch_parity",
     "events_stream_dedup_parity",
+    "events_stream_session_parity",
     # temporal batch surface (T2/W3/A5, J6 interval + as-of)
     "sessionize_bounds",
     "sessionize_user_stats",
-    "events_tumbling_hourly",
     "events_click_purchase_interval",
     "events_median_normalize",
     "asof_purchase_after_signup",

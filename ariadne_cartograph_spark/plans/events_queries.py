@@ -372,3 +372,48 @@ def events_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(SF.count(SF.lit(1)).alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_stream_session_parity",
+    tags=["T2", "T3", "T5", "S11"],
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts)
+                >= {_SESSION_GAP_SEC}::BIGINT * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM tagged)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {_SESSION_GAP_SEC} SECOND AS session_end,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def events_stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session_window aggregation (gap = the same
+    3600s the batch sessionize entries use) drained with availableNow
+    in complete mode, hash-checked against a batch DuckDB sessionize:
+    session_window's end is last_ts + gap, and its merge rule starts a
+    NEW session when the gap is >= the threshold — the exact inclusive
+    boundary operators/sessionize.py matches (the r1 boundary deviation,
+    fixed and pinned since). The r1 session FAIL story closes here with
+    the STREAMING operator itself under the driver's value hash."""
+    import uuid
+
+    from ..streaming.events import run_to_memory, session_agg
+
+    stream = _staged_stream(spark, sf_dir)
+    name = "stream_session_" + uuid.uuid4().hex[:8]
+    run_to_memory(session_agg(stream, gap="1 hour"), name, output_mode="complete")
+    return spark.table(name).orderBy("user_id", "session_start")

@@ -33,7 +33,7 @@ from .catalog import register
 @register(
     "q1_pricing_summary",
     headline=True,
-    tags=["A4", "A5"],
+    tags=["S10", "A4", "A5"],
     oracle="""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                    AS sum_qty,
