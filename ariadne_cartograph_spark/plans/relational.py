@@ -1349,8 +1349,11 @@ def agg_grouping_structures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["A5"],
     oracle="""
 SELECT l_returnflag,
-       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 2) AS exact_p50,
-       round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 2) AS exact_p95,
+       -- interpolated quantiles are division-derived: cast to FLOAT,
+       -- never round (half-cent midpoints round differently across
+       -- engines — caught at sf0.001)
+       CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS FLOAT) AS exact_p50,
+       CAST(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS FLOAT) AS exact_p95,
        TRUE AS approx_within_1pct
 FROM lineitem
 GROUP BY l_returnflag
@@ -1378,8 +1381,8 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(exact50, 2).alias("exact_p50"),
-            F.round(exact95, 2).alias("exact_p95"),
+            exact50.cast("float").alias("exact_p50"),
+            exact95.cast("float").alias("exact_p95"),
             ok.alias("approx_within_1pct"),
         )
         .orderBy("l_returnflag")
