@@ -1042,3 +1042,93 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus splitting (U5): train/val assignment must be a
+# pure function of the document id — never random() — so reruns,
+# backfills and cross-engine audits agree row-for-row. The bucket is
+# the first 8 hex digits of md5(doc_id), a scheme both engines compute
+# identically (same trick as the winnowing fingerprint). xxhash64 is
+# the cheaper in-engine alternative when cross-engine replay isn't
+# needed.
+# --------------------------------------------------------------------------
+
+_VAL_PCT = 5  # bucket < 5% of 2^32 → validation
+
+
+_SPLIT_MOD = 100
+
+
+@register(
+    "corpus_hash_split",
+    tags=["U5"],
+    oracle=rf"""
+WITH b AS (
+  SELECT source,
+         len(string_split_regex(text, '\s+')) AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_SPLIT_MOD} AS bucket
+  FROM documents)
+SELECT source,
+       CASE WHEN bucket < {_VAL_PCT} THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM b GROUP BY source, split ORDER BY source, split
+""",
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _SPLIT_MOD
+    )
+    split = F.when(bucket < _VAL_PCT, F.lit("val")).otherwise(F.lit("train"))
+    return (
+        docs.select(
+            "source", split.alias("split"), T.token_count("text").alias("n_tokens")
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("source", "split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling (U5/W1): k documents per source,
+# chosen by md5 order — a reproducible "take a representative sample
+# of every stratum" primitive (data audits, eval-set construction).
+# Per-group top-k rides the same partitioned row_number the other W1
+# entries use; the hash order makes the choice stable cross-engine.
+# --------------------------------------------------------------------------
+
+_STRATA_K = 3
+
+
+@register(
+    "corpus_stratified_sample",
+    tags=["U5", "W1"],
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_STRATA_K}
+ORDER BY source, rn
+""",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= _STRATA_K)
+        .orderBy("source", "rn")
+    )
