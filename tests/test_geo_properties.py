@@ -77,3 +77,46 @@ def test_world_x_monotone_in_lng(spark, lngs):
     wx, _ = project_4326_to_3857("lng", F.lit(0.0), TILE)
     got = [r.wx for r in df.select(F.col("lng"), wx.alias("wx")).orderBy("lng").collect()]
     assert got == sorted(got)
+
+
+# ---- Morton / Z-order key properties ---------------------------------------
+
+
+def _ref_morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_morton_key_matches_reference_bit_interleave(spark, pts):
+    from ariadne_cartograph_spark.sources.layout import morton_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", morton_key("x", "y", bits=16).alias("z")).collect()
+    for r in rows:
+        assert r.z == _ref_morton(r.x, r.y), (r.x, r.y)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=(1 << 16) - 2),
+    st.integers(min_value=0, max_value=(1 << 16) - 2),
+)
+def test_morton_key_is_injective_on_neighbors(spark, x, y):
+    """Distinct (x,y) → distinct keys on the 2x2 neighborhood (local
+    injectivity — the interleave loses nothing)."""
+    pts = [(x + dx, y + dy) for dx in (0, 1) for dy in (0, 1)]
+    keys = {_ref_morton(a, b) for a, b in pts}
+    assert len(keys) == 4
