@@ -361,6 +361,58 @@ def ngram_jaccard_pairs_auto(
     return ngram_jaccard_pairs(df, id_col, text_col, shingle_size, threshold, _sh=sh)
 
 
+def ngram_jaccard_join_two_tables(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Cross-TABLE exact n-gram Jaccard similarity join — the
+    decontamination shape: score every LEFT (corpus) document against
+    every RIGHT (benchmark/eval) document it shares a shingle with,
+    emit pairs with Jaccard >= threshold. Unlike the self-join family
+    above, candidates come from an equi-join of two different shingle
+    frames, so the cost is Σ_g df_L(g)·df_R(g) — proportional to the
+    benchmark's footprint in the corpus, not corpus². The right side
+    (benchmarks are small) enters the join as a broadcast when AQE
+    sizes permit; thresholds are intentionally low (0.1 default):
+    decontamination wants partial-overlap hits, not near-identity.
+    """
+    sh_l = _track_persist(
+        left.select(
+            F.col(left_id), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
+        ).withColumn("n_sh", F.size("sh"))
+    )
+    sh_r = _track_persist(
+        right.select(
+            F.col(right_id), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
+        ).withColumn("n_sh", F.size("sh"))
+    )
+    ex_l = sh_l.select(F.col(left_id), F.explode("sh").alias("g"))
+    ex_r = sh_r.select(F.col(right_id), F.explode("sh").alias("g"))
+    inter = (
+        ex_l.join(ex_r, "g")
+        .groupBy(left_id, right_id)
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sl = sh_l.select(F.col(left_id), F.col("n_sh").alias("n_l"))
+    sr = sh_r.select(F.col(right_id), F.col("n_sh").alias("n_r"))
+    return (
+        inter.join(sl, left_id)
+        .join(sr, right_id)
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_l") + F.col("n_r") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(left_id, right_id, "jaccard")
+    )
+
+
 def ngram_join_strategy(max_df: int, total_shingle_rows: int) -> str:
     """The auto-selection rule, exposed for tests: 'prefix' when the
     hottest shingle alone would emit at least as many candidate pairs

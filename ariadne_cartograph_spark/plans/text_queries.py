@@ -1132,3 +1132,66 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _STRATA_K)
         .orderBy("source", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Decontamination sweep (W6/U4 cross-table shape): score the corpus
+# against a "benchmark" table (here: every 25th document plays the
+# benchmark role) with the two-table exact n-gram Jaccard join — the
+# R x S similarity join whose cost is the benchmark's footprint in the
+# corpus, never corpus². Low threshold on purpose: decontamination
+# wants partial-overlap hits.
+# --------------------------------------------------------------------------
+
+_DECON_THRESHOLD = 0.02
+
+
+@register(
+    "decontamination_overlap",
+    tags=["W6", "U4"],
+    oracle=rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+sh_c AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM corpus),
+sh_b AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM bench),
+sz_c AS (SELECT doc_id, count(*) AS n_c FROM sh_c GROUP BY doc_id),
+sz_b AS (SELECT doc_id, count(*) AS n_b FROM sh_b GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS n_inter
+  FROM sh_c c JOIN sh_b b ON c.g = b.g
+  GROUP BY 1, 2)
+SELECT corpus_id, bench_id,
+       CAST(n_inter AS DOUBLE) / (sc.n_c + sb.n_b - n_inter) AS jaccard
+FROM inter
+JOIN sz_c sc ON sc.doc_id = corpus_id
+JOIN sz_b sb ON sb.doc_id = bench_id
+WHERE CAST(n_inter AS DOUBLE) / (sc.n_c + sb.n_b - n_inter) >= {_DECON_THRESHOLD}
+ORDER BY corpus_id, bench_id
+""",
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 25 != 0).select(
+        F.col("doc_id").alias("corpus_id"), "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return D.ngram_jaccard_join_two_tables(
+        corpus, bench, "corpus_id", "bench_id", "text",
+        shingle_size=3, threshold=_DECON_THRESHOLD,
+    ).orderBy("corpus_id", "bench_id")
