@@ -93,6 +93,8 @@ WINDOW_ORDER: list[str] = [
     # text analysis + dedup family (U5/W6/U4)
     "text_token_stats",
     "text_quality_metrics",
+    "text_bm25_topk",
+    "corpus_curation_funnel",
     "text_fingerprint_exact_dedup",
     "dedup_cluster_resolution",
     "ngram_jaccard_near_dup",
@@ -123,8 +125,6 @@ WINDOW_ORDER: list[str] = [
     # relational operator evidence (J6 semi/anti/outer/range, subquery,
     # A5 grouping structures / approx / skew-salted, W5, P3/P14)
     "join_semi_orders_with_big_items",
-    "join_outer_customer_order_stats",
-    "join_range_price_band",
     "subquery_above_avg_orders",
     "agg_grouping_structures",
     "agg_approx_distinct",
