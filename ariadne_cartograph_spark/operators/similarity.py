@@ -210,6 +210,18 @@ def ann_ivf_topk(
     return _ivf_search(corpus, queries, cents, id_col, vec_col, k, n_probe)
 
 
+def _centroid_score_array(vec: str | F.Column, cents: list[list[float]]) -> F.Column:
+    """array<double> of cosine(vec, centroid_i) over literal centroids —
+    pure column math, no join; the quantizer ships inside the plan."""
+    return F.array(*[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents])
+
+
+def _argmax_cell(scores: F.Column) -> F.Column:
+    """First-max cell index (ties → lowest cell, matching the DuckDB
+    oracles' ORDER BY s DESC, cell ASC convention)."""
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
 def _ivf_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -225,12 +237,9 @@ def _ivf_search(
     equi-join on cell, exact cosine rerank."""
 
     def centroid_scores(vec: str) -> F.Column:
-        return F.array(
-            *[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents]
-        )
+        return _centroid_score_array(vec, cents)
 
-    def argmax_cell(scores: F.Column) -> F.Column:
-        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    argmax_cell = _argmax_cell
 
     c_assigned = corpus.select(
         F.col(id_col).alias("c_id"),
@@ -395,4 +404,65 @@ def embedding_near_dup_pairs(
         cands.withColumn("cosine", cosine("vec_a", "vec_b").cast("float"))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    centroids: str = "hash",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public scheme, Abbas et
+    al. 2023): coarse-quantize the corpus into centroid cells, compare
+    pairs ONLY within a cell, and drop every member of a near-dup pair
+    except the smallest id.
+
+    Output: (cell, id, is_dropped) — one row per corpus vector.
+
+    Scale design (100 TB): candidate generation is cell-local, so the
+    corpus shuffles ONCE on the cell id and the pair join is
+    per-cell-quadratic instead of corpus-quadratic — with k cells of
+    ~n/k rows the comparison volume drops by k×, and cells are the
+    natural partition key (skewed/huge cells can be re-split by raising
+    n_centroids or salting the within-cell join). ``centroids="first"``
+    (smallest ids) keeps the quantizer reproducible inside a DuckDB
+    oracle; ``centroids="hash"`` (xxhash64 sample) is the scale default;
+    a trained quantizer (kmeans_centroids) slots in unchanged.
+    """
+    order = (
+        [F.xxhash64(F.col(id_col)), F.col(id_col)]
+        if centroids == "hash"
+        else [F.col(id_col)]
+    )
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col)).orderBy(*order).limit(n_centroids).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _argmax_cell(_centroid_score_array(vec_col, cents)).alias("cell"),
+    )
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # float32-cast cosine on both engines so the threshold comparison is
+    # representation-stable (same convention as embedding_near_dup).
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine("va", "vb").cast("float") >= threshold)
+        .select("cell", F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.select("cell", "id")
+        .join(dropped.withColumn("__d", F.lit(1)), ["cell", "id"], "left")
+        .select(
+            "cell",
+            "id",
+            F.coalesce(F.col("__d") == 1, F.lit(False)).alias("is_dropped"),
+        )
     )

@@ -55,6 +55,7 @@ def _load_all() -> None:
     from . import relational  # noqa: F401
     from . import events_queries  # noqa: F401
     from . import text_queries  # noqa: F401
+    from . import quality_queries  # noqa: F401
     from . import geo_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
 
@@ -93,6 +94,8 @@ WINDOW_ORDER: list[str] = [
     # text analysis + dedup family (U5/W6/U4)
     "text_token_stats",
     "text_quality_metrics",
+    "text_gopher_quality_filters",
+    "text_pii_redact",
     "text_bm25_topk",
     "corpus_curation_funnel",
     "text_fingerprint_exact_dedup",
@@ -108,6 +111,7 @@ WINDOW_ORDER: list[str] = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "embedding_near_dup",
+    "embedding_semantic_dedup",
     # multimodal columns (U3)
     "multimodal_image_stats",
     "multimodal_frame_means",
@@ -122,11 +126,10 @@ WINDOW_ORDER: list[str] = [
     "osm_poi_nearest_edge",
     "osm_turn_restrictions",
     "trajectory_jaccard_pairs",
-    # relational operator evidence (J6 semi/anti/outer/range, subquery,
-    # A5 grouping structures / approx / skew-salted, W5, P3/P14)
-    "join_semi_orders_with_big_items",
-    "subquery_above_avg_orders",
-    "agg_grouping_structures",
+    # relational operator evidence (A5 approx / skew-salted, W5, P3/P14;
+    # J6 semi/anti/outer/range + subquery + grouping-structure probes sit
+    # in the tail — their tags are already window-covered by q3/q5/q10,
+    # the as-of and interval joins, and the A5 aggregates)
     "agg_approx_distinct",
     "agg_salted_revenue",
     "scalar_json_extract",

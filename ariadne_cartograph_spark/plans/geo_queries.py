@@ -518,3 +518,46 @@ def geo_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zkey", morton_key("tile_x", "tile_y", bits=_MORTON_BITS))
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Routing: the pgRouting query surface the reference's `ways` import
+# exists to serve (/root/reference/README.md:41-54). Golden-fixture
+# oracle (same convention as the other osm_* entries); the BFS result
+# is independently verified against a pure-Python BFS in
+# tests/test_routing.py, and the haversine-weighted Bellman-Ford
+# variant against a Python Dijkstra there too.
+# --------------------------------------------------------------------------
+
+_ROUTE_ORACLE = """
+SELECT CAST(195 AS BIGINT) AS n_reached,
+       CAST(12 AS INT) AS max_hops,
+       CAST(1734 AS BIGINT) AS sum_hops,
+       CAST(2918399019593 AS BIGINT) AS id_hop_checksum
+"""
+
+
+@register("osm_route_bfs_reach", tags=["S8"], oracle=_ROUTE_ORACLE)
+def osm_route_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed shortest-path reach (pgr_dijkstra analog, unit
+    weights): BFS from the smallest vertex id of the fixture topology,
+    bounded at 12 relaxation rounds — summary census of the reached
+    set. Frontier relaxation via operators/routing.shortest_paths:
+    one vertex-keyed equi-join + min-merge per round, localCheckpointed
+    improvement frames (no lineage blowup)."""
+    from ..operators.routing import edge_adjacency, shortest_paths
+    from ..operators.topology import build_topology, routable_ways
+    from ..sources.osm import read_osm_elements, split_elements
+
+    t = split_elements(read_osm_elements(spark, _OSM_PATH))
+    edges = build_topology(t["nodes"], routable_ways(t["ways"]))["edges"]
+    src = edges.agg(
+        F.least(F.min("source"), F.min("target")).alias("v")
+    ).first()["v"]
+    reached = shortest_paths(edge_adjacency(edges), [int(src)], max_iter=12)
+    return reached.agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.max("hops").alias("max_hops"),
+        F.sum("hops").cast("bigint").alias("sum_hops"),
+        F.sum(F.col("node_id") * F.col("hops")).cast("bigint").alias("id_hop_checksum"),
+    )

@@ -1,0 +1,279 @@
+"""Corpus-quality / PII / semantic-dedup catalog entries — the
+pre-training curation rule family (north-star "text analysis" + W6
+dedup; public heuristics in the shape of C4/Gopher rule filters and
+SemDeDup, not any specific implementation).
+
+All text rules are pure column expressions (JVM-side, codegen'd — scan
+speed at 100 TB). Rule boundaries that land on rational fractions are
+compared in INTEGER math (e.g. ``20·dup ≤ total`` instead of
+``dup/total ≤ 0.05``) so the oracle comparison can never flip on a
+last-ulp double difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import similarity as S
+from ..sources.tables import load_table
+from .catalog import register
+
+_STOPLIST_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+@register(
+    "text_gopher_quality_filters",
+    tags=["U5", "W6"],
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         string_split_regex(text, '\s+') AS toks,
+         string_split_regex(lower(text), '\s+') AS toks_l,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         n_nospace,
+         CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 1, 0)),
+             i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(toks_l,
+             w -> list_contains({_STOPLIST_SQL}, w))) AS BIGINT) AS n_stop
+  FROM t),
+flags AS (
+  SELECT source,
+         (n_tok BETWEEN 20 AND 5000) AS pass_len,
+         (n_nospace >= 3 * n_tok AND n_nospace <= 5 * n_tok) AS pass_awl,
+         (20 * (n_grams - n_distinct) <= n_grams) AS pass_rep,
+         (n_stop >= 2) AS pass_stop
+  FROM per_doc)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (pass_len) AS n_pass_len,
+       count(*) FILTER (pass_awl) AS n_pass_awl,
+       count(*) FILTER (pass_rep) AS n_pass_rep,
+       count(*) FILTER (pass_stop) AS n_pass_stop,
+       count(*) FILTER (pass_len AND pass_awl AND pass_rep AND pass_stop) AS n_pass_all
+FROM flags
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-shape rule filters, aggregated per source: token-count
+    band, mean-word-length band, duplicate-2-gram fraction, stopword
+    presence. One narrow scan + one partial-aggregated groupBy — the
+    whole rule battery runs map-side at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tok = F.size(toks).cast("long")
+    n_nospace = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+    n_grams = F.greatest(F.size(toks) - 1, F.lit(0)).cast("long")
+    n_distinct = F.size(T.word_shingles("text", n=2)).cast("long")
+    sw = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    n_stop = F.size(
+        F.filter(T.tokens(F.lower(F.col("text"))), lambda w: F.array_contains(sw, w))
+    ).cast("long")
+
+    per_doc = docs.select(
+        "source",
+        n_tok.alias("n_tok"),
+        n_nospace.alias("n_nospace"),
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        n_stop.alias("n_stop"),
+    ).select(
+        "source",
+        (F.col("n_tok").between(20, 5000)).alias("pass_len"),
+        (
+            (F.col("n_nospace") >= 3 * F.col("n_tok"))
+            & (F.col("n_nospace") <= 5 * F.col("n_tok"))
+        ).alias("pass_awl"),
+        (20 * (F.col("n_grams") - F.col("n_distinct")) <= F.col("n_grams")).alias(
+            "pass_rep"
+        ),
+        (F.col("n_stop") >= 2).alias("pass_stop"),
+    )
+
+    def npass(cond: F.Column, name: str) -> F.Column:
+        return F.count(F.when(cond, F.lit(1))).alias(name)
+
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            npass(F.col("pass_len"), "n_pass_len"),
+            npass(F.col("pass_awl"), "n_pass_awl"),
+            npass(F.col("pass_rep"), "n_pass_rep"),
+            npass(F.col("pass_stop"), "n_pass_stop"),
+            npass(
+                F.col("pass_len")
+                & F.col("pass_awl")
+                & F.col("pass_rep")
+                & F.col("pass_stop"),
+                "n_pass_all",
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+\d[\d-]{6,}\d"
+
+
+@register(
+    "text_pii_redact",
+    tags=["U5", "P14"],
+    oracle=rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.' AS t
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+ORDER BY doc_id
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails / phone numbers, with
+    deterministic synthetic PII injected per doc_id (the test corpus
+    contains none) so the redaction path is actually exercised. The
+    regexes stay in the Java/RE2 common subset so the DuckDB oracle
+    md5-matches the REDACTED TEXT itself, not just the counts. Pure
+    regexp_replace column expressions — scan-speed at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now."),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count(aug, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_semantic_dedup",
+    tags=["U4", "W6"],
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM e ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+             DESC, cent.cell ASC) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.cell, b.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS FLOAT) >= 0.35)
+SELECT a.cell,
+       count(*) AS n_vecs,
+       count(d.vec_id) AS n_dropped,
+       count(*) - count(d.vec_id) AS n_kept
+FROM assign a LEFT JOIN dropped d ON a.cell = d.cell AND a.vec_id = d.vec_id
+GROUP BY a.cell
+ORDER BY a.cell
+""",
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup summary: coarse-quantizer cells,
+    within-cell cosine >= 0.35 drops all but the min id. The
+    driver-checked form uses centroids="first" so the DuckDB oracle can
+    rebuild the identical quantizer (same convention as
+    similarity_ann_ivf); centroids="hash" is the scale default. The
+    within-cell pair join is the whole point at 100 TB: comparison
+    volume is per-cell-quadratic, corpus shuffles once on cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flags = S.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, n_centroids=16, centroids="first"
+    )
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.when(F.col("is_dropped"), F.lit(1))).alias("n_dropped"),
+            (
+                F.count(F.lit(1)) - F.count(F.when(F.col("is_dropped"), F.lit(1)))
+            ).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+@register(
+    "text_repetition_profile",
+    tags=["U5"],
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+  FROM documents WHERE doc_id < 100),
+g AS (
+  SELECT doc_id,
+         CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 1, 0)),
+             i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS n_distinct
+  FROM t)
+SELECT doc_id, n_grams, n_distinct,
+       CAST(CASE WHEN n_grams > 0
+                 THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams
+                 ELSE 0.0 END AS FLOAT) AS dup_frac
+FROM g
+ORDER BY doc_id
+""",
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate word-2-gram fraction — the repetition
+    signal behind the gopher pass_rep flag, exposed per doc. Array-native
+    shingling (no explode): zero shuffle before the final sort."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = T.tokens("text")
+    n_grams = F.greatest(F.size(toks) - 1, F.lit(0)).cast("long")
+    n_distinct = F.size(T.word_shingles("text", n=2)).cast("long")
+    dup_frac = (
+        F.when(
+            F.col("n_grams") > 0,
+            (F.col("n_grams") - F.col("n_distinct")).cast("double")
+            / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("float")
+    )
+    return (
+        docs.select(
+            "doc_id", n_grams.alias("n_grams"), n_distinct.alias("n_distinct")
+        )
+        .withColumn("dup_frac", dup_frac)
+        .orderBy("doc_id")
+    )

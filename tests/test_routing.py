@@ -1,0 +1,123 @@
+"""Distributed shortest-path (operators/routing) vs pure-Python
+oracles on the OSM fixture topology — BFS hop counts exactly, weighted
+Bellman-Ford vs Dijkstra within float tolerance."""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections import defaultdict, deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_cartograph_spark.operators.routing import edge_adjacency, shortest_paths
+from ariadne_cartograph_spark.operators.topology import build_topology, routable_ways
+from ariadne_cartograph_spark.sources.osm import read_osm_elements, split_elements
+
+OSM_PATH = "/root/reference/osm/example.osm"
+
+
+@pytest.fixture(scope="module")
+def topo_edges(spark):
+    t = split_elements(read_osm_elements(spark, OSM_PATH))
+    return (
+        build_topology(t["nodes"], routable_ways(t["ways"]))["edges"]
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def edge_list(topo_edges):
+    return [
+        (r.source, r.target, [(p.lng, p.lat) for p in r.geom])
+        for r in topo_edges.select("source", "target", "geom").collect()
+    ]
+
+
+def _haversine_m(a, b):
+    # exact float-op mirror of functions.geo.haversine_m (delta-scaled
+    # radians), so path sums agree to float noise, not formula drift
+    (lng1, lat1), (lng2, lat2) = a, b
+    rad = math.pi / 180.0
+    dlat = (lat2 - lat1) * rad
+    dlng = (lng2 - lng1) * rad
+    h = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(lat1 * rad) * math.cos(lat2 * rad) * math.sin(dlng / 2) ** 2
+    )
+    return 2.0 * 6371008.8 * math.asin(math.sqrt(h))  # EARTH_RADIUS_M
+
+
+def test_bfs_hops_match_python(spark, topo_edges, edge_list):
+    src = min(min(a, b) for a, b, _ in edge_list)
+    g = defaultdict(list)
+    for a, b, _ in edge_list:
+        g[a].append(b)
+        g[b].append(a)
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        for v in g[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    bounded = {k: v for k, v in dist.items() if v <= 12}
+
+    got = {
+        r.node_id: r.hops
+        for r in shortest_paths(edge_adjacency(topo_edges), [src], max_iter=12).collect()
+    }
+    assert got == bounded
+    # the golden literals pinned in the osm_route_bfs_reach oracle
+    assert len(bounded) == 195
+    assert max(bounded.values()) == 12
+    assert sum(bounded.values()) == 1734
+    assert sum(k * v for k, v in bounded.items()) == 2918399019593
+
+
+def test_weighted_matches_python_dijkstra(spark, topo_edges, edge_list):
+    from ariadne_cartograph_spark.functions.geo import haversine_m
+
+    src = min(min(a, b) for a, b, _ in edge_list)
+    g = defaultdict(list)
+    for a, b, geom in edge_list:
+        w = sum(_haversine_m(geom[i], geom[i + 1]) for i in range(len(geom) - 1))
+        g[a].append((b, w))
+        g[b].append((a, w))
+    dist = {src: 0.0}
+    pq = [(0.0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, math.inf):
+            continue
+        for v, w in g[u]:
+            nd = d + w
+            if nd < dist.get(v, math.inf) - 1e-9:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+
+    # edge length = polyline haversine length, column-math twin of the
+    # python weights above
+    length = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.size("geom") - 1),
+            lambda i: haversine_m(
+                F.element_at("geom", i)["lng"],
+                F.element_at("geom", i)["lat"],
+                F.element_at("geom", i + 1)["lng"],
+                F.element_at("geom", i + 1)["lat"],
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adj = edge_adjacency(topo_edges, weight=length)
+    got = {
+        r.node_id: r.dist
+        for r in shortest_paths(adj, [src], max_iter=60).collect()
+    }
+    assert set(got) == set(dist)
+    for k, v in dist.items():
+        assert got[k] == pytest.approx(v, abs=1e-4), k
