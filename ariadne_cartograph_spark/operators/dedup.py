@@ -349,7 +349,9 @@ def ngram_jaccard_pairs_auto(
     """
     sh = _shingle_frame(df, id_col, text_col, shingle_size)
     exploded = sh.select(F.col(id_col), "n_sh", F.explode("sh").alias("g"))
-    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    # persisted: the df table feeds BOTH the stats action below and the
+    # prefix path's rank join — without it the explode+groupBy runs twice
+    freq = _track_persist(exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df_g")))
     stats = freq.agg(
         F.max("df_g").alias("max_df"), F.sum("df_g").alias("total")
     ).first()
