@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.time import micros
+
 
 def sessionize(
     df: DataFrame,
@@ -33,7 +35,7 @@ def sessionize(
     w = W.partitionBy(key).orderBy(*order)
     # Exact BIGINT micros arithmetic — seconds-as-double casts round
     # differently across engines and poison oracle parity.
-    gap = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w)
+    gap = micros(ts) - F.lag(micros(ts)).over(w)
     is_new = F.when(gap.isNull() | (gap >= F.lit(gap_seconds).cast("long") * 1000000), 1).otherwise(0)
     run = W.partitionBy(key).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
     return df.withColumn("__new", is_new).withColumn(
@@ -49,7 +51,7 @@ def session_bounds(
     return s.groupBy(key, "session_seq").agg(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
-        ((F.max(F.unix_micros(F.col(ts))) - F.min(F.unix_micros(F.col(ts)))) / F.lit(1000000.0))
+        ((F.max(micros(ts)) - F.min(micros(ts))) / F.lit(1000000.0))
         .alias("duration_sec"),
         F.count(F.lit(1)).alias("n_events"),
     )

@@ -77,10 +77,14 @@ def ann_lsh_topk(
     candidate set. Recall grows with n_tables; cost is the bucket-join
     fan-in instead of |corpus| × |queries|.
     """
+    # Bucket frames carry ONLY (id, tbl, bucket) — the n_tables-way
+    # posexplode and the bucket equi-join must never duplicate embedding
+    # arrays across the exchange (at 100 TB that is a wide shuffle of
+    # n_tables copies of every vector). Vectors are re-fetched by id
+    # AFTER the candidate pairs are deduped.
     def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
             F.posexplode(
                 F.array(
                     *[
@@ -91,25 +95,45 @@ def ann_lsh_topk(
             ).alias(f"{prefix}_tbl", f"{prefix}_bucket"),
         )
 
-    c = with_buckets(corpus, "c")
-    q = with_buckets(queries, "q")
-    cands = (
-        c.join(
-            q,
+    pair_ids = (
+        with_buckets(corpus, "c")
+        .join(
+            with_buckets(queries, "q"),
             (F.col("c_tbl") == F.col("q_tbl")) & (F.col("c_bucket") == F.col("q_bucket")),
         )
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", "q_vec", "c_vec")
+        .select("q_id", "c_id")
         .distinct()
     )
-    scored = cands.select(
-        F.col("q_id"),
-        F.col("c_id").alias(id_col),
-        cosine("c_vec", "q_vec").cast("float").alias("cosine"),
-    )
+    scored = _rerank_pairs(pair_ids, corpus, queries, id_col, vec_col)
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
+    )
+
+
+def _rerank_pairs(
+    pair_ids: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Join vectors back onto deduped (q_id, c_id) pairs and score.
+
+    The query side is typically a small fixed set → broadcast; the
+    corpus-side fetch is an id-keyed equi-join carrying one copy of each
+    candidate vector (AQE picks the strategy at runtime)."""
+    q_vecs = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c_vecs = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    return (
+        pair_ids.join(F.broadcast(q_vecs), "q_id")
+        .join(c_vecs, "c_id")
+        .select(
+            F.col("q_id"),
+            F.col("c_id").alias(id_col),
+            cosine("c_vec", "q_vec").cast("float").alias("cosine"),
+        )
     )
 
 
@@ -138,31 +162,27 @@ def ann_lsh_topk_literal(
         rademacher_planes(n_planes, dim, seed=seed + 1000 * t) for t in range(n_tables)
     ]
 
+    # Same id-only bucket-join discipline as ann_lsh_topk: no vectors on
+    # the exchange, re-fetch by id after the pair dedup.
     def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
             F.posexplode(
                 F.array(*[literal_plane_sign_bits(vec_col, planes) for planes in tables])
             ).alias(f"{prefix}_tbl", f"{prefix}_bucket"),
         )
 
-    c = with_buckets(corpus, "c")
-    q = with_buckets(queries, "q")
-    cands = (
-        c.join(
-            q,
+    pair_ids = (
+        with_buckets(corpus, "c")
+        .join(
+            with_buckets(queries, "q"),
             (F.col("c_tbl") == F.col("q_tbl")) & (F.col("c_bucket") == F.col("q_bucket")),
         )
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", "q_vec", "c_vec")
+        .select("q_id", "c_id")
         .distinct()
     )
-    scored = cands.select(
-        F.col("q_id"),
-        F.col("c_id").alias(id_col),
-        cosine("c_vec", "q_vec").cast("float").alias("cosine"),
-    )
+    scored = _rerank_pairs(pair_ids, corpus, queries, id_col, vec_col)
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
@@ -371,9 +391,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucketed candidate generation +
     exact cosine filter (id_a < id_b)."""
+    # Id-only buckets on the self-join exchange (no vector duplication);
+    # vectors are joined back onto the deduped pairs for the exact check.
     buckets = df.select(
         F.col(id_col),
-        F.col(vec_col),
         F.posexplode(
             F.array(
                 *[
@@ -385,7 +406,7 @@ def embedding_near_dup_pairs(
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    cands = (
+    pair_ids = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -395,13 +416,18 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("vec_a"),
-            F.col(f"b.{vec_col}").alias("vec_b"),
         )
         .distinct()
     )
+    vecs = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
     return (
-        cands.withColumn("cosine", cosine("vec_a", "vec_b").cast("float"))
+        pair_ids.join(vecs, pair_ids["id_a"] == vecs["__vid"])
+        .withColumnRenamed("__v", "vec_a")
+        .drop("__vid")
+        .join(vecs, pair_ids["id_b"] == vecs["__vid"])
+        .withColumnRenamed("__v", "vec_b")
+        .drop("__vid")
+        .withColumn("cosine", cosine("vec_a", "vec_b").cast("float"))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.time import micros
 from ..operators.asof import asof_join
 from ..operators.sessionize import session_bounds, sessionize
 from ..sources.tables import load_table
@@ -55,7 +56,7 @@ def asof_purchase_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.round("value", 2).alias("purchase_value"),
             F.col("ts_r").alias("signup_ts"),
-            (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("micros_since_signup"),
+            (micros("ts") - micros("ts_r")).alias("micros_since_signup"),
         )
         .orderBy("event_id")
     )

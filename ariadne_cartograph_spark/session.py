@@ -25,6 +25,10 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamp[us] parquet with isAdjustedToUTC=false would otherwise
+    # infer as TIMESTAMP_NTZ, which unix_micros()/watermarks reject.
+    # Session tz is UTC, so reading it as TIMESTAMP preserves values.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -32,13 +36,23 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+_WARNED_CONFS: set[str] = set()
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an externally built session."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # non-runtime-settable in this build; defaults are close enough
+        except Exception as exc:
+            # A conf that can't be applied (e.g. non-runtime-settable in a
+            # foreign session) can silently skew oracle parity — warn once
+            # per conf so the drift is visible, then continue.
+            if k not in _WARNED_CONFS:
+                _WARNED_CONFS.add(k)
+                import warnings
+
+                warnings.warn(f"could not apply runtime conf {k}={v}: {exc}")
     return spark
 
 

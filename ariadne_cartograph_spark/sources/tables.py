@@ -51,6 +51,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a lazy DataFrame with native types."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Parquet written as timestamp[us] without UTC adjustment infers as
+    # TIMESTAMP_NTZ under Spark 4; normalize to session-tz TIMESTAMP (the
+    # session is pinned UTC, so values are preserved and `unix_micros` /
+    # window arithmetic downstream stay valid). Applies to every ts
+    # column, not a fixed list — the writer's schema has drifted between
+    # rounds and the scan surface is the one place to absorb that.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     for c in _NANO_TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -69,10 +69,21 @@ def main() -> int:
     from ariadne_cartograph_spark.operators.dedup import release_caches
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(headline.items()):
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        # A single broken query must not take the whole bench down — a
+        # harness that can't produce numbers under partial failure is
+        # itself a correctness bug (r3 lost all 15 healthy timings to
+        # one analysis exception).
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+            release_caches()
+            continue
         timings[name] = round(time.time() - t0, 3)
         # Near-dup builders persist their shingle frames; release them
         # between queries so a bench loop measures each query cold
@@ -102,8 +113,11 @@ def main() -> int:
     }
     if regressions:
         out["regressions"] = regressions
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
-    return 0
+    # Non-zero rc only when nothing could be measured at all.
+    return 0 if timings else 1
 
 
 if __name__ == "__main__":
