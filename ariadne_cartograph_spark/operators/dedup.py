@@ -33,7 +33,17 @@ _LIVE_CACHES: list[DataFrame] = []
 
 
 def _track_persist(df: DataFrame) -> DataFrame:
-    cached = df.persist()
+    import os
+
+    from pyspark import StorageLevel
+
+    # Shingle frames are hot but small relative to executor memory;
+    # deserialized memory-only avoids paying disk-spill serialization
+    # for frames cheap to recompute. Overridable for profiling.
+    level = os.environ.get("SPARK_GRAFT_PERSIST_LEVEL", "MEMORY_ONLY")
+    if level == "NONE":
+        return df
+    cached = df.persist(getattr(StorageLevel, level))
     _LIVE_CACHES.append(cached)
     return cached
 

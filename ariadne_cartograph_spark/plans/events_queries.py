@@ -377,6 +377,7 @@ def events_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_stream_session_parity",
+    headline=True,
     tags=["T2", "T3", "T5", "S11"],
     oracle=f"""
 WITH tagged AS (
