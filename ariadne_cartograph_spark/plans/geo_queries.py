@@ -380,6 +380,41 @@ ORDER BY relation_id
 """
 
 
+_OSM_ROUTE_MEMBERS_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(3319294 AS BIGINT), 'route',        'bicycle', '66',  CAST(2807 AS BIGINT), CAST(947131879293 AS BIGINT)),
+  (CAST(6180566 AS BIGINT), 'route',        'bus',     '267', CAST(305 AS BIGINT),  CAST(149624336191 AS BIGINT)),
+  (CAST(6181176 AS BIGINT), 'route',        'bus',     '267', CAST(290 AS BIGINT),  CAST(113917311636 AS BIGINT)),
+  (CAST(6181177 AS BIGINT), 'route_master', 'bus',     CAST(NULL AS VARCHAR), CAST(2 AS BIGINT), CAST(12361742 AS BIGINT)),
+  (CAST(6192320 AS BIGINT), 'route',        'bus',     '10',  CAST(83 AS BIGINT),   CAST(30366302899 AS BIGINT)),
+  (CAST(6192321 AS BIGINT), 'route',        'bus',     '10',  CAST(88 AS BIGINT),   CAST(33307196159 AS BIGINT)),
+  (CAST(6192322 AS BIGINT), 'route_master', 'bus',     '10',  CAST(2 AS BIGINT),    CAST(12384641 AS BIGINT))
+) t(relation_id, relation_type, route_kind, route_ref, n_members, sum_member_refs)
+ORDER BY relation_id
+"""
+
+
+@register("osm_route_members", tags=["S6", "P12"], oracle=_OSM_ROUTE_MEMBERS_ORACLE)
+def osm_route_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route / route_master relation members (sources/osm.route_members)
+    summarized per relation. The oracle is the fixture's 7 transit
+    relations transcribed literally from the XML (member counts and
+    exact member-ref checksums) — the full 3,577-row member table's
+    ordering and roles are pinned in tests/test_osm_ingest.py."""
+    from ..sources.osm import read_osm_elements, route_members, split_elements
+
+    t = split_elements(read_osm_elements(spark, _OSM_PATH))
+    return (
+        route_members(t["relations"])
+        .groupBy("relation_id", "relation_type", "route_kind", "route_ref")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("member_ref").cast("bigint").alias("sum_member_refs"),
+        )
+        .orderBy("relation_id")
+    )
+
+
 @register("osm_turn_restrictions", tags=["S8"], oracle=_OSM_RESTRICTIONS_ORACLE)
 def osm_turn_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn-restriction relations → restrictions table

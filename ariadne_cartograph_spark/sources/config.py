@@ -42,13 +42,20 @@ def jdbc_options(cfg: dict[str, Any]) -> dict[str, str]:
     Partition-parallel reads should additionally set partitionColumn/
     lowerBound/upperBound/numPartitions on the gid key."""
     db = cfg.get("database") or {}
-    host = db.get("host", "localhost")
-    port = db.get("port", 5432)
-    dbname = db.get("dbname", db.get("database", "postgres"))
-    opts = {
-        "url": f"jdbc:postgresql://{host}:{port}/{dbname}",
-        "driver": "org.postgresql.Driver",
-    }
+    if "url" in db:
+        # Explicit JDBC URL escape hatch: lets the same reader path target
+        # any JDBC store (pgBouncer URLs, embedded Derby in tests, …).
+        opts = {"url": str(db["url"])}
+        if "driver" in db:
+            opts["driver"] = str(db["driver"])
+    else:
+        host = db.get("host", "localhost")
+        port = db.get("port", 5432)
+        dbname = db.get("dbname", db.get("database", "postgres"))
+        opts = {
+            "url": f"jdbc:postgresql://{host}:{port}/{dbname}",
+            "driver": "org.postgresql.Driver",
+        }
     if "user" in db:
         opts["user"] = str(db["user"])
     if "password" in db:

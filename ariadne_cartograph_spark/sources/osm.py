@@ -186,6 +186,45 @@ def assemble_way_geometries(nodes: DataFrame, ways: DataFrame) -> DataFrame:
     return ways.join(geom, ways.id == geom.way_id, "left").drop("way_id")
 
 
+def route_members(relations: DataFrame) -> DataFrame:
+    """Transit route extraction (SURVEY.md §1.1): ``type=route`` and
+    ``type=route_master`` relations → one row per (relation, member)
+    with the member ordinal preserved (member order is semantic in OSM
+    routes — it is the stop/way sequence). The fixture
+    (`/root/reference/osm/example.osm`) carries 5 route + 2
+    route_master relations; route_master members are themselves
+    relations (the per-direction route variants).
+
+    Pure narrow ops (filter + posexplode) over the relations frame — no
+    shuffle; at planet scale this is a projection of the bronze
+    relations table.
+    """
+    routes = relations.filter(
+        F.col("tags").getItem("type").isin("route", "route_master")
+    )
+    return routes.select(
+        F.col("id").alias("relation_id"),
+        F.col("tags").getItem("type").alias("relation_type"),
+        # the transport mode lives under the tag matching the type
+        F.coalesce(
+            F.col("tags").getItem("route"), F.col("tags").getItem("route_master")
+        ).alias("route_kind"),
+        F.col("tags").getItem("ref").alias("route_ref"),
+        F.col("tags").getItem("name").alias("route_name"),
+        F.posexplode("members").alias("member_seq", "m"),
+    ).select(
+        "relation_id",
+        "relation_type",
+        "route_kind",
+        "route_ref",
+        "route_name",
+        "member_seq",
+        F.col("m.member_type").alias("member_type"),
+        F.col("m.ref").alias("member_ref"),
+        F.col("m.role").alias("member_role"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Style-driven tag promotion (P12) — the osm2pgsql "style file" as data:
 # (tag key → column) promotion, residual tags kept as the hstore-like

@@ -131,3 +131,59 @@ def test_zordered_write_sorted_within_partition(spark, tmp_path):
     for _, g in pdf.sort_values("mono").groupby("fname"):
         zs = g["zkey"].tolist()
         assert zs == sorted(zs), "file not in Morton order"
+
+
+def test_jdbc_options_postgres_shape():
+    opts = C.jdbc_options(
+        {"database": {"host": "db", "port": 5433, "dbname": "gis", "user": "u", "password": "p"}}
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://db:5433/gis",
+        "driver": "org.postgresql.Driver",
+        "user": "u",
+        "password": "p",
+    }
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S1 live-parity smoke: the SAME jdbc_options → spark.read.format
+    ("jdbc") path the reference's PostGIS scan would use, exercised
+    against the embedded Derby engine bundled with Spark (no external
+    server in this sandbox). Skips if the driver isn't on the
+    classpath."""
+    import pytest
+
+    cfg = {
+        "database": {
+            "url": f"jdbc:derby:{tmp_path}/waysdb;create=true",
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        }
+    }
+    opts = C.jdbc_options(cfg)
+    df = spark.createDataFrame(
+        [(1, 0.52), (2, 0.71), (3, None)], "gid bigint, greenery double"
+    )
+    try:
+        df.write.format("jdbc").options(**opts).option(
+            "dbtable", "ways_metadata"
+        ).mode("overwrite").save()
+    except Exception as exc:  # pragma: no cover - driver-missing env only
+        if "ClassNotFoundException" in str(exc):
+            pytest.skip("Derby JDBC driver not on classpath")
+        raise
+    back = (
+        spark.read.format("jdbc")
+        .options(**opts)
+        .option("dbtable", "ways_metadata")
+        .load()
+    )
+    rows = sorted((r.gid, r.greenery) for r in back.collect())
+    assert rows == [(1, 0.52), (2, 0.71), (3, None)]
+    # append mode (S7) goes through the same options
+    spark.createDataFrame([(4, 0.9)], "gid bigint, greenery double").write.format(
+        "jdbc"
+    ).options(**opts).option("dbtable", "ways_metadata").mode("append").save()
+    assert (
+        spark.read.format("jdbc").options(**opts).option("dbtable", "ways_metadata").load().count()
+        == 4
+    )

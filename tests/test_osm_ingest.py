@@ -179,3 +179,47 @@ def test_turn_restrictions_golden(tables):
     for rid in (1109564, 1110020, 7552502, 8107362):
         assert r[rid].restriction == "no_u_turn"
         assert r[rid].from_way == r[rid].to_way
+
+
+def test_route_members_golden(tables):
+    from ariadne_cartograph_spark.sources.osm import route_members
+
+    rm = route_members(tables["relations"]).cache()
+    # fixture census: 5 route + 2 route_master relations, 3,577 member rows
+    assert rm.count() == 3577
+    by_type = {
+        (r["relation_type"], r["member_type"]): r["n"]
+        for r in rm.groupBy("relation_type", "member_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type == {
+        ("route", "way"): 3559,
+        ("route", "node"): 14,
+        ("route_master", "relation"): 4,
+    }
+    # member order is semantic: ordinals are dense 0..n-1 per relation
+    seq_check = (
+        rm.groupBy("relation_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("member_seq").alias("lo"),
+            F.max("member_seq").alias("hi"),
+        )
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+        .count()
+    )
+    assert seq_check == 0
+    # route_master members are the per-direction route relation variants
+    masters = rm.filter(F.col("relation_type") == "route_master").collect()
+    assert {m["member_ref"] for m in masters} == {6180566, 6181176, 6192320, 6192321}
+    # roles survive: the bicycle route carries forward/backward members
+    roles = {
+        r["member_role"]
+        for r in rm.filter(F.col("relation_id") == 3319294)
+        .select("member_role")
+        .distinct()
+        .collect()
+    }
+    assert "forward" in roles and "backward" in roles
+    rm.unpersist()
