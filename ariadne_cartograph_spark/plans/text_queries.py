@@ -605,6 +605,200 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Product quantization (U4 scale path, operators/pq.py): m=4 subspaces
+# × k=16 codewords over the 64-dim embeddings. The oracle-checked form
+# uses the deterministic "k smallest ids" codebook init (the IVF
+# centroids="first" convention) so DuckDB can rebuild the identical
+# codebooks and replay encode + ADC search under a value hash; Lloyd-
+# refined codebooks are the trained variant, pinned by recall tests.
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 16, 16
+
+
+def _pq_ctes() -> str:
+    """Shared oracle CTEs: codebooks from the K smallest ids, per-
+    (vector, subspace, codeword) squared distances, first-min codes."""
+    d = _PQ_DSUB
+    return f"""cw AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         embedding::DOUBLE[] AS v
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT e.vec_id, j.j, cw.code,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (e.v[(j.j-1)*{d} + i] - cw.v[(j.j-1)*{d} + i])
+              * (e.v[(j.j-1)*{d} + i] - cw.v[(j.j-1)*{d} + i]))) AS dist
+  FROM e
+  CROSS JOIN (SELECT unnest(range(1, {_PQ_M + 1})) AS j) j
+  CROSS JOIN cw),
+best AS (
+  SELECT vec_id, j, code, dist,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+  FROM d)"""
+
+
+def _pq_err_sum(col: str) -> str:
+    # explicit j-ordered addition so the double fold associates the same
+    # way as the Spark side (never a GROUP-BY-order-dependent sum)
+    return " + ".join(f"max(CASE WHEN j={j} THEN {col} END)" for j in range(1, _PQ_M + 1))
+
+
+@register(
+    "embedding_pq_encode",
+    tags=["U4"],
+    oracle=f"""
+WITH {_pq_ctes()}
+SELECT vec_id,
+       CAST(max(CASE WHEN j=1 THEN code END) AS INT) AS c0,
+       CAST(max(CASE WHEN j=2 THEN code END) AS INT) AS c1,
+       CAST(max(CASE WHEN j=3 THEN code END) AS INT) AS c2,
+       CAST(max(CASE WHEN j=4 THEN code END) AS INT) AS c3,
+       CAST({_pq_err_sum("dist")} AS FLOAT) AS pq_err
+FROM best WHERE rn = 1
+GROUP BY vec_id ORDER BY vec_id
+""",
+)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode of the whole corpus: 64 float32s → 4 codes (32× at
+    k≤256 with m=8; 16× here). Codes + reconstruction error under the
+    full value hash."""
+    from ..operators.pq import pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_codebooks(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=0)
+    enc = pq_encode(emb, "embedding", books)
+    return enc.select(
+        "vec_id",
+        *[F.col("pq_codes")[j].alias(f"c{j}") for j in range(_PQ_M)],
+        "pq_err",
+    ).orderBy("vec_id")
+
+
+@register(
+    "embedding_pq_adc_topk",
+    tags=["U4"],
+    oracle=f"""
+WITH {_pq_ctes()},
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 4),
+adc AS (
+  SELECT q.vec_id AS q_id, b.vec_id, b.j,
+         list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+           i -> (cwv.v[(b.j-1)*{_PQ_DSUB} + i] - q.v[(b.j-1)*{_PQ_DSUB} + i])
+              * (cwv.v[(b.j-1)*{_PQ_DSUB} + i] - q.v[(b.j-1)*{_PQ_DSUB} + i]))) AS dj
+  FROM best b
+  JOIN cw cwv ON cwv.code = b.code
+  CROSS JOIN q
+  WHERE b.rn = 1 AND b.vec_id <> q.vec_id),
+tot AS (
+  SELECT q_id, vec_id,
+         CAST(-({_pq_err_sum("dj")}) AS FLOAT) AS neg_adc_dist
+  FROM adc GROUP BY q_id, vec_id),
+ranked AS (
+  SELECT q_id, vec_id, neg_adc_dist,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY neg_adc_dist DESC, vec_id) AS BIGINT) AS rank
+  FROM tot)
+SELECT q_id, vec_id, neg_adc_dist, rank FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search: the corpus side is ONLY the code
+    table (what a 100 TB ANN deployment scans); queries keep full
+    precision. Hash-checked end-to-end against DuckDB replaying the
+    identical codebooks, codes, and distance sums."""
+    from ..operators.pq import pq_adc_topk, pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_codebooks(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=0)
+    codes = pq_encode(emb, "embedding", books).select("vec_id", "pq_codes")
+    queries = emb.filter(F.col("vec_id") < 4)
+    return (
+        pq_adc_topk(codes, queries, "vec_id", "embedding", books, k=5)
+        .select("q_id", "vec_id", "neg_adc_dist", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _ivfpq_oracle(k: int = 5, n_centroids: int = 16, n_probe: int = 6) -> str:
+    """IVF-PQ composite oracle: the IVF oracle's cell assignment +
+    probe list, rescored with the PQ oracle's ADC distance — DuckDB
+    replays coarse quantizer, codebooks, codes, and distance sums."""
+    d = _PQ_DSUB
+    return f"""
+WITH {_pq_ctes()},
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM e ORDER BY vec_id LIMIT {n_centroids}),
+scored_cells AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS s
+  FROM e CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM scored_cells) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM scored_cells WHERE vec_id < 4) WHERE rn <= {n_probe}),
+cand AS (
+  SELECT qprobe.q_id, assign.vec_id, qprobe.qv
+  FROM assign JOIN qprobe ON assign.cell = qprobe.cell
+  WHERE assign.vec_id <> qprobe.q_id),
+adc AS (
+  SELECT c.q_id, c.vec_id, b.j,
+         list_sum(list_transform(range(1, {d + 1}),
+           i -> (cwv.v[(b.j-1)*{d} + i] - c.qv[(b.j-1)*{d} + i])
+              * (cwv.v[(b.j-1)*{d} + i] - c.qv[(b.j-1)*{d} + i]))) AS dj
+  FROM cand c
+  JOIN best b ON b.vec_id = c.vec_id AND b.rn = 1
+  JOIN cw cwv ON cwv.code = b.code),
+tot AS (
+  SELECT q_id, vec_id,
+         CAST(-({_pq_err_sum("dj")}) AS FLOAT) AS neg_adc_dist
+  FROM adc GROUP BY q_id, vec_id),
+ranked AS (
+  SELECT q_id, vec_id, neg_adc_dist,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY neg_adc_dist DESC, vec_id) AS BIGINT) AS rank
+  FROM tot)
+SELECT q_id, vec_id, neg_adc_dist, rank FROM ranked WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
+@register("similarity_ann_ivfpq", tags=["U4"], oracle=_ivfpq_oracle())
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite (operators/pq.ivf_pq_topk): coarse cells prune
+    the scan, PQ codes rank inside probed cells — the FAISS-style
+    billion-scale layout. Deterministic "16 smallest ids" serve as both
+    IVF centroids and PQ codeword init, so the full pipeline (both
+    quantizers included) sits under the driver's value hash."""
+    from ..operators.pq import ivf_pq_topk, pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_codebooks(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=0)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 4)
+    return (
+        ivf_pq_topk(
+            emb, queries, "vec_id", "embedding", books, cents, k=5, n_probe=6
+        )
+        .select("q_id", "vec_id", "neg_adc_dist", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 @register(
     "embedding_near_dup",
     tags=["U4", "W6"],
@@ -1041,6 +1235,67 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("qv").alias("q_max"),
         )
         .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled domain mixture resample (U5/W1): the α-smoothing
+# sampler used to rebalance multi-domain pretraining corpora (public
+# scheme — exponential smoothing as in XLM/mT5 data sampling). Domain
+# quotas come from a one-row-per-domain model aggregate; selection is
+# the same deterministic md5-order draw the stratified sampler uses.
+# The oracle pins the EXACT kept set via an integer id checksum.
+# --------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5
+_MIX_BUDGET = 300
+
+
+@register(
+    "corpus_domain_mixture_sample",
+    tags=["U5", "W1", "A5"],
+    oracle=f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tw AS (SELECT sum(pow(n_docs, {_MIX_ALPHA})) AS w FROM counts),
+quotas AS (
+  SELECT source, n_docs,
+         least(n_docs,
+               CAST(round({_MIX_BUDGET} * pow(n_docs, {_MIX_ALPHA})
+                          / (SELECT w FROM tw)) AS BIGINT)) AS quota
+  FROM counts),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT r.source,
+       q.n_docs AS n_before,
+       CAST(q.quota AS BIGINT) AS n_kept,
+       CAST(sum(r.doc_id) AS BIGINT) AS sum_kept_ids
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.rn <= q.quota
+GROUP BY r.source, q.n_docs, q.quota
+ORDER BY source
+""",
+)
+def corpus_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import domain_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = domain_mixture_sample(
+        docs, "doc_id", "source", alpha=_MIX_ALPHA, budget=_MIX_BUDGET
+    )
+    before = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_kept_ids"),
+        )
+        .join(F.broadcast(before), "source")
+        .select("source", "n_before", "n_kept", "sum_kept_ids")
+        .orderBy("source")
     )
 
 
