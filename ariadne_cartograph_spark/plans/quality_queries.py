@@ -277,3 +277,37 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dup_frac", dup_frac)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Perplexity-proxy quality scoring (operators/lm.py): mean token
+# log-prob under the corpus's own add-1 unigram LM — the CCNet-style
+# "LM score" curation signal, self-trained so no external model ships.
+# The mean is f32-cast on both sides (log sums differ in final double
+# ulps across engines; SURVEY.md §5.2 float policy).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    tags=["U5", "A5"],
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+vocab AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY tok),
+stats AS (SELECT sum(c) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab),
+scored AS (
+  SELECT t.doc_id, ln((vocab.c + 1.0) / (stats.n + 1.0 * stats.v)) AS lp
+  FROM toks t JOIN vocab USING (tok) CROSS JOIN stats)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(avg(lp) AS FLOAT) AS mean_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, "doc_id", "text", k=1.0).orderBy("doc_id")

@@ -49,6 +49,16 @@ def main() -> int:
     spark = get_spark("bench")
     headline = get_headline()
 
+    # Failure-injection hook for the harness's own test: proves one
+    # broken query cannot take down the whole bench (the r3 failure
+    # mode). tests/test_bench_harness.py sets this.
+    inject = os.environ.get("SPARK_GRAFT_BENCH_INJECT_ERROR")
+    if inject:
+        def _boom(_spark, _sf_dir):
+            raise RuntimeError("injected bench failure")
+
+        headline[inject] = _boom
+
     # Warm-up phase (untimed), standard JIT-bench practice:
     # 1. one trivial job (executor spin-up);
     # 2. a schema (footer) read per table — what a metastore would cache;

@@ -114,3 +114,19 @@ def test_enrichment_python_stages_are_arrow_batched(spark, queries):
     plan = plan_of(queries["ways_enrichment_pipeline"](spark, SF_SMOKE))
     assert "BatchEvalPython" not in plan
     assert "FlatMapCoGroupsInPandas" in plan or "FlatMapCoGroupsInArrow" in plan
+
+
+def test_ann_lsh_candidate_exchange_carries_ids_only(spark, queries):
+    # The LSH bucket join and the candidate distinct must shuffle ONLY
+    # id pairs: an Exchange whose partitioning references an embedding
+    # array means vectors are being duplicated n_tables× across the
+    # wire (the r3-flagged scale bug). Vectors may appear only in
+    # BroadcastExchange (query side) / the id-keyed fetch join.
+    df = queries["similarity_ann_lsh"](spark, SF_SMOKE)
+    plan = plan_of(df, "simple")
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("+- Exchange") or s.startswith("Exchange"):
+            assert "_vec" not in s and "embedding" not in s, (
+                "shuffle partitioning carries vector columns: " + s
+            )
