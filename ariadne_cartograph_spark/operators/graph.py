@@ -1,0 +1,66 @@
+"""Iterative graph analytics on DataFrames (Pregel-on-DataFrames shape,
+same family as operators/routing.shortest_paths and
+operators/cluster.connected_components).
+
+PageRank (fixed-iteration, damping d): each round is
+
+    contributions = edges ⋈ pr ⋈ out-degree   (pr(u)/deg(u) per edge)
+    pr'           = (1-d)/N + d · Σ_in contributions
+
+Scale design (100 TB):
+- every round shuffles on the SAME vertex key (join + groupBy), so a
+  bucketed-at-rest adjacency makes rounds co-located joins;
+- rounds are localCheckpoint-ed: iterative lineage otherwise grows
+  O(rounds) and re-executes the whole prefix per action (the classic
+  iterative-Spark trap, same mitigation as routing.shortest_paths);
+- N (vertex count) is the only driver-side scalar — model-sized;
+- fixed iteration count (not convergence polling) keeps the plan
+  deterministic and cross-engine replayable: a DuckDB oracle can unroll
+  the same N rounds as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame, d: float = 0.85, n_iter: int = 3
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list ``(u, v)``
+    (pass both directions for an undirected graph — then every vertex
+    has out-degree ≥ 1 and no dangling-mass term is needed).
+
+    Returns (node_id, pr float32): double math inside the rounds, f32
+    at the surface (per-group float sums differ in final ulps across
+    engines/partition orders; SURVEY.md §5.2 float policy).
+    """
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    verts = edges.select("u").distinct()
+    n = verts.count()
+    pr = verts.select(F.col("u").alias("node_id"), F.lit(1.0 / n).alias("pr"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node_id", "u"), "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node_id"),
+                (F.col("pr") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            verts.select(F.col("u").alias("node_id"))
+            .join(contrib, "node_id", "left")
+            .select(
+                "node_id",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("node_id", F.col("pr").cast("float").alias("pr"))

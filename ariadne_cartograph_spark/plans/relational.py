@@ -1683,3 +1683,61 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative graph analytics (operators/graph.pagerank) over a
+# relational-derived graph: the undirected bipartite customer–supplier
+# trading graph (edge ⇔ the pair co-occurs on an order line; suppliers
+# carry negated ids so the two key spaces cannot collide). The oracle
+# unrolls the SAME fixed iteration count as chained CTEs — DuckDB
+# replays init + every round, so the driver hash covers the iterative
+# algorithm end-to-end, not just its final shape.
+# --------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_ITER = 3
+
+
+def _pagerank_oracle(d: float = _PR_D, n_iter: int = _PR_ITER) -> str:
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT o.o_custkey AS u, -l.l_suppkey AS v
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+verts AS (SELECT DISTINCT u FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+pr0 AS (SELECT u AS node_id, 1.0 / (SELECT n FROM nn) AS pr FROM verts)"""
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""pr{t} AS (
+  SELECT v.u AS node_id,
+         (1.0 - {d}) / (SELECT n FROM nn)
+           + {d} * coalesce(s.s, 0.0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.v AS node_id, sum(p.pr / d.deg) AS s
+    FROM e JOIN pr{t - 1} p ON p.node_id = e.u JOIN deg d ON d.u = e.u
+    GROUP BY e.v) s ON s.node_id = v.u)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node_id, CAST(pr AS FLOAT) AS pr FROM pr{n_iter} ORDER BY node_id"
+    )
+
+
+@register("graph_pagerank_trading", tags=["J6", "A5"], oracle=_pagerank_oracle())
+def graph_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), (-F.col("l_suppkey")).alias("v"))
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return pagerank(edges, d=_PR_D, n_iter=_PR_ITER).orderBy("node_id")

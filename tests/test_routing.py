@@ -121,3 +121,26 @@ def test_weighted_matches_python_dijkstra(spark, topo_edges, edge_list):
     assert set(got) == set(dist)
     for k, v in dist.items():
         assert got[k] == pytest.approx(v, abs=1e-4), k
+
+
+def test_pagerank_mass_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from ariadne_cartograph_spark.operators.graph import pagerank
+
+    # small undirected path graph 1-2-3-4 (both directions supplied)
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(v, u) for u, v in pairs], "u long, v long"
+    )
+    pr = pagerank(edges, d=0.85, n_iter=10)
+    rows = {r["node_id"]: r["pr"] for r in pr.collect()}
+    # probability mass is conserved (no dangling nodes in an undirected graph)
+    assert abs(sum(rows.values()) - 1.0) < 1e-5
+    # symmetry of the path graph: ends equal, middles equal, middle > end
+    assert abs(rows[1] - rows[4]) < 1e-6
+    assert abs(rows[2] - rows[3]) < 1e-6
+    assert rows[2] > rows[1]
+    rows2 = {r["node_id"]: r["pr"] for r in
+             pagerank(edges, d=0.85, n_iter=10).collect()}
+    assert rows == rows2
