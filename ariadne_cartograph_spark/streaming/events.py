@@ -257,3 +257,66 @@ def running_user_counts(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- T4c: transformWithStateInPandas (Spark 4 arbitrary-state API) ---------
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """transformWithStateInPandas: per-user running (n_events,
+    total_value) across micro-batches via the Spark 4 StatefulProcessor
+    API (typed ValueState handle; the successor to
+    applyInPandasWithState, adding composite state types — Value/List/
+    Map — and registrable timers).
+
+    Each batch emits the key's CURRENT running totals (Update mode);
+    n_events is monotone, so the final totals row per user is the one
+    with max n_events — which a drained sink can select
+    deterministically.
+
+    SANDBOX CAVEAT: this build's transformWithState runs a driver-side
+    Python schema-validation worker that connects back to a local state
+    server socket; environments that block local connections (this CI
+    sandbox does) crash it with "driver worker exited unexpectedly"
+    before the first batch. The operator is therefore exercised by a
+    skip-on-crash test (tests/test_streaming.py) rather than a
+    driver-window catalog entry; applyInPandasWithState
+    (running_user_counts above) is the driver-hashed stateful evidence.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = self._totals.get()
+            n, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -177,3 +177,49 @@ def test_sliding_stream_matches_batch(spark, source_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas running totals — skipped when
+    the sandbox blocks the API's local state-server socket (see
+    streaming/events.py docstring)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ariadne_cartograph_spark.sources.tables import load_table
+    from ariadne_cartograph_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        running_user_totals_tws,
+        stage_events_as_stream_source,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stage = stage_events_as_stream_source(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "stage")
+    )
+    stream = read_events_stream(spark, stage, max_files_per_trigger=1)
+    try:
+        run_to_memory(
+            running_user_totals_tws(stream), "tws_totals", output_mode="update"
+        )
+    except Exception as exc:
+        if "driver worker exited unexpectedly" in str(exc):
+            pytest.skip("transformWithState state-server socket blocked in sandbox")
+        raise
+    got = (
+        spark.table("tws_totals")
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s"))
+        .select("user_id", "s.n_events", F.col("s.total_value").cast("float"))
+    )
+    ref = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").cast("float").alias("total_value"))
+    )
+    assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
