@@ -149,3 +149,27 @@ def read_tile_cells(
         c = (F.col("pt_z") == z) & (F.col("pt_x") == x) & (F.col("pt_y") == y)
         cond = c if cond is None else (cond | c)
     return df.filter(cond) if cond is not None else df
+
+
+def write_corpus_layout(
+    docs: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    sort_col: str | None = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Text-corpus layout for the LLM-pipeline side (same partition-
+    pruning posture as the tile layout, applied to `documents`): Hive-
+    partition by low-cardinality curation keys (source, lang) so
+    domain-scoped jobs — per-domain dedup, mixture resampling, quality
+    sweeps — prune whole directories before any I/O; sort within files
+    on the dedup key so fingerprint ranges cluster per row group and
+    min/max stats skip pages.
+
+    repartition on the partition keys first: one writing task per
+    partition directory, no tasks×partitions small-file explosion."""
+    pcols = partition_cols or ["source", "lang"]
+    keyed = docs.repartition(*pcols)
+    if sort_col:
+        keyed = keyed.sortWithinPartitions(*pcols, sort_col)
+    keyed.write.mode(mode).partitionBy(*pcols).parquet(path)

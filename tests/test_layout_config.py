@@ -187,3 +187,37 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
         spark.read.format("jdbc").options(**opts).option("dbtable", "ways_metadata").load().count()
         == 4
     )
+
+
+def test_corpus_layout_prunes_partitions(spark, tmp_path):
+    """Domain-scoped scans over the partitioned corpus must prune at
+    the directory level: the source filter shows up as a PartitionFilter
+    and the scan touches only the matching directories."""
+    import os
+
+    from ariadne_cartograph_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "corpus")
+    L.write_corpus_layout(docs, out, partition_cols=["source"])
+    # one directory per source, one file per directory (repartition
+    # before write prevents the tasks×partitions small-file explosion)
+    dirs = [d for d in os.listdir(out) if d.startswith("source=")]
+    assert len(dirs) >= 2
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d} has {len(files)} files"
+
+    back = spark.read.parquet(out)
+    one_source = docs.select("source").first()["source"]
+    q = back.filter(F.col("source") == one_source)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    scan = next(s for s in plan.split("\n\n") if "PartitionFilters:" in s)
+    pf_line = next(l for l in scan.splitlines() if "PartitionFilters:" in l)
+    assert f"= {one_source})" in pf_line, pf_line
+    # no data filter needed — partition pruning fully answers the predicate
+    assert "PartitionFilters: []" not in scan
+    # row parity with the unpartitioned filter
+    assert q.count() == docs.filter(F.col("source") == one_source).count()
