@@ -126,14 +126,18 @@ WINDOW_ORDER: list[str] = [
     "osm_poi_nearest_edge",
     "osm_turn_restrictions",
     "trajectory_jaccard_pairs",
-    # relational operator evidence (A5 approx / skew-salted, W5, P3/P14;
-    # J6 semi/anti/outer/range + subquery + grouping-structure probes sit
-    # in the tail — their tags are already window-covered by q3/q5/q10,
-    # the as-of and interval joins, and the A5 aggregates)
-    "agg_approx_distinct",
+    # relational operator evidence (A5 skew-salted, W5, P3/P14; the
+    # approx-distinct probe and the J6 semi/anti/outer/range + subquery
+    # + grouping-structure probes sit in the tail — their tags are
+    # already window-covered by q3/q5/q10, the joins above, and the A5
+    # aggregates)
     "agg_salted_revenue",
     "scalar_json_extract",
     "set_union_all_counts",
+    # r4 marquee addition: the FAISS-style IVF-PQ composite (coarse
+    # cells + PQ codes, both quantizers value-hashed; PageRank and the
+    # PQ encode/ADC twins sit in the tail, pytest-oracled)
+    "similarity_ann_ivfpq",
 ]
 
 
