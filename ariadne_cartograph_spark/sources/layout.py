@@ -173,3 +173,45 @@ def write_corpus_layout(
     if sort_col:
         keyed = keyed.sortWithinPartitions(*pcols, sort_col)
     keyed.write.mode(mode).partitionBy(*pcols).parquet(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction for append-heavy parquet dirs (streaming
+    sinks, incremental upserts): rewrite the directory into
+    ceil(bytes / target) files, optionally re-sorted so min/max stats
+    regain selectivity. Returns the new file count.
+
+    The rewrite goes through a sibling temp dir + atomic-ish swap
+    (rename old → trash, temp → live, delete trash) so a concurrent
+    reader sees either the old or the new layout, never a partial one.
+    At real scale this is a table-format job (Iceberg/Delta rewrite
+    actions hold a lock / use snapshots); the file-swap form here is
+    the no-dependency equivalent for plain parquet dirs."""
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    trash = path.rstrip("/") + ".__compact_old__"
+    out.write.mode("overwrite").parquet(tmp)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash)
+    return n_out

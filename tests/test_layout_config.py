@@ -221,3 +221,26 @@ def test_corpus_layout_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: []" not in scan
     # row parity with the unpartitioned filter
     assert q.count() == docs.filter(F.col("source") == one_source).count()
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    import os
+
+    from ariadne_cartograph_spark.sources.tables import load_table
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # fragment: 5 appends x 8 partitions = 40 small files
+    for _ in range(5):
+        ev.repartition(8).write.mode("append").parquet(path)
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_before >= 40
+    total = spark.read.parquet(path).count()
+
+    n_out = L.compact_parquet_dir(spark, path, target_file_mb=256, sort_cols=["ts"])
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n_out == 1  # tiny table → one target-size file
+    assert spark.read.parquet(path).count() == total
+    # no leftover temp/trash dirs
+    assert not os.path.exists(path + ".__compact_tmp__")
+    assert not os.path.exists(path + ".__compact_old__")
