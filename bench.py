@@ -29,7 +29,7 @@ BASELINE_QUERIES: dict[str, float] = {
     "events_tumbling_hourly": 0.427,
     "minhash_lsh_near_dup": 2.815,
     "ngram_jaccard_near_dup": 2.526,
-    "ngram_jaccard_skewed_corpus": 3.611,
+    "ngram_jaccard_skewed_corpus": 3.0,  # r4 PPJoin positional filter
     "q10_returned_items": 0.987,
     "q14_promo_revenue": 0.417,
     "q1_pricing_summary": 0.417,
