@@ -77,3 +77,50 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(big, small, ["k"], how="left", n_salts=4)
     assert out.count() == big.count()
     assert out.filter(F.col("k") != "hot").filter(F.col("w").isNotNull()).count() == 0
+
+
+def test_prefix_join_lossless_on_random_corpora(spark):
+    """Property evidence for the AllPairs + PPJoin-positional prefix
+    path: on randomized corpora (mixed vocab sizes, duplicated docs,
+    boilerplate suffixes, length spread) its output must equal the
+    exhaustive count-based join exactly — the positional bound may
+    prune candidates, never pairs."""
+    import random
+
+    from ariadne_cartograph_spark.operators import dedup as D
+
+    rng = random.Random(20260813)
+    words = [f"w{i}" for i in range(40)]
+    for trial in range(5):
+        docs = []
+        for d in range(60):
+            n = rng.randint(3, 30)
+            toks = [rng.choice(words) for _ in range(n)]
+            if rng.random() < 0.5:
+                toks += ["common", "boilerplate", "footer", "text"]
+            docs.append((d, " ".join(toks)))
+            # inject exact and near duplicates
+            if rng.random() < 0.3:
+                dup = list(toks)
+                if dup and rng.random() < 0.5:
+                    dup[rng.randrange(len(dup))] = rng.choice(words)
+                docs.append((1000 + d, " ".join(dup)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for thr in (0.3, 0.6, 0.9):
+            exact = {
+                (r.id_a, r.id_b)
+                for r in D.ngram_jaccard_pairs(
+                    df, "doc_id", "text", shingle_size=2, threshold=thr
+                ).collect()
+            }
+            pref = {
+                (r.id_a, r.id_b)
+                for r in D.ngram_jaccard_pairs_prefix(
+                    df, "doc_id", "text", shingle_size=2, threshold=thr
+                ).collect()
+            }
+            D.release_caches()
+            assert pref == exact, (
+                f"trial {trial} thr {thr}: prefix lost "
+                f"{exact - pref} / gained {pref - exact}"
+            )
