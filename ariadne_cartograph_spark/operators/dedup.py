@@ -643,3 +643,59 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def repeated_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span signal (public scheme — the
+    exact-substring dedup of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — at k-token window granularity):
+    every positional k-token window is hashed; windows whose gram occurs
+    in ≥ ``min_docs`` distinct documents are "repeated", and each doc
+    reports how much of it is covered by repeated spans. High coverage →
+    boilerplate/templated/duplicated passages worth trimming.
+
+    Scale design: grams travel as xxhash64 longs (8 bytes, never gram
+    strings — output carries only counts, so a 2⁻⁶⁴ collision is the
+    only accuracy cost); the repeated set comes from one groupBy on the
+    hash with a distinct-doc count (map-side combinable), re-joined as a
+    semi-join; per-doc coverage is one more agg on the id key.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    w = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    rep = (
+        w.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    flagged = w.join(rep, "g", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_repeated")
+    )
+    totals = w.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        totals.join(flagged, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+            (
+                F.coalesce("n_repeated", F.lit(0)).cast("double")
+                / F.col("n_windows")
+            )
+            .cast("float")
+            .alias("repeated_frac"),
+        )
+    )

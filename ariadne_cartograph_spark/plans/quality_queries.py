@@ -311,3 +311,49 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob_scores(docs, "doc_id", "text", k=1.0).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated spans (operators/dedup.repeated_span_coverage):
+# the exact-substring dedup signal (Lee et al. 2022) at k-token window
+# granularity. Spark counts hashed grams (8-byte shuffle keys); the
+# oracle replays with gram STRINGS — identical counts absent a 2^-64
+# hash collision, and the output carries only counts.
+# --------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+@register(
+    "text_repeated_spans",
+    tags=["W6", "U5"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {_SPAN_K} + 1, 0) + 1),
+           i -> concat_ws(' ', list_slice(t, i, i + {_SPAN_K} - 1)))) AS gram
+  FROM toks),
+rep AS (
+  SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT w.doc_id,
+         count(*) AS n_windows,
+         count(*) FILTER (WHERE w.gram IN (SELECT gram FROM rep)) AS n_repeated
+  FROM w GROUP BY w.doc_id)
+SELECT doc_id,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_repeated AS BIGINT) AS n_repeated,
+       CAST(CAST(n_repeated AS DOUBLE) / n_windows AS FLOAT) AS repeated_frac
+FROM per ORDER BY doc_id
+""",
+)
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import repeated_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_coverage(
+        docs, "doc_id", "text", k=_SPAN_K, min_docs=2
+    ).orderBy("doc_id")

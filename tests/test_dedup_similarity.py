@@ -308,3 +308,26 @@ def test_pq_adc_recall_and_training(spark):
     )
     assert err3 < err0
     emb.unpersist()
+
+
+def test_repeated_span_coverage_semantics(spark):
+    from ariadne_cartograph_spark.operators.dedup import repeated_span_coverage
+
+    shared = "a b c d e f g h"  # exactly one k=8 window
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x1 y1 z1"),
+            (2, shared + " x2 y2 z2"),
+            (3, "p q r s t u v w unique tail here"),
+            (4, "short doc"),  # < k tokens → zero windows
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            repeated_span_coverage(docs, "doc_id", "text", k=8, min_docs=2).collect()}
+    # docs 1,2 share the leading 8-token window; their unique tails don't repeat
+    assert rows[1]["n_repeated"] == 1 and rows[2]["n_repeated"] == 1
+    assert rows[1]["n_windows"] == 4  # 11 tokens → 4 windows of 8
+    assert rows[3]["n_repeated"] == 0
+    # sub-k docs have no windows: absent from output by contract
+    assert 4 not in rows
