@@ -188,3 +188,17 @@ def lang_id(text: Column | str) -> Column:
     # (v, k); ties on v resolved by max k — flip key ordering for
     # determinism is fine since profiles differ.
     return best["k"]
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical normalization before exact dedup (the C4-style
+    lowercase / strip-punctuation / collapse-whitespace pass): catches
+    duplicates that differ only in case, punctuation, or spacing. Kept
+    to operations both engines express identically (lower, two
+    regexp_replace passes, trim)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )

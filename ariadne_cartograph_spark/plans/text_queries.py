@@ -1450,3 +1450,54 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, bench, "corpus_id", "bench_id", "text",
         shingle_size=3, threshold=_DECON_THRESHOLD,
     ).orderBy("corpus_id", "bench_id")
+
+
+@register(
+    "text_normalized_exact_dedup",
+    tags=["W6", "U5"],
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(text) AS fp_raw,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp_norm
+  FROM documents),
+keep_raw AS (SELECT fp_raw, min(doc_id) AS doc_id FROM fp GROUP BY fp_raw),
+keep_norm AS (SELECT fp_norm, min(doc_id) AS doc_id FROM fp GROUP BY fp_norm)
+SELECT f.source,
+       count(*) AS n_docs,
+       count(kr.doc_id) AS n_kept_raw,
+       count(kn.doc_id) AS n_kept_norm
+FROM fp f
+LEFT JOIN keep_raw kr ON f.fp_raw = kr.fp_raw AND f.doc_id = kr.doc_id
+LEFT JOIN keep_norm kn ON f.fp_norm = kn.fp_norm AND f.doc_id = kn.doc_id
+GROUP BY f.source
+ORDER BY f.source
+""",
+)
+def text_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on NORMALIZED text (functions/text.normalize_text —
+    the C4-style case/punctuation/whitespace canonicalization) next to
+    the raw-fingerprint baseline: norm dedup keeps ≤ raw dedup, and the
+    gap measures formatting-only duplication. Same two-narrow-shuffle
+    plan as dedup_exact, once per fingerprint."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__norm", T.normalize_text("text")
+    )
+    kept_raw = D.dedup_exact(docs, "text", "doc_id").select(
+        "doc_id", F.lit(1).alias("__kr")
+    )
+    kept_norm = D.dedup_exact(docs, "__norm", "doc_id").select(
+        "doc_id", F.lit(1).alias("__kn")
+    )
+    return (
+        docs.join(kept_raw, "doc_id", "left")
+        .join(kept_norm, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__kr").alias("n_kept_raw"),
+            F.count("__kn").alias("n_kept_norm"),
+        )
+        .orderBy("source")
+    )
