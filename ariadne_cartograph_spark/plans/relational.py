@@ -1741,3 +1741,187 @@ def graph_pagerank_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return pagerank(edges, d=_PR_D, n_iter=_PR_ITER).orderBy("node_id")
+
+
+# --------------------------------------------------------------------------
+# Round-4 TPC-H breadth: the remaining standard shapes expressible
+# without a partsupp table (q2/q11/q16/q20 need it; the testdata has
+# none). q4/q21 use shipdate-based lateness (no commit/receipt dates in
+# this schema) — the join/subquery SHAPES are the point, documented as
+# -style adaptations.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    tags=["J6", "A5"],
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: correlated EXISTS with a non-equi condition
+    against the outer row (late line ⇔ shipped >90 days after the
+    order date) → left-semi join with a compound condition; Catalyst
+    decorrelates to one shuffle pair."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q8_market_share",
+    tags=["J6", "A5"],
+    oracle="""
+WITH all_sales AS (
+  SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+            / sum(volume) AS FLOAT) AS mkt_share
+FROM all_sales GROUP BY o_year ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: 8-table star join (two roles for nation), year
+    extraction, conditional-aggregate share. All dims broadcast; the
+    fact scans once. Share is division-derived → f32 (SURVEY §5.2)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["lineitem", "part", "supplier", "orders", "customer", "nation", "region"]}
+    n1 = t["nation"].alias("n1")
+    n2 = t["nation"].alias("n2")
+    sales = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    return (
+        sales.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(0.0))
+                / F.sum("volume")
+            )
+            .cast("float")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    tags=["J6", "A5"],
+    oracle="""
+SELECT CAST(sum(l.l_extendedprice) / 7.0 AS FLOAT) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: correlated scalar-aggregate subquery (per-part
+    average quantity) → aggregate once on the key, join back; never a
+    per-row re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_q = li.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("__q20"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_q.withColumnRenamed("l_partkey", "__pk"), F.col("__pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("__q20"))
+        .agg((F.sum("l_extendedprice") / 7.0).cast("float").alias("avg_yearly"))
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    tags=["J6", "A5", "W1"],
+    oracle="""
+WITH order_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship,
+         count(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY l_orderkey)
+SELECT s.s_name, count(DISTINCT l.l_orderkey) AS numwait
+FROM lineitem l
+JOIN order_ship os ON os.l_orderkey = l.l_orderkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND os.n_supp > 1
+  AND l.l_shipdate = os.max_ship
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape, shipdate adaptation: the supplier whose line
+    shipped LAST in a finished multi-supplier order "kept it waiting".
+    The EXISTS/NOT-EXISTS pair of standard q21 becomes one per-order
+    aggregate (max ship + distinct-supplier count) joined back — same
+    semantics on this schema, one shuffle on the order key instead of
+    two correlated self-scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    order_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    ).withColumnRenamed("l_orderkey", "__ok")
+    return (
+        li.join(order_ship, F.col("__ok") == F.col("l_orderkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
