@@ -431,3 +431,42 @@ def events_stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_session_" + uuid.uuid4().hex[:8]
     run_to_memory(session_agg(stream, gap="1 hour"), name, output_mode="complete")
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@register(
+    "events_stream_interval_join_parity",
+    tags=["T2", "T5", "J6"],
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+ORDER BY click_id, purchase_id
+""",
+)
+def events_stream_interval_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-STREAM interval join itself under the driver's value
+    hash (the batch twin events_click_purchase_interval shares the
+    operator but not the state machinery): both sides watermarked, the
+    join condition bounds event time in both directions (bounded state),
+    drained with availableNow in append mode — inner stream-stream
+    joins emit eagerly, so the drained sink equals the batch join."""
+    import uuid
+
+    from ..streaming.events import click_purchase_interval_join, run_to_memory
+
+    stream = _staged_stream(spark, sf_dir)
+    name = "stream_ivj_" + uuid.uuid4().hex[:8]
+    run_to_memory(
+        click_purchase_interval_join(stream, horizon="30 minutes"),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name).orderBy("click_id", "purchase_id")
