@@ -470,3 +470,114 @@ def events_stream_interval_join_parity(spark: SparkSession, sf_dir: str) -> Data
         output_mode="append",
     )
     return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel + cohort retention — the two canonical event-analytics
+# shapes (A5/W3/J6 composition). Funnel steps must happen IN ORDER per
+# user (each stage keyed on the previous stage's first-completion
+# time); retention buckets activity by whole weeks since the user's
+# first event. Both are chains of per-user aggregates + self-joins on
+# the user key — one shuffle key throughout, no windows over the whole
+# table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_conversion",
+    tags=["A5", "J6", "T2"],
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.t0 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t1 GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT '1_signup' AS step, count(*) AS n_users FROM s
+  UNION ALL SELECT '2_click_after_signup', count(*) FROM c
+  UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
+ORDER BY step
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None, prev_t: str, out_t: str):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    s = first_after("signup", None, "", "t0")
+    c = first_after("click", s, "t0", "t1")
+    p = first_after("purchase", c, "t1", "t2")
+    rows = [
+        s.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_signup").alias("step"), "n_users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("2_click_after_signup").alias("step"), "n_users"
+        ),
+        p.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("3_purchase_after_click").alias("step"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")
+
+
+@register(
+    "events_cohort_retention",
+    tags=["A5", "W3", "T2"],
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+activity AS (
+  SELECT e.user_id,
+         CAST(floor(epoch_us(e.ts) / 1000000 / 604800) AS BIGINT)
+           - CAST(floor(epoch_us(f.t0) / 1000000 / 604800) AS BIGINT) AS week_n,
+         CAST(floor(epoch_us(f.t0) / 1000000 / 604800) AS BIGINT) AS cohort_week
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id)
+SELECT cohort_week, week_n,
+       count(DISTINCT user_id) AS n_active
+FROM activity
+WHERE week_n <= 8
+GROUP BY cohort_week, week_n
+ORDER BY cohort_week, week_n
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted distinct in each subsequent week. ALL week math — the
+    cohort key included — is exact integer epoch-week numbers
+    (floor(epoch_sec / 604800)): Spark's window() and DuckDB's
+    time_bucket anchor weekly buckets to different origins (epoch
+    Thursday vs Monday), so a timestamp-typed cohort key can never
+    hash-match across engines."""
+    from ..functions.time import micros
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    week = lambda c: F.floor(micros(c) / 1000000 / 604800).cast("long")  # noqa: E731
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            (week("ts") - week("t0")).alias("week_n"),
+            week("t0").alias("cohort_week"),
+        )
+        .filter(F.col("week_n") <= 8)
+    )
+    return (
+        act.groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_n")
+    )
