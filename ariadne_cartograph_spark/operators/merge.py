@@ -104,3 +104,48 @@ class ParquetMergeTable:
         os.replace(tmp, self._pointer)  # atomic flip
         if old:
             shutil.rmtree(old, ignore_errors=True)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style snapshot diff: classify every key across two table
+    versions as ``insert`` / ``delete`` / ``update`` / ``unchanged``
+    (the change feed a downstream incremental consumer replays; the
+    reverse direction of the upsert MERGE above).
+
+    One full-outer join on the key — the minimum data movement for a
+    diff; comparison is null-safe (``eqNullSafe``) so NULL→value and
+    value→NULL edits classify as updates, not unchanged. At scale both
+    snapshots bucket by the key and the join is co-located.
+
+    Output: (key, change, <old_/new_ compare cols>).
+    """
+    o = old.select(F.col(key), *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    n = new.select(F.col(key), *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    joined = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    # presence markers: a row exists on a side iff ANY of its selected
+    # columns is non-null OR the side matched (full_outer keeps key);
+    # use explicit indicator columns to be null-safe even when all
+    # compare cols are legitimately NULL.
+    o_marked = o.withColumn("__in_old", F.lit(1))
+    n_marked = n.withColumn("__in_new", F.lit(1))
+    joined = o_marked.join(n_marked, key, "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    return joined.select(
+        F.col(key),
+        change.alias("change"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

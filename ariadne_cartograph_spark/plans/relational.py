@@ -1925,3 +1925,79 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "snapshot_change_feed",
+    tags=["S4", "J1", "J6"],
+    oracle="""
+WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0
+              THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, 100.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0),
+d AS (
+  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+         CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+              WHEN v2.o_orderkey IS NULL THEN 'delete'
+              WHEN v1.o_totalprice = v2.o_totalprice THEN 'unchanged'
+              ELSE 'update' END AS change,
+         v1.o_totalprice AS old_p, v2.o_totalprice AS new_p
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+SELECT change,
+       count(*) AS n,
+       CAST(sum(coalesce(o_orderkey, 0)) AS BIGINT) AS key_checksum,
+       round(sum(coalesce(new_p, 0) - coalesce(old_p, 0)), 2) AS price_delta
+FROM d GROUP BY change ORDER BY change
+""",
+)
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/merge.snapshot_diff): two versions
+    of orders derived deterministically (deletes at key%7=0, +100.00
+    price updates at key%11=0 — an ADDITIVE edit on purpose: a
+    multiplicative round(p*1.1, 2) lands on half-cent double-rounding
+    boundaries where engines disagree; synthetic inserts from key%13=0),
+    classified per key through one null-safe full-outer join; the
+    oracle replays the same derivation and classification. Summary is
+    per change type with an exact key checksum pinning membership."""
+    from ..operators.merge import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select("o_orderkey", "o_totalprice")
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 100.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit(100.0).alias("o_totalprice"),
+            )
+        )
+    )
+    d = snapshot_diff(v1, v2, "o_orderkey", ["o_totalprice"])
+    return (
+        d.groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("o_orderkey"), F.lit(0))).cast("bigint").alias("key_checksum"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("new_o_totalprice"), F.lit(0.0))
+                    - F.coalesce(F.col("old_o_totalprice"), F.lit(0.0))
+                ),
+                2,
+            ).alias("price_delta"),
+        )
+        .orderBy("change")
+    )

@@ -49,3 +49,24 @@ def test_scalable_cumsum_equals_global_window(spark):
     w = W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
     want = {r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_snapshot_diff_null_safe_classification(spark):
+    from pyspark.sql import functions as F
+
+    from ariadne_cartograph_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (5, 50.0)], "k long, v double"
+    )
+    rows = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert rows == {
+        1: "unchanged",
+        2: "update",   # NULL -> value must be an update, not unchanged
+        3: "update",   # value -> NULL likewise
+        4: "delete",
+        5: "insert",
+    }
