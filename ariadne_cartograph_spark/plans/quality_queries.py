@@ -357,3 +357,95 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_coverage(
         docs, "doc_id", "text", k=_SPAN_K, min_docs=2
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Cross-modal curation capstone: documents ⋈ embeddings (shared id
+# space) under a prioritized decision rule — quality_fail > text_dup >
+# semantic_dup > kept. The composite a real training-data pipeline
+# runs: cheap column-math rules first, then content dedup, then the
+# embedding-space near-dup drop; each stage's machinery is the same
+# oracled operator the standalone entries use.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_multimodal_curation",
+    tags=["W6", "U4", "U5", "J6"],
+    oracle="""
+WITH q AS (
+  SELECT doc_id, source,
+         len(string_split_regex(text, '\\s+')) BETWEEN 20 AND 5000 AS q_ok,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM documents),
+keep_fp AS (SELECT fp, min(doc_id) AS keeper FROM q GROUP BY fp),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM e ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+             DESC, cent.cell ASC) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1),
+sem_drop AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS FLOAT) >= 0.35),
+decided AS (
+  SELECT q.source, q.doc_id,
+         CASE WHEN NOT q.q_ok THEN '1_quality_fail'
+              WHEN q.doc_id <> k.keeper THEN '2_text_dup'
+              WHEN s.vec_id IS NOT NULL THEN '3_semantic_dup'
+              ELSE '4_kept' END AS decision
+  FROM q
+  JOIN keep_fp k ON k.fp = q.fp
+  LEFT JOIN sem_drop s ON s.vec_id = q.doc_id)
+SELECT source, decision,
+       count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM decided GROUP BY source, decision ORDER BY source, decision
+""",
+)
+def corpus_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").between(20, 5000).alias("q_ok"),
+        F.md5(normalize_text("text")).alias("fp"),
+    )
+    keep_fp = q.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    sem = (
+        S.semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.35, n_centroids=16, centroids="first"
+        )
+        .filter(F.col("is_dropped"))
+        .select(F.col("id").alias("__sem_id"))
+    )
+    decision = (
+        F.when(~F.col("q_ok"), F.lit("1_quality_fail"))
+        .when(F.col("doc_id") != F.col("keeper"), F.lit("2_text_dup"))
+        .when(F.col("__sem_id").isNotNull(), F.lit("3_semantic_dup"))
+        .otherwise(F.lit("4_kept"))
+    )
+    return (
+        q.join(keep_fp, "fp")
+        .join(sem, q.doc_id == F.col("__sem_id"), "left")
+        .select("source", "doc_id", decision.alias("decision"))
+        .groupBy("source", "decision")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("source", "decision")
+    )
