@@ -596,3 +596,43 @@ def osm_route_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hops").cast("bigint").alias("sum_hops"),
         F.sum(F.col("node_id") * F.col("hops")).cast("bigint").alias("id_hop_checksum"),
     )
+
+
+_OSM_TAG_FREQ_ORACLE = """
+SELECT * FROM (VALUES
+  ('building', CAST(700 AS BIGINT)),
+  ('source', CAST(399 AS BIGINT)),
+  ('highway', CAST(332 AS BIGINT)),
+  ('name', CAST(217 AS BIGINT)),
+  ('source_ref', CAST(123 AS BIGINT)),
+  ('addr:housenumber', CAST(118 AS BIGINT)),
+  ('addr:street', CAST(118 AS BIGINT)),
+  ('foot', CAST(102 AS BIGINT)),
+  ('maxspeed', CAST(59 AS BIGINT)),
+  ('addr:postcode', CAST(58 AS BIGINT)),
+  ('source:maxspeed', CAST(54 AS BIGINT)),
+  ('source_ref:maxspeed', CAST(54 AS BIGINT))
+) t(tag_key, n)
+ORDER BY n DESC, tag_key
+"""
+
+
+@register("osm_tag_key_frequency", tags=["P12", "P14"], oracle=_OSM_TAG_FREQ_ORACLE)
+def osm_tag_key_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface over the OSM tags (map<string,string>):
+    explode(map_keys(tags)) across all three element kinds → frequency
+    top-12. The oracle is the fixture's tag census transcribed literally
+    (119 distinct keys, 3,140 tags total — re-derivable with a plain
+    ElementTree pass). Exercises the map-function path (map_keys +
+    explode) the style-driven promotion (P12) builds on."""
+    from ..sources.osm import read_osm_elements
+
+    els = read_osm_elements(spark, _OSM_PATH)
+    return (
+        els.filter(F.col("tags").isNotNull())
+        .select(F.explode(F.map_keys("tags")).alias("tag_key"))
+        .groupBy("tag_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tag_key"))
+        .limit(12)
+    )
