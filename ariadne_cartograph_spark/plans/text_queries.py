@@ -1501,3 +1501,79 @@ def text_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "docs_incremental_dedup_parity",
+    tags=["T6", "W6", "U4"],
+    oracle=rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6),
+d AS (
+  SELECT doc.doc_id, doc.source,
+         doc.doc_id IN (SELECT id_b FROM pairs) AS dropped
+  FROM documents doc)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE NOT dropped) AS n_kept,
+       CAST(sum(CASE WHEN NOT dropped THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+FROM d GROUP BY source ORDER BY source
+""",
+)
+def docs_incremental_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL (crawl-ingest) near-dup filter under the driver
+    value hash: documents arrive as four id-ordered batches, each
+    filtered against the accumulated MinHash band store
+    (streaming/docs.incremental_near_dup_filter); under id-ordered
+    arrival the kept set must equal the offline rule "keep iff no
+    smaller-id neighbor at exact Jaccard ≥ 0.6" — which the oracle
+    computes directly from the exhaustive pair join. Hash-equality here
+    covers both the incremental state machinery AND perfect LSH recall
+    at b=8/r=4 on this corpus."""
+    import tempfile
+
+    from ..streaming.docs import incremental_near_dup_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    store = tempfile.mkdtemp(prefix="acs_inc_dedup_")
+    kept_frames = []
+    for i in range(4):
+        lo, hi = i * n // 4, (i + 1) * n // 4
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        kept_frames.append(
+            incremental_near_dup_filter(spark, batch, store).select("doc_id", "source")
+        )
+    kept = kept_frames[0]
+    for f in kept_frames[1:]:
+        kept = kept.unionByName(f)
+    kept = kept.withColumn("__kept", F.lit(1))
+    return (
+        docs.join(kept.select("doc_id", "__kept"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__kept").alias("n_kept"),
+            F.sum(F.when(F.col("__kept").isNotNull(), F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -101,7 +101,11 @@ def incremental_near_dup_filter(
 
     a = idx_new.alias("a")  # the NEW doc
     b = probe_side.alias("b")
-    cands = (
+    # Candidate pairs dedupe on IDS ONLY — shingle arrays through the
+    # distinct would shuffle duplicated sets per matching band (the
+    # same scale bug class as vector-wide LSH distincts); shingles are
+    # re-fetched by id afterward.
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -114,11 +118,16 @@ def incremental_near_dup_filter(
         .select(
             F.col(f"a.{id_col}").alias("new_id"),
             F.col(f"b.{id_col}").alias("old_id"),
-            F.col("a.sh").alias("sh_new"),
-            F.col("b.sh").alias("sh_old"),
         )
         .distinct()
     )
+    sh_new = idx_new.select(
+        F.col(id_col).alias("new_id"), F.col("sh").alias("sh_new")
+    ).dropDuplicates(["new_id"])
+    sh_old = probe_side.select(
+        F.col(id_col).alias("old_id"), F.col("sh").alias("sh_old")
+    ).dropDuplicates(["old_id"])
+    cands = pair_ids.join(sh_new, "new_id").join(sh_old, "old_id")
     inter = F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
     union = (F.size("sh_new") + F.size("sh_old")).cast("double") - inter
     dropped = (
