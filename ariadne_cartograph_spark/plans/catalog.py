@@ -105,7 +105,9 @@ WINDOW_ORDER: list[str] = [
     "minhash_lsh_near_dup",
     "simhash_near_dup",
     "text_lang_id",
-    "text_winnow_fingerprint_md5",
+    # T6 evidence in-window: the incremental crawl-ingest dedup filter
+    # (winnowing moved to the tail — U5 is covered 8× inside the window)
+    "docs_incremental_dedup_parity",
     # similarity search over embeddings (U4)
     "similarity_topk_cosine",
     "similarity_ann_lsh",
