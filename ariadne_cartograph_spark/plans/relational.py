@@ -7,8 +7,15 @@ expressed with built-in Catalyst operators — zero custom rules, per
 SURVEY.md §4.2.
 
 Scale design notes appear per query; the recurring ones:
-- dimension tables (`region`, `nation`, `supplier`) are explicitly
-  `broadcast()` — at 100 TB the fact side never shuffles for them;
+- only CONSTANT-SIZE dimensions (`region` = 5 rows, `nation` = 25 rows
+  at every scale factor) and one-row/model-sized aggregates carry an
+  explicit `broadcast()` hint. SF-scaling tables (`part`, `supplier`,
+  `customer`) are deliberately UN-hinted: an explicit hint overrides
+  AQE's size check, and at the 100 TB north star `part`/`supplier` are
+  billions of rows — a forced broadcast OOMs the executors. AQE
+  (`spark.sql.adaptive.enabled`) still picks BroadcastHashJoin for them
+  at bench scale (pinned by `tests/test_plan_shapes.py`), so nothing is
+  lost locally and the plan survives the scale-up;
 - aggregates are declarative `groupBy` → Tungsten partial+final hash
   aggregation (map-side combine) — no driver-side accumulation;
 - top-k uses `orderBy().limit(k)` which Spark plans as
@@ -152,7 +159,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            # supplier scales with SF — no hint; AQE broadcasts when small.
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -300,7 +308,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 100.0
@@ -1441,7 +1449,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -1552,7 +1560,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(gmax))
         .filter(F.col("total_revenue") == F.col("__gmax"))
-        .join(F.broadcast(load_table(spark, sf_dir, "supplier")).select("s_suppkey", "s_name"),
+        .join(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -1615,7 +1623,8 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19: disjunction of conjunctive brand/size/quantity predicates —
     Catalyst splits the OR across the join (part-only conjuncts prune
-    the broadcast side, lineitem-only conjuncts push to the scan)."""
+    the part side, lineitem-only conjuncts push to the scan). part is
+    SF-scaling, so no broadcast hint — AQE decides."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
 
@@ -1627,7 +1636,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(
             band("Brand#12", 15, 1, 11)
             | band("Brand#23", 25, 10, 20)
@@ -1816,17 +1825,19 @@ FROM all_sales GROUP BY o_year ORDER BY o_year
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8 shape: 8-table star join (two roles for nation), year
-    extraction, conditional-aggregate share. All dims broadcast; the
-    fact scans once. Share is division-derived → f32 (SURVEY §5.2)."""
+    extraction, conditional-aggregate share. Constant-size dims
+    (nation/region) broadcast-hinted; SF-scaling part/supplier left to
+    AQE. The fact scans once. Share is division-derived → f32
+    (SURVEY §5.2)."""
     t = {n: load_table(spark, sf_dir, n) for n in
          ["lineitem", "part", "supplier", "orders", "customer", "nation", "region"]}
     n1 = t["nation"].alias("n1")
     n2 = t["nation"].alias("n2")
     sales = (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+        .join(t["part"].filter(F.col("p_type") == "PROMO"),
               F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
@@ -1873,7 +1884,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     avg_q = li.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("__q20"))
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(avg_q.withColumnRenamed("l_partkey", "__pk"), F.col("__pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("__q20"))
         .agg((F.sum("l_extendedprice") / 7.0).cast("float").alias("avg_yearly"))
@@ -1919,7 +1930,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(order_ship, F.col("__ok") == F.col("l_orderkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -70,6 +70,61 @@ def test_q5_dimension_joins_broadcast(spark, queries):
     assert "BroadcastHashJoin" in plan, "dimension joins must broadcast"
 
 
+def _hint_subtrees(analyzed: str) -> list[str]:
+    """Extract each ResolvedHint node's subtree from a logical-plan tree
+    string (children are the following lines with deeper tree prefix)."""
+    import re
+
+    def depth(ln: str) -> int:
+        return len(re.match(r"^[\s:+|-]*", ln).group(0))
+
+    lines = analyzed.splitlines()
+    subs = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" in ln:
+            d = depth(ln)
+            sub = [ln]
+            for nxt in lines[i + 1 :]:
+                if depth(nxt) <= d:
+                    break
+                sub.append(nxt)
+            subs.append("\n".join(sub))
+    return subs
+
+
+def test_no_broadcast_hint_on_sf_scaling_dims(spark, queries):
+    """part/supplier grow linearly with scale factor — a hardcoded
+    broadcast() hint overrides AQE's size check and OOMs at 100×.
+    Assert no ResolvedHint subtree scans part or supplier; hints are
+    reserved for constant-size dims (region/nation) and one-row
+    aggregates. AQE still broadcasting at bench scale is pinned by
+    test_q5_dimension_joins_broadcast / the q14 check below."""
+    for name in [
+        "q5_region_revenue",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue",
+        "q21_waiting_supplier",
+    ]:
+        df = queries[name](spark, SF_SMOKE)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        for sub in _hint_subtrees(analyzed):
+            assert "p_partkey" not in sub and "s_suppkey" not in sub, (
+                f"{name}: broadcast hint forced onto SF-scaling table:\n{sub}"
+            )
+
+
+def test_q14_part_join_still_broadcasts_via_aqe(spark, queries):
+    """With the hint gone, AQE must still pick BroadcastHashJoin for
+    part at bench scale — proving the de-hinting costs nothing locally."""
+    df = queries["q14_promo_revenue"](spark, SF_SMOKE)
+    df.collect()  # finalize AQE plan
+    assert "BroadcastHashJoin" in plan_of(df, "simple")
+
+
 def test_topk_plans_as_take_ordered_not_global_sort(spark, queries):
     plan = plan_of(queries["topk_orders_by_price"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
