@@ -1549,15 +1549,20 @@ def docs_incremental_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     at b=8/r=4 on this corpus."""
     import tempfile
 
+    from pyspark.sql.window import Window
+
     from ..streaming.docs import incremental_near_dup_filter
 
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
+    # id-ordered quartile batches derived IN DATA (ntile over id order),
+    # not from a driver-side count() — the batch boundaries stay lazy.
+    docs_b = docs.withColumn(
+        "__batch", F.ntile(4).over(Window.orderBy("doc_id"))
+    )
     store = tempfile.mkdtemp(prefix="acs_inc_dedup_")
     kept_frames = []
-    for i in range(4):
-        lo, hi = i * n // 4, (i + 1) * n // 4
-        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    for i in range(1, 5):
+        batch = docs_b.filter(F.col("__batch") == i).drop("__batch")
         kept_frames.append(
             incremental_near_dup_filter(spark, batch, store).select("doc_id", "source")
         )

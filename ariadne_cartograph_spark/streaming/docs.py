@@ -19,10 +19,23 @@ one join. On transitive in-batch chains A~B~C (A!~C) greedy keeps C
 where this rule drops it: a documented over-drop, the standard trade
 for distributed determinism.
 
-State is a parquet directory of (doc_id, band_idx, band_hash, sh):
-append-only, partition-friendly, and shared-nothing — at scale the
-band columns are the natural partition/bucket keys so each batch's
-probe is a co-located join against the store instead of a broadcast.
+State is TWO parquet tables under ``store_dir`` so that per-batch cost
+is O(batch + candidates), never O(store):
+
+- ``bands/`` — (doc_id, band_idx, band_hash): the LSH probe side. One
+  narrow row per (doc, band); at scale (band_idx, band_hash) are the
+  natural partition/bucket keys so each batch's probe is a co-located
+  join against the store instead of a broadcast. No shingle arrays
+  ride along, so the band join shuffles ids only.
+- ``shingles/`` — (doc_id, sh) partitioned by ``__bucket =
+  pmod(xxhash64(doc_id), N_BUCKETS)``: exactly one row per document,
+  read back ONLY for verified-candidate ids via a broadcast semi-join
+  whose bucket key enables dynamic partition pruning — the scan
+  touches the candidate buckets, not the corpus.
+
+Each batch appends small files per bucket; a long-lived ingest
+compacts them periodically with ``sources.layout.compact_parquet_dir``
+(orthogonal to correctness — append order never matters here).
 """
 
 from __future__ import annotations
@@ -35,6 +48,15 @@ from pyspark.sql import functions as F
 from ..functions.text import hashed_word_shingles
 from ..operators.dedup import _minhash_from_shingles
 
+# Shingle-store partition fanout. 64 keeps local directories small;
+# at cluster scale this is the knob that bounds per-batch pruning
+# granularity (candidate ids hit ~min(|candidates|, 64) partitions).
+N_BUCKETS = 64
+
+
+def _bucket(col: F.Column) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
+
 
 def _index_batch(
     batch: DataFrame,
@@ -44,8 +66,10 @@ def _index_batch(
     bands: int,
     shingle_size: int,
 ) -> DataFrame:
-    """(id, sh, band_idx, band_hash) rows for a batch — the unit the
-    store accumulates. One row per (doc, band)."""
+    """(id, sh, band_idx, band_hash) rows for a batch — one row per
+    (doc, band). The batch-sized working set both store tables derive
+    from (``sh`` repeats per band here, but only within the batch —
+    the persisted bands table strips it)."""
     r = n_hashes // bands
     sh = batch.select(
         F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
@@ -62,6 +86,109 @@ def _index_batch(
                 ]
             )
         ).alias("band_idx", "band_hash"),
+    )
+
+
+def _dropped_ids(
+    spark: SparkSession,
+    idx_new: DataFrame,
+    store_dir: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Ids of batch docs with a verified near-duplicate. Lazy; every
+    shuffle in this plan is candidate- or batch-sized:
+
+    - the band probe joins new bands against (stored + in-batch) bands
+      carrying IDS ONLY (no shingle arrays through the exchange);
+    - the stored-shingle fetch is a broadcast LeftSemi of candidate ids
+      against the bucket-partitioned shingles table (dynamic partition
+      pruning keys the scan on the candidate buckets) — never a
+      store-wide aggregate.
+    """
+    bands_dir = os.path.join(store_dir, "bands")
+    sh_dir = os.path.join(store_dir, "shingles")
+
+    new_bands = idx_new.select(id_col, "band_idx", "band_hash").withColumn(
+        "__stored", F.lit(False)
+    )
+    probe_side = new_bands
+    if os.path.isdir(bands_dir):
+        stored_bands = spark.read.schema(
+            idx_new.select(id_col, "band_idx", "band_hash").schema
+        ).parquet(bands_dir)
+        probe_side = stored_bands.withColumn("__stored", F.lit(True)).unionByName(
+            new_bands
+        )
+
+    a = idx_new.alias("a")  # the NEW doc
+    b = probe_side.alias("b")
+    # Candidate pairs dedupe on IDS ONLY — shingle arrays through the
+    # distinct would shuffle duplicated sets per matching band (the
+    # same scale bug class as vector-wide LSH distincts); shingles are
+    # re-fetched by id afterward. Checkpointed because both the verify
+    # join and the candidate-id fetch consume it.
+    pair_ids = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (
+                F.col("b.__stored")
+                | (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("old_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # One shingle row per doc via band_idx == 0 — a narrow filter, not
+    # a dropDuplicates shuffle.
+    sh_new = idx_new.filter(F.col("band_idx") == 0).select(
+        F.col(id_col).alias("new_id"), F.col("sh").alias("sh_new")
+    )
+    sh_old = idx_new.filter(F.col("band_idx") == 0).select(
+        F.col(id_col).alias("old_id"), F.col("sh").alias("sh_old")
+    )
+    if os.path.isdir(sh_dir):
+        cand_old = (
+            pair_ids.select("old_id")
+            .distinct()
+            .withColumn("__cb", _bucket(F.col("old_id")))
+        )
+        # Candidate buckets as STATIC partition filters: at most
+        # N_BUCKETS ints (a model-sized collect off the checkpointed
+        # candidate set, same class as skew counters) — deterministic
+        # partition pruning on the shingle scan, no reliance on DPP
+        # heuristics over stat-less checkpoints.
+        buckets = [r["__cb"] for r in cand_old.select("__cb").distinct().collect()]
+        if buckets:
+            stored_sh = spark.read.parquet(sh_dir).filter(
+                F.col("__bucket").isin(buckets)
+            )
+            stored_cand = (
+                stored_sh.join(
+                    F.broadcast(cand_old),
+                    (stored_sh["__bucket"] == cand_old["__cb"])
+                    & (stored_sh[id_col] == cand_old["old_id"]),
+                    "left_semi",
+                )
+                .select(F.col(id_col).alias("old_id"), F.col("sh").alias("sh_old"))
+            )
+            sh_old = sh_old.unionByName(stored_cand)
+
+    cands = pair_ids.join(sh_new, "new_id").join(sh_old, "old_id")
+    inter = F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
+    union = (F.size("sh_new") + F.size("sh_old")).cast("double") - inter
+    return (
+        cands.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
     )
 
 
@@ -82,66 +209,33 @@ def incremental_near_dup_filter(
 
     The store join is new-bands vs (stored + in-batch) bands on
     (band_idx, band_hash) with the smaller-id restriction; candidates
-    are verified with exact Jaccard on the stored shingle sets.
+    are verified with exact Jaccard on the stored shingle sets,
+    fetched by candidate id only (see ``_dropped_ids``).
     """
     idx_new = _index_batch(
         batch, id_col, text_col, n_hashes, bands, shingle_size
     ).localCheckpoint(eager=True)
 
-    # stored rows match ANY new doc (arrival precedence); in-batch rows
-    # only match LARGER-id new docs
-    probe_side = idx_new.withColumn("__stored", F.lit(False))
-    if os.path.isdir(store_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(store_dir)
-    ):
-        stored = spark.read.schema(idx_new.schema).parquet(store_dir)
-        probe_side = stored.withColumn("__stored", F.lit(True)).unionByName(
-            probe_side
-        )
-
-    a = idx_new.alias("a")  # the NEW doc
-    b = probe_side.alias("b")
-    # Candidate pairs dedupe on IDS ONLY — shingle arrays through the
-    # distinct would shuffle duplicated sets per matching band (the
-    # same scale bug class as vector-wide LSH distincts); shingles are
-    # re-fetched by id afterward.
-    pair_ids = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (
-                F.col("b.__stored")
-                | (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
-            ),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("new_id"),
-            F.col(f"b.{id_col}").alias("old_id"),
-        )
-        .distinct()
-    )
-    sh_new = idx_new.select(
-        F.col(id_col).alias("new_id"), F.col("sh").alias("sh_new")
-    ).dropDuplicates(["new_id"])
-    sh_old = probe_side.select(
-        F.col(id_col).alias("old_id"), F.col("sh").alias("sh_old")
-    ).dropDuplicates(["old_id"])
-    cands = pair_ids.join(sh_new, "new_id").join(sh_old, "old_id")
-    inter = F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
-    union = (F.size("sh_new") + F.size("sh_old")).cast("double") - inter
     dropped = (
-        cands.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("new_id").alias(id_col))
-        .distinct()
+        _dropped_ids(spark, idx_new, store_dir, id_col, threshold)
         # materialize BEFORE the store append below: the returned
         # ``kept`` frame must never observe this batch's own index
-        # rows through a re-read of the store directory
+        # rows through a re-read of the store directories
         .localCheckpoint(eager=True)
     )
     kept = batch.join(dropped, id_col, "left_anti")
-    idx_new.write.mode("append").parquet(store_dir)
+
+    idx_new.select(id_col, "band_idx", "band_hash").write.mode("append").parquet(
+        os.path.join(store_dir, "bands")
+    )
+    (
+        idx_new.filter(F.col("band_idx") == 0)
+        .select(F.col(id_col), F.col("sh"))
+        .withColumn("__bucket", _bucket(F.col(id_col)))
+        .write.mode("append")
+        .partitionBy("__bucket")
+        .parquet(os.path.join(store_dir, "shingles"))
+    )
     return kept
 
 

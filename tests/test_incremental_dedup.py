@@ -55,6 +55,53 @@ def test_incremental_single_batch_equals_offline(spark, tmp_path):
     assert {r.doc_id for r in kept.select("doc_id").collect()} == want
 
 
+def test_verify_stage_is_candidate_bounded(spark, tmp_path):
+    """Scale evidence for the per-batch cost bound: the stored-shingle
+    fetch must be (a) partition-pruned to the candidate buckets —
+    static __bucket IN (...) filters on the scan, and (b) a broadcast
+    LeftSemi against the candidate ids — never a store-wide shuffle or
+    dropDuplicates. A store-wide pass here made batch cost grow with
+    corpus lifetime (the r4 finding)."""
+    from ariadne_cartograph_spark.streaming.docs import (
+        N_BUCKETS,
+        _dropped_ids,
+        _index_batch,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    store = str(tmp_path / "store_plan")
+    # seed the store with most of the corpus, then probe a small batch
+    incremental_near_dup_filter(
+        spark, docs.filter(F.col("doc_id") < 60), store, threshold=THRESH
+    )
+    idx = _index_batch(
+        docs.filter(F.col("doc_id") >= 60),
+        "doc_id", "text", 32, 8, 3,
+    ).localCheckpoint(eager=True)
+    dropped = _dropped_ids(spark, idx, store, "doc_id", THRESH)
+    dropped.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        dropped._jdf.queryExecution(), "formatted"
+    )
+    scans = [b for b in plan.split("\n\n") if "shingles" in b and "Scan parquet" in b]
+    assert scans, "shingle store is not scanned via parquet"
+    for scan in scans:
+        pf = next(l for l in scan.splitlines() if "PartitionFilters" in l)
+        assert "__bucket" in pf and " IN " in pf, (
+            "shingle scan not partition-pruned to candidate buckets:\n" + scan
+        )
+    # the store side must reach the verify join via broadcast LeftSemi
+    assert "LeftSemi" in plan
+    # and no shingle array may ride a shuffle partitioning (store-wide
+    # dropDuplicates would): every Exchange keys on ids/buckets only
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "sh#" not in line and "sh_old" not in line and "sh_new" not in line, (
+                "shingle arrays shuffled: " + line
+            )
+    assert 0 < N_BUCKETS <= 256
+
+
 def test_foreachbatch_wiring(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     src = str(tmp_path / "src")
