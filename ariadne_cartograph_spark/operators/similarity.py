@@ -198,6 +198,7 @@ def ann_ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: str = "hash",
+    path: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: a coarse
     quantizer partitions the corpus into centroid cells; each query
@@ -227,13 +228,59 @@ def ann_ivf_topk(
         .collect()
     )
     cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
-    return _ivf_search(corpus, queries, cents, id_col, vec_col, k, n_probe)
+    return _ivf_search(corpus, queries, cents, id_col, vec_col, k, n_probe, path=path)
 
 
 def _centroid_score_array(vec: str | F.Column, cents: list[list[float]]) -> F.Column:
     """array<double> of cosine(vec, centroid_i) over literal centroids —
     pure column math, no join; the quantizer ships inside the plan."""
     return F.array(*[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents])
+
+
+# Above this many model floats (n_centroids × dim, or m × k × dsub for
+# PQ codebooks) the quantizer ships as ONE broadcast row instead of
+# inline plan literals: a literal plan at production ANN scale
+# (k=4096, dim=768 → 3.1M expression nodes) stalls Catalyst before any
+# data moves, while the broadcast-matrix plan is O(1) nodes at any k.
+LITERAL_MODEL_MAX = 10_000
+
+
+def _with_centroid_scores(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[list[float]],
+    out: str = "__cs",
+    path: str | None = None,
+) -> DataFrame:
+    """Attach ``out`` = array<double> of cosine(vec, centroid_i).
+
+    Two physically different, numerically IDENTICAL paths (same cosine
+    fold order element-by-element, so assignments and scores agree
+    bit-for-bit — pinned in tests/test_model_broadcast_path.py):
+
+    - ``"literal"``: centroids inline as plan literals (k×dim nodes) —
+      what the DuckDB oracles mirror; best below LITERAL_MODEL_MAX;
+    - ``"broadcast"``: the whole centroid matrix ships as a single
+      broadcast row (one-row crossJoin, the gmax pattern) and scores
+      come from a higher-order ``transform`` over it — constant plan
+      size regardless of model size.
+
+    ``path=None`` auto-selects by model size.
+    """
+    if path is None:
+        n_lits = len(cents) * (len(cents[0]) if cents else 0)
+        path = "literal" if n_lits <= LITERAL_MODEL_MAX else "broadcast"
+    if path == "literal":
+        return df.withColumn(out, _centroid_score_array(vec_col, cents))
+    cmat = df.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in cents],)],
+        "__cmat array<array<double>>",
+    )
+    return (
+        df.crossJoin(F.broadcast(cmat))
+        .withColumn(out, F.transform(F.col("__cmat"), lambda c: cosine(F.col(vec_col), c)))
+        .drop("__cmat")
+    )
 
 
 def _argmax_cell(scores: F.Column) -> F.Column:
@@ -250,27 +297,25 @@ def _ivf_search(
     vec_col: str,
     k: int,
     n_probe: int,
+    path: str | None = None,
 ) -> DataFrame:
     """IVF search path shared by the sampled and k-means quantizers:
-    assign corpus rows to their argmax-cosine cell (pure column math
-    over literal centroids), explode each query's n_probe best cells,
-    equi-join on cell, exact cosine rerank."""
-
-    def centroid_scores(vec: str) -> F.Column:
-        return _centroid_score_array(vec, cents)
-
-    argmax_cell = _argmax_cell
-
-    c_assigned = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        argmax_cell(centroid_scores(vec_col)).alias("cell"),
-    )
+    assign corpus rows to their argmax-cosine cell (column math over
+    the centroid model — literal or broadcast-matrix form, see
+    :func:`_with_centroid_scores`), explode each query's n_probe best
+    cells, equi-join on cell, exact cosine rerank."""
+    c_assigned = _with_centroid_scores(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec",
+        cents,
+        path=path,
+    ).select("c_id", "c_vec", _argmax_cell(F.col("__cs")).alias("cell"))
     # query side: explode the n_probe best cells
-    q_scored = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        centroid_scores(vec_col).alias("__cs"),
+    q_scored = _with_centroid_scores(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec",
+        cents,
+        path=path,
     )
     probe = F.slice(
         F.reverse(
@@ -317,7 +362,8 @@ def kmeans_centroids(
     first-max cell; iteration count is fixed.
 
     Scale design: each Lloyd round is ONE corpus pass — assignment is
-    pure column math against literal broadcast centroids (no join), and
+    column math against the centroid model (literal or broadcast-matrix
+    form, auto-selected by size — see _with_centroid_scores), and
     the update aggregates vec[i] per dimension as ``dim`` avg columns
     (map-side combinable, k×dim result — a model, not data; no
     posexplode shuffle of n×dim rows). Total cost: n_iter scans +
@@ -337,12 +383,9 @@ def kmeans_centroids(
         for r in corpus.select(id_col, vec_col).orderBy(*order).limit(n_centroids).collect()
     ]
     for _ in range(n_iter):
-        scores = F.array(
-            *[cosine(vec_col, F.array(*[F.lit(x) for x in c])) for c in cents]
-        )
-        cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
         upd = (
-            corpus.select(cell.alias("cell"), F.col(vec_col).alias("v"))
+            _with_centroid_scores(corpus.select(F.col(vec_col).alias("v")), "v", cents)
+            .select(_argmax_cell(F.col("__cs")).alias("cell"), "v")
             .groupBy("cell")
             .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(dim)])
             .collect()
@@ -363,6 +406,7 @@ def ann_ivf_topk_kmeans(
     n_centroids: int = 16,
     n_probe: int = 4,
     n_iter: int = 5,
+    path: str | None = None,
 ) -> DataFrame:
     """IVF search over a TRAINED coarse quantizer: Lloyd k-means
     centroids instead of sampled rows. Cells adapt to the data
@@ -377,7 +421,7 @@ def ann_ivf_topk_kmeans(
     (ann_ivf_topk, centroids="first") is the oracle-checked twin.
     """
     cents = kmeans_centroids(corpus, vec_col, n_centroids, n_iter, id_col=id_col)
-    return _ivf_search(corpus, queries, cents, id_col, vec_col, k, n_probe)
+    return _ivf_search(corpus, queries, cents, id_col, vec_col, k, n_probe, path=path)
 
 
 def embedding_near_dup_pairs(
