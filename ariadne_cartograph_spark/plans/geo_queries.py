@@ -298,6 +298,55 @@ def osm_ingest_feature_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("table_name")
 
 
+# Census under the STOCK osm2pgsql default.style with full flag
+# semantics (delete/polygon/area) — re-derived independently in
+# tests/test_osm_ingest.py::test_style_driven_feature_tables_census
+# via a plain ElementTree pass: point = nodes with a non-deleted tag
+# (107 — most fixture nodes carry only source/created_by/note, which
+# the stock style deletes); polygon = 756 closed ways with a
+# polygon-flagged tag (area rules applied) + 16 multipolygon
+# relations.
+_OSM_STYLE_ORACLE = """
+SELECT * FROM (VALUES
+  ('line',    CAST(1091 AS BIGINT)),
+  ('point',   CAST(107 AS BIGINT)),
+  ('polygon', CAST(772 AS BIGINT)),
+  ('roads',   CAST(79 AS BIGINT))
+) t(table_name, n_rows)
+ORDER BY table_name
+"""
+
+
+@register("osm_style_feature_tables", tags=["S5", "S6", "P12"], oracle=_OSM_STYLE_ORACLE)
+def osm_style_feature_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same planet_osm_* derivation driven by a REAL osm2pgsql
+    style file (README.md:17 `-S default.style`; format parsed by
+    sources/style.py): per-kind column promotion with datatype casts,
+    delete-flagged tags dropped before import, polygon membership from
+    the polygon flags + area=yes/no overrides. Value-hash checked
+    against the golden fixture census."""
+    from ..sources.osm import (
+        assemble_way_geometries,
+        default_style_rules,
+        derive_feature_tables,
+        read_osm_elements,
+        split_elements,
+    )
+
+    t = split_elements(read_osm_elements(spark, _OSM_PATH))
+    geo = assemble_way_geometries(t["nodes"], t["ways"])
+    tables = derive_feature_tables(
+        t["nodes"], geo, style=default_style_rules(), relations=t["relations"]
+    )
+    stats = None
+    for name, df in tables.items():
+        row = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
+        )
+        stats = row if stats is None else stats.unionByName(row)
+    return stats.orderBy("table_name")
+
+
 _OSM_TOPOLOGY_ORACLE = """
 SELECT CAST(604 AS BIGINT) AS n_edges,
        CAST(293 AS BIGINT) AS n_ways,

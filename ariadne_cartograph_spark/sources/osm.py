@@ -34,6 +34,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .style import StyleRule, default_style_rules, load_style, parse_style  # noqa: F401
+
 # Unified element schema (kind ∈ node|way|relation). Audit attrs per
 # osm/example.osm:4-6; tags/member lists JSON-encoded at this layer.
 _PARSED_SCHEMA = StructType(
@@ -228,7 +230,12 @@ def route_members(relations: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Style-driven tag promotion (P12) — the osm2pgsql "style file" as data:
 # (tag key → column) promotion, residual tags kept as the hstore-like
-# map (README.md:24-25).
+# map (README.md:24-25). Two forms:
+#   - a plain list of tag keys (the original shorthand — every key
+#     promoted as text, no flag semantics);
+#   - a list of sources.style.StyleRule parsed from a real osm2pgsql
+#     style file (README.md:17 `-S default.style`) — per-kind columns,
+#     datatype casts, and delete / nocolumn / polygon flag semantics.
 # ---------------------------------------------------------------------------
 
 DEFAULT_STYLE: list[str] = [
@@ -239,9 +246,45 @@ DEFAULT_STYLE: list[str] = [
     "oneway", "railway", "service", "source", "surface", "waterway",
 ]
 
+Style = "list[str] | list[StyleRule] | None"
 
-def promote_tags(df: DataFrame, style: list[str] | None = None) -> DataFrame:
-    """Promote style keys to typed columns; keep the residual map."""
+
+def _is_rules(style) -> bool:
+    return bool(style) and isinstance(style[0], StyleRule)
+
+
+def strip_deleted_tags(tags: F.Column | str, rules: list[StyleRule]) -> F.Column:
+    """Remove delete-flagged keys — osm2pgsql drops them before any
+    other processing, so they count neither for import eligibility nor
+    for the residual map."""
+    deleted = [r.tag for r in rules if r.is_deleted]
+    t = F.col(tags) if isinstance(tags, str) else tags
+    if not deleted:
+        return t
+    return F.map_filter(t, lambda k, _: ~k.isin(*[F.lit(d) for d in deleted]))
+
+
+def promote_tags(df: DataFrame, style=None, kind: str | None = None) -> DataFrame:
+    """Promote style keys to typed columns; keep the residual map as
+    ``other_tags``.
+
+    With ``StyleRule``s (``kind`` = "node" | "way" selects the
+    applicable rules): delete-flagged tags vanish entirely,
+    nocolumn-flagged tags stay map-only, promoted columns cast to the
+    rule's datatype. With a plain key list (legacy), every key promotes
+    as-is and the residual keeps everything else."""
+    if _is_rules(style):
+        rules = [r for r in style if kind is None or r.applies_to(kind)]
+        cols = [df[c] for c in df.columns]
+        col_rules = [r for r in rules if r.is_column]
+        promoted = [
+            F.col("tags").getItem(r.tag).cast(r.spark_type).alias(r.column)
+            for r in col_rules
+        ]
+        hidden = [r.tag for r in col_rules]  # promoted keys leave the map
+        live = strip_deleted_tags("tags", style)
+        residual = F.map_filter(live, lambda k, _: ~k.isin(*[F.lit(s) for s in hidden]))
+        return df.select(*cols, *promoted).withColumn("other_tags", residual).drop("tags")
     style = style or DEFAULT_STYLE
     cols = [df[c] for c in df.columns]
     promoted = [
@@ -359,7 +402,7 @@ def assemble_multipolygons(relations: DataFrame, ways_with_geom: DataFrame) -> D
 def derive_feature_tables(
     nodes: DataFrame,
     ways_with_geom: DataFrame,
-    style: list[str] | None = None,
+    style=None,
     relations: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The planet_osm_* table family (README.md:33-38):
@@ -367,20 +410,61 @@ def derive_feature_tables(
     + multipolygon relations when ``relations`` is given), roads
     (low-zoom subset of line). Relation-derived polygon rows carry
     osm2pgsql's id convention: osm_id = -relation_id (negative ids mark
-    relation provenance and cannot collide with way ids)."""
+    relation provenance and cannot collide with way ids).
+
+    ``style`` as a plain key list keeps the original shorthand
+    semantics (polygon = closed + any tag). As ``StyleRule``s from a
+    real osm2pgsql style file (README.md:17), full flag semantics
+    apply: delete-flagged tags never count (a node whose only tags are
+    deleted is not imported), and a closed way is a polygon iff it
+    carries a polygon-flagged tag — with the ``area=yes``/``area=no``
+    overrides — matching the osm2pgsql area rules."""
     from ..functions.geometry import is_closed_ring
 
-    tagged_nodes = nodes.filter(
-        F.col("tags").isNotNull() & (F.size(F.map_keys("tags")) > 0)
-    )
-    point = promote_tags(tagged_nodes, style)
-    line = promote_tags(ways_with_geom, style)
-    closed = ways_with_geom.filter(
-        is_closed_ring("node_refs") & F.col("tags").isNotNull()
-    )
-    polygon = promote_tags(closed, style).withColumn(
-        "holes", F.array().cast("array<array<struct<lng:double,lat:double>>>")
-    )
+    if _is_rules(style):
+        live_node_tags = strip_deleted_tags("tags", style)
+        tagged_nodes = nodes.filter(
+            F.col("tags").isNotNull() & (F.size(F.map_keys(live_node_tags)) > 0)
+        )
+        point = promote_tags(tagged_nodes, style, kind="node")
+        line = promote_tags(ways_with_geom, style, kind="way")
+        poly_keys = [
+            r.tag for r in style if r.is_polygon and r.applies_to("way")
+        ]
+        has_poly_tag = (
+            F.size(
+                F.map_filter(
+                    "tags", lambda k, _: k.isin(*[F.lit(p) for p in poly_keys])
+                )
+            )
+            > 0
+        )
+        area = F.col("tags").getItem("area")
+        is_area = (area == "yes") | (
+            has_poly_tag & (area.isNull() | (area != "no"))
+        )
+        live_way_tags = strip_deleted_tags("tags", style)
+        closed = ways_with_geom.filter(
+            is_closed_ring("node_refs")
+            & F.col("tags").isNotNull()
+            & (F.size(F.map_keys(live_way_tags)) > 0)
+            & is_area
+        )
+        polygon = promote_tags(closed, style, kind="way").withColumn(
+            "holes", F.array().cast("array<array<struct<lng:double,lat:double>>>")
+        )
+    else:
+        tagged_nodes = nodes.filter(
+            F.col("tags").isNotNull() & (F.size(F.map_keys("tags")) > 0)
+        )
+        point = promote_tags(tagged_nodes, style)
+        line = promote_tags(ways_with_geom, style)
+        closed = ways_with_geom.filter(
+            is_closed_ring("node_refs") & F.col("tags").isNotNull()
+        )
+        polygon = promote_tags(closed, style).withColumn(
+            "holes", F.array().cast("array<array<struct<lng:double,lat:double>>>")
+        )
     if relations is not None:
         rel_rings = assemble_multipolygons(relations, ways_with_geom)
         rel_tagged = rel_rings.join(
@@ -391,12 +475,21 @@ def derive_feature_tables(
             "geom",
             "holes",
         )
-        rel_poly = promote_tags(rel_tagged, style)
+        rel_poly = (
+            promote_tags(rel_tagged, style, kind="way")
+            if _is_rules(style)
+            else promote_tags(rel_tagged, style)
+        )
         polygon = polygon.unionByName(rel_poly, allowMissingColumns=True)
+    # a custom style may not promote highway/railway at all — treat a
+    # missing column as null (empty roads subset for that predicate)
+    def _col_or_null(name: str) -> F.Column:
+        return line[name] if name in line.columns else F.lit(None).cast("string")
+
     roads = line.filter(
-        F.col("highway").isin(
+        _col_or_null("highway").isin(
             "motorway", "trunk", "primary", "secondary", "tertiary", "residential"
         )
-        | F.col("railway").isNotNull()
+        | _col_or_null("railway").isNotNull()
     )
     return {"point": point, "line": line, "polygon": polygon, "roads": roads}

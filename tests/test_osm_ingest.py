@@ -157,6 +157,157 @@ def test_feature_tables_with_relations_census(tables):
     assert t["polygon"].filter(F.col("id") < 0).count() == n_mp == 16
 
 
+def test_style_file_parser():
+    """The osm2pgsql style-file format (README.md:17 `-S
+    default.style`): OsmType / Tag / DataType / Flags lines, comments,
+    flag validation."""
+    from ariadne_cartograph_spark.sources.style import (
+        default_style_rules,
+        parse_style,
+    )
+
+    rules = parse_style(
+        """
+# comment line
+node,way   building   text   polygon
+way        tracktype  text   linear
+node,way   note       text   delete   # trailing comment
+node,way   z_order    int4   linear
+node,way   odd        text   nocolumn,nocache
+"""
+    )
+    assert len(rules) == 5
+    b = rules[0]
+    assert b.osm_types == {"node", "way"} and b.is_polygon and b.is_column
+    assert rules[1].osm_types == {"way"} and not rules[1].applies_to("node")
+    assert rules[2].is_deleted and not rules[2].is_column
+    assert rules[3].spark_type == "int"
+    assert not rules[4].is_column and not rules[4].is_deleted
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_style("node,way  building  text  bogusflag")
+    with _pytest.raises(ValueError):
+        parse_style("relation  building  text  polygon")
+
+    dflt = default_style_rules()
+    assert {r.tag for r in dflt if r.is_deleted} == {"source", "created_by", "note"}
+    assert "building" in {r.tag for r in dflt if r.is_polygon}
+    assert "highway" not in {r.tag for r in dflt if r.is_polygon}
+
+
+def test_style_driven_feature_tables_census(tables):
+    """Full osm2pgsql flag semantics under the stock default.style,
+    golden-checked against an independent ElementTree census: deleted
+    tags (source/created_by/note) don't make a node importable, and a
+    closed way is a polygon iff it carries a polygon-flagged tag
+    (area=yes/no overrides)."""
+    import xml.etree.ElementTree as ET
+
+    from ariadne_cartograph_spark.sources.style import default_style_rules
+
+    rules = default_style_rules()
+    deleted = {r.tag for r in rules if r.is_deleted}
+    poly_keys = {r.tag for r in rules if r.is_polygon and r.applies_to("way")}
+
+    root = ET.parse(OSM_PATH).getroot()
+    want_point, want_poly = 0, 0
+    for el in root:
+        xtags = {t.get("k"): t.get("v") for t in el if t.tag == "tag"}
+        live = {k: v for k, v in xtags.items() if k not in deleted}
+        if el.tag == "node" and live:
+            want_point += 1
+        elif el.tag == "way":
+            refs = [nd.get("ref") for nd in el if nd.tag == "nd"]
+            closed = len(refs) >= 4 and refs[0] == refs[-1]
+            area = xtags.get("area")
+            is_area = (area == "yes") or (
+                bool(poly_keys & set(xtags)) and area != "no"
+            )
+            if closed and live and is_area:
+                want_poly += 1
+
+    t = derive_feature_tables(
+        tables["nodes"],
+        assemble_way_geometries(tables["nodes"], tables["ways"]),
+        style=rules,
+        relations=tables["relations"],
+    )
+    assert t["point"].count() == want_point == 107
+    assert t["line"].count() == 1091
+    assert t["polygon"].count() == want_poly + 16 == 772
+    assert t["roads"].count() == 79
+    # promoted columns follow the style's column set + datatypes
+    assert "addr_housenumber" in t["point"].columns
+    assert dict(t["line"].dtypes)["z_order"] == "int"
+    # deleted keys are gone from the residual map too
+    n_src = t["line"].filter(
+        F.map_contains_key("other_tags", "source")
+    ).count()
+    assert n_src == 0
+    # legacy path promoted 'source' as a column; the real style deletes it
+    assert "source" not in t["line"].columns
+
+
+def test_custom_style_changes_promotion(tables, spark):
+    """A user-supplied style reshapes the table layout: different
+    column set, delete flags hide tags entirely, nocolumn keeps a tag
+    map-only."""
+    from ariadne_cartograph_spark.sources.osm import promote_tags
+    from ariadne_cartograph_spark.sources.style import parse_style
+
+    custom = parse_style(
+        """
+node,way   highway    text   linear
+node,way   crossing   text   linear
+node,way   building   text   delete
+node,way   name       text   nocolumn
+"""
+    )
+    ways = tables["ways"]
+    p = promote_tags(ways, custom, kind="way")
+    assert "crossing" in p.columns and "highway" in p.columns
+    assert "building" not in p.columns and "name" not in p.columns
+    # deleted: building vanishes from the residual map as well
+    assert p.filter(F.map_contains_key("other_tags", "building")).count() == 0
+    # nocolumn: name still reachable in the map
+    assert p.filter(F.map_contains_key("other_tags", "name")).count() > 0
+
+
+def test_area_tag_overrides(spark):
+    """area=yes promotes a linear-tagged closed way into the polygon
+    table; area=no demotes a polygon-tagged one (the osm2pgsql area
+    rules)."""
+    from ariadne_cartograph_spark.sources.style import parse_style
+
+    rules = parse_style(
+        """
+node,way   highway   text   linear
+node,way   building  text   polygon
+"""
+    )
+    ring = [1, 2, 3, 1]
+    ways = spark.createDataFrame(
+        [
+            (1, ring, {"highway": "pedestrian", "area": "yes"}),
+            (2, ring, {"highway": "pedestrian"}),
+            (3, ring, {"building": "yes", "area": "no"}),
+            (4, ring, {"building": "yes"}),
+        ],
+        "id long, node_refs array<long>, tags map<string,string>",
+    )
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 0.0)],
+        "id long, lon double, lat double",
+    ).select("id", "lat", "lon", F.lit(None).cast("map<string,string>").alias("tags"))
+    geo = assemble_way_geometries(
+        nodes.select("id", "lon", "lat", "tags"), ways
+    )
+    t = derive_feature_tables(nodes, geo, style=rules)
+    got = {r["id"] for r in t["polygon"].select("id").collect()}
+    assert got == {1, 4}
+
+
 def test_turn_restrictions_golden(tables):
     """osm2pgrouting --attributes/--tags analog: the fixture's 8
     restriction relations, hand-checked triples from the XML."""
