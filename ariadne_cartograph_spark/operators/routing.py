@@ -48,6 +48,24 @@ def edge_adjacency(
     return fwd.unionByName(rev)
 
 
+def cost_adjacency(edges: DataFrame) -> DataFrame:
+    """Directed (u, v, w) adjacency from :func:`topology.edge_costs`
+    output: forward arcs at ``cost_s``; backward arcs only where
+    ``reverse_cost_s >= 0`` (pgRouting's ``-1`` marks oneway edges as
+    non-traversable backwards). This is the real cost model the
+    reference's enrichment exists to feed — per-class travel time, not
+    unit hops."""
+    fwd = edges.select(
+        F.col("source").alias("u"), F.col("target").alias("v"),
+        F.col("cost_s").alias("w"),
+    )
+    rev = edges.filter(F.col("reverse_cost_s") >= 0).select(
+        F.col("target").alias("u"), F.col("source").alias("v"),
+        F.col("reverse_cost_s").alias("w"),
+    )
+    return fwd.unionByName(rev)
+
+
 def shortest_paths(
     adj: DataFrame,
     source_vertices: list[int],

@@ -55,11 +55,66 @@ def extract_turn_restrictions(relations: DataFrame) -> DataFrame:
     )
 
 
+# osm2pgrouting-style default speeds per highway class (km/h) — the
+# mapconfig.xml convention: cost is travel TIME, not length, so edge
+# weights reflect the way class the enrichment pipeline annotates.
+DEFAULT_SPEEDS_KMH: dict[str, float] = {
+    "motorway": 110.0, "motorway_link": 60.0,
+    "trunk": 90.0, "trunk_link": 50.0,
+    "primary": 60.0, "primary_link": 40.0,
+    "secondary": 50.0, "secondary_link": 35.0,
+    "tertiary": 40.0, "tertiary_link": 30.0,
+    "residential": 30.0, "living_street": 10.0,
+    "unclassified": 30.0, "service": 20.0, "track": 15.0,
+    "cycleway": 15.0, "footway": 5.0, "path": 5.0, "pedestrian": 5.0,
+    "steps": 2.0,
+}
+
+
+def edge_costs(
+    edges: DataFrame,
+    speeds_kmh: dict[str, float] | None = None,
+    default_kmh: float = 40.0,
+) -> DataFrame:
+    """Append osm2pgrouting-style cost columns to an attributed edge
+    table (requires the highway/oneway columns
+    :func:`build_topology` carries): ``length_m``, ``cost_s`` =
+    seconds at the class speed, and ``reverse_cost_s`` = cost_s, or
+    ``-1`` (non-traversable, the pgRouting convention) when the way is
+    oneway. Pure column math — a literal speed map lookup, no joins."""
+    from ..functions.geometry import linestring_length_m
+
+    speeds = speeds_kmh or DEFAULT_SPEEDS_KMH
+    speed_map = F.create_map(
+        *[F.lit(x) for kv in speeds.items() for x in kv]
+    )
+    kmh = F.coalesce(
+        F.element_at(speed_map, F.col("highway")), F.lit(float(default_kmh))
+    )
+    length = linestring_length_m("geom")
+    cost = length / (kmh / 3.6)
+    oneway_fwd = F.col("oneway").isin("yes", "true", "1")
+    return (
+        edges.withColumn("length_m", length)
+        .withColumn("cost_s", cost)
+        .withColumn(
+            "reverse_cost_s",
+            F.when(oneway_fwd, F.lit(-1.0)).otherwise(F.col("cost_s")),
+        )
+    )
+
+
 def build_topology(nodes: DataFrame, ways: DataFrame) -> dict[str, DataFrame]:
     """→ {edges, vertices}.
 
     edges: gid (dense id), osm_way_id, source, target (vertex node
-    ids), geom (array<struct<lng,lat>>), plus way tags carried over.
+    ids), geom (array<struct<lng,lat>>), plus way attributes carried
+    over — the `--attributes --tags` part of the osm2pgrouting import
+    (`/root/reference/README.md:44`): promoted highway / name / oneway
+    columns and the full tags map (when the input carries tags), so
+    routing cost models (see :func:`edge_costs`) have the way class on
+    every edge. The attribute join keys on way_id — the same key the
+    segment aggregation just shuffled on, so it co-locates.
     A node is a split point if it appears in >1 way or >1 time in one
     way (self-intersection), or is a way endpoint.
     """
@@ -130,6 +185,17 @@ def build_topology(nodes: DataFrame, ways: DataFrame) -> dict[str, DataFrame]:
         "gid",
         (F.col("osm_way_id") * F.lit(65536) + F.col("seg_id")).cast("long"),
     ).select("gid", "osm_way_id", "seg_id", "source", "target", "geom")
+    if "tags" in ways.columns:
+        attrs = ways.select(
+            F.col("id").alias("__w_id"),
+            F.col("tags").getItem("highway").alias("highway"),
+            F.col("tags").getItem("name").alias("name"),
+            F.col("tags").getItem("oneway").alias("oneway"),
+            F.col("tags"),
+        )
+        edges = edges.join(
+            attrs, edges["osm_way_id"] == attrs["__w_id"], "left"
+        ).drop("__w_id")
     vertices = (
         edges.select(F.col("source").alias("node_id"))
         .unionAll(edges.select(F.col("target")))

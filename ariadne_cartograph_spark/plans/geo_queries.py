@@ -347,13 +347,20 @@ def osm_style_feature_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("table_name")
 
 
+# Attribute columns (--attributes --tags analog): 8 distinct highway
+# classes / 9 oneway ways / 84 named ways among edge-producing routable
+# ways — independently re-derived from the XML in
+# tests/test_topology_spatial.py::test_edge_attributes_census.
 _OSM_TOPOLOGY_ORACLE = """
 SELECT CAST(604 AS BIGINT) AS n_edges,
        CAST(293 AS BIGINT) AS n_ways,
        CAST(419 AS BIGINT) AS n_sources,
        CAST(407 AS BIGINT) AS n_targets,
        CAST(1701 AS BIGINT) AS total_vertices,
-       CAST(872070915274 AS BIGINT) AS sum_source_ids
+       CAST(872070915274 AS BIGINT) AS sum_source_ids,
+       CAST(8 AS BIGINT) AS n_highway_classes,
+       CAST(9 AS BIGINT) AS n_oneway_ways,
+       CAST(84 AS BIGINT) AS n_named_ways
 """
 
 
@@ -375,6 +382,14 @@ def osm_topology_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("target").alias("n_targets"),
         F.sum(F.size("geom")).cast("bigint").alias("total_vertices"),
         F.sum("source").cast("bigint").alias("sum_source_ids"),
+        # --attributes --tags evidence: way attributes ride every edge
+        F.countDistinct("highway").alias("n_highway_classes"),
+        F.countDistinct(
+            F.when(F.col("oneway").isin("yes", "true", "1"), F.col("osm_way_id"))
+        ).alias("n_oneway_ways"),
+        F.countDistinct(
+            F.when(F.col("name").isNotNull(), F.col("osm_way_id"))
+        ).alias("n_named_ways"),
     )
 
 

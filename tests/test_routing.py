@@ -123,6 +123,50 @@ def test_weighted_matches_python_dijkstra(spark, topo_edges, edge_list):
         assert got[k] == pytest.approx(v, abs=1e-4), k
 
 
+def test_weighted_routing_with_class_costs(spark, topo_edges):
+    """Routing over the REAL per-class cost model (edge_costs: travel
+    seconds from the highway class carried onto every edge, oneway →
+    reverse_cost -1) vs a pure-Python Dijkstra on the same cost table —
+    the osm2pgrouting cost/reverse_cost consumption path."""
+    from ariadne_cartograph_spark.operators.routing import cost_adjacency
+    from ariadne_cartograph_spark.operators.topology import edge_costs
+
+    ec = edge_costs(topo_edges).localCheckpoint(eager=True)
+    # class speeds actually differentiate edges (8 classes in fixture)
+    n_speeds = (
+        ec.select((F.col("length_m") / F.col("cost_s")).alias("mps"))
+        .distinct()
+        .count()
+    )
+    assert n_speeds > 1
+    rows = ec.select("source", "target", "cost_s", "reverse_cost_s").collect()
+    g = defaultdict(list)
+    for r in rows:
+        g[r.source].append((r.target, r.cost_s))
+        if r.reverse_cost_s >= 0:
+            g[r.target].append((r.source, r.reverse_cost_s))
+    src = min(min(r.source, r.target) for r in rows)
+    dist = {src: 0.0}
+    pq = [(0.0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, math.inf):
+            continue
+        for v, w in g[u]:
+            nd = d + w
+            if nd < dist.get(v, math.inf) - 1e-9:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+
+    got = {
+        r.node_id: r.dist
+        for r in shortest_paths(cost_adjacency(ec), [src], max_iter=60).collect()
+    }
+    assert set(got) == set(dist)
+    for k, v in dist.items():
+        assert got[k] == pytest.approx(v, abs=1e-6), k
+
+
 def test_pagerank_mass_and_determinism(spark):
     from pyspark.sql import functions as F
 

@@ -40,6 +40,50 @@ def test_topology_structure(topo):
     assert mismatched == 0
 
 
+def test_edge_attributes_census(topo):
+    """--attributes --tags analog (README.md:44): every edge carries
+    its way's highway / name / oneway and tags map. Golden numbers
+    re-derived from the XML with a plain ElementTree pass (the same
+    literals pinned in the osm_topology_edges oracle)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(OSM_PATH).getroot()
+    classes, oneway_ways, named_ways = set(), set(), set()
+    for el in root:
+        if el.tag != "way":
+            continue
+        tags = {t.get("k"): t.get("v") for t in el if t.tag == "tag"}
+        refs = [nd.get("ref") for nd in el if nd.tag == "nd"]
+        if "highway" not in tags or len(refs) < 2:
+            continue
+        classes.add(tags["highway"])
+        if tags.get("oneway") in ("yes", "true", "1"):
+            oneway_ways.add(el.get("id"))
+        if "name" in tags:
+            named_ways.add(el.get("id"))
+
+    e = topo["edges"]
+    got = e.agg(
+        F.countDistinct("highway").alias("n_classes"),
+        F.countDistinct(
+            F.when(F.col("oneway").isin("yes", "true", "1"), F.col("osm_way_id"))
+        ).alias("n_oneway"),
+        F.countDistinct(
+            F.when(F.col("name").isNotNull(), F.col("osm_way_id"))
+        ).alias("n_named"),
+    ).collect()[0]
+    assert got.n_classes == len(classes) == 8
+    assert got.n_oneway == len(oneway_ways) == 9
+    assert got.n_named == len(named_ways) == 84
+    # known way: every segment of Oakdale Street keeps its attributes
+    segs = e.filter(F.col("osm_way_id") == 13302656).collect()
+    assert segs
+    for s in segs:
+        assert s.highway == "residential"
+        assert s.name == "Oakdale Street"
+        assert s.tags["highway"] == "residential"
+
+
 def test_topology_micro_fixture(spark):
     # two ways crossing at node 3: A = 1-2-3-4, B = 5-3-6
     nodes = spark.createDataFrame(
