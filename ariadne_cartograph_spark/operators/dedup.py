@@ -40,10 +40,21 @@ def _track_persist(df: DataFrame) -> DataFrame:
     # Shingle frames are hot but small relative to executor memory;
     # deserialized memory-only avoids paying disk-spill serialization
     # for frames cheap to recompute. Overridable for profiling.
-    level = os.environ.get("SPARK_GRAFT_PERSIST_LEVEL", "MEMORY_ONLY")
-    if level == "NONE":
+    level_name = os.environ.get("SPARK_GRAFT_PERSIST_LEVEL", "MEMORY_ONLY")
+    if level_name == "NONE":
         return df
-    cached = df.persist(getattr(StorageLevel, level))
+    level = getattr(StorageLevel, level_name, None)
+    if not isinstance(level, StorageLevel):
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_PERSIST_LEVEL={level_name!r} is not a pyspark "
+            "StorageLevel (e.g. MEMORY_ONLY, MEMORY_AND_DISK, DISK_ONLY, "
+            "or NONE to disable); falling back to MEMORY_ONLY",
+            stacklevel=2,
+        )
+        level = StorageLevel.MEMORY_ONLY
+    cached = df.persist(level)
     _LIVE_CACHES.append(cached)
     return cached
 

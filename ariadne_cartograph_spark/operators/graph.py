@@ -28,16 +28,23 @@ from pyspark.sql import functions as F
 def pagerank(
     edges: DataFrame, d: float = 0.85, n_iter: int = 3
 ) -> DataFrame:
-    """Fixed-iteration PageRank over a directed edge list ``(u, v)``
-    (pass both directions for an undirected graph — then every vertex
-    has out-degree ≥ 1 and no dangling-mass term is needed).
+    """Fixed-iteration PageRank over a directed edge list ``(u, v)``.
+
+    The vertex set is the UNION of both endpoints, so sink vertices
+    (incoming edges only) receive and report rank. Dangling mass is
+    NOT redistributed: a sink's own rank stays with it instead of
+    spreading uniformly, the common simplification — pass both edge
+    directions for an undirected graph and the question disappears
+    (every vertex then has out-degree ≥ 1, total mass stays 1).
 
     Returns (node_id, pr float32): double math inside the rounds, f32
     at the surface (per-group float sums differ in final ulps across
     engines/partition orders; SURVEY.md §5.2 float policy).
     """
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    verts = edges.select("u").distinct()
+    verts = (
+        edges.select("u").unionByName(edges.select(F.col("v").alias("u"))).distinct()
+    )
     n = verts.count()
     pr = verts.select(F.col("u").alias("node_id"), F.lit(1.0 / n).alias("pr"))
     for _ in range(n_iter):

@@ -126,7 +126,6 @@ def snapshot_diff(
     """
     o = old.select(F.col(key), *[F.col(c).alias(f"old_{c}") for c in compare_cols])
     n = new.select(F.col(key), *[F.col(c).alias(f"new_{c}") for c in compare_cols])
-    joined = o.join(n, key, "full_outer")
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))

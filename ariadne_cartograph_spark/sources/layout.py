@@ -186,15 +186,24 @@ def compact_parquet_dir(
     ceil(bytes / target) files, optionally re-sorted so min/max stats
     regain selectivity. Returns the new file count.
 
-    The rewrite goes through a sibling temp dir + atomic-ish swap
-    (rename old → trash, temp → live, delete trash) so a concurrent
-    reader sees either the old or the new layout, never a partial one.
-    At real scale this is a table-format job (Iceberg/Delta rewrite
-    actions hold a lock / use snapshots); the file-swap form here is
-    the no-dependency equivalent for plain parquet dirs."""
+    SINGLE-WRITER, NO-CONCURRENT-READER semantics: the rewrite goes
+    through a sibling temp dir and two renames (old → trash, temp →
+    live), and between those renames the live path briefly does not
+    exist — a reader racing the swap can fail. A crash in that window
+    is recoverable: the next call restores the trash dir before
+    compacting (no data loss either way — the data sits complete in
+    trash). At real scale this is a table-format job (Iceberg/Delta
+    rewrite actions hold a lock / use snapshots); the file-swap form
+    here is the no-dependency equivalent for plain parquet dirs."""
     import math
     import os
     import shutil
+
+    trash0 = path.rstrip("/") + ".__compact_old__"
+    if not os.path.isdir(path) and os.path.isdir(trash0):
+        # crashed between the two renames of a previous run: the trash
+        # dir holds the complete pre-compaction data — restore it.
+        os.rename(trash0, path)
 
     files = [
         os.path.join(dp, f)

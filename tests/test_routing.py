@@ -167,6 +167,19 @@ def test_weighted_routing_with_class_costs(spark, topo_edges):
         assert got[k] == pytest.approx(v, abs=1e-6), k
 
 
+def test_pagerank_directed_sinks_get_rank(spark):
+    """On a directed chain 1→2→3, vertex 3 has only incoming edges —
+    it must still appear with accumulated rank (the r4 advice: a
+    source-only vertex set silently dropped sinks and their mass)."""
+    from ariadne_cartograph_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    rows = {r["node_id"]: r["pr"] for r in pagerank(edges, d=0.85, n_iter=5).collect()}
+    assert set(rows) == {1, 2, 3}
+    # rank flows downstream: the sink outranks the source
+    assert rows[3] > rows[2] > rows[1]
+
+
 def test_pagerank_mass_and_determinism(spark):
     from pyspark.sql import functions as F
 
