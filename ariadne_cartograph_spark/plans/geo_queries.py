@@ -272,7 +272,12 @@ ORDER BY table_name
 """
 
 
-@register("osm_ingest_feature_tables", tags=["S6", "S7", "P12", "P13"], oracle=_OSM_INGEST_ORACLE)
+@register(
+    "osm_ingest_feature_tables",
+    headline=True,  # fences the OSM XML mapInPandas ingest (r4 advice)
+    tags=["S6", "S7", "P12", "P13"],
+    oracle=_OSM_INGEST_ORACLE,
+)
 def osm_ingest_feature_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full osm2pgsql-analog ingest on the reference fixture: XML →
     element tables → way-geometry assembly → style-driven promotion →

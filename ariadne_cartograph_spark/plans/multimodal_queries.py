@@ -23,6 +23,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_stats",
+    headline=True,  # fences the Arrow mapInPandas machinery (r4 advice)
     tags=["U3"],
     oracle="""
 WITH m AS (

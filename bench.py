@@ -28,6 +28,11 @@ BASELINE_QUERIES: dict[str, float] = {
     "events_stream_session_parity": 3.406,
     "events_tumbling_hourly": 0.427,
     "minhash_lsh_near_dup": 2.815,
+    # r5 Arrow-path fences (the advice item): the OSM XML mapInPandas
+    # ingest and the multimodal image mapInPandas stage — a regression
+    # in the Arrow machinery is now fence-visible.
+    "multimodal_image_stats": 0.6,
+    "osm_ingest_feature_tables": 3.43,
     "ngram_jaccard_near_dup": 2.526,
     "ngram_jaccard_skewed_corpus": 3.0,  # r4 PPJoin positional filter
     "q10_returned_items": 0.987,
