@@ -322,7 +322,7 @@ ORDER BY table_name
 """
 
 
-@register("osm_style_feature_tables", tags=["S5", "S6", "P12"], oracle=_OSM_STYLE_ORACLE)
+@register("osm_style_feature_tables", tags=["S6", "P12"], oracle=_OSM_STYLE_ORACLE)
 def osm_style_feature_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same planet_osm_* derivation driven by a REAL osm2pgsql
     style file (README.md:17 `-S default.style`; format parsed by
