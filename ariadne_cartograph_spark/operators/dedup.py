@@ -277,6 +277,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    _sh: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT join: C(a,b) = |A∩B| / min(|A|,|B|).
+
+    Jaccard misses partial copies — a paragraph quoted inside a much
+    longer document has high containment but low Jaccard because the
+    union is dominated by the longer side. Containment normalizes by
+    the smaller set, so it flags quote/excerpt-style duplication
+    (the signal used for "document A is substantially inside B"
+    decisions in crawl curation).
+
+    Same physical shape as ngram_jaccard_pairs: 8-byte hashed-shingle
+    equi-self-join → per-pair intersection count → size lookups. The
+    Σ df² candidate bound and its skew remedies apply identically
+    (route hot-shingle corpora through the prefix/auto variants first
+    to produce the candidate set, then score containment on it).
+    """
+    sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_size)
+    exploded = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

@@ -78,3 +78,46 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )
     return b.join(s, [*on, _SALT], how).drop(_SALT)
+
+
+def salted_topk_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list,
+    k: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Top-k rows per key without a full per-key window sort.
+
+    ``row_number().over(partitionBy(key))`` funnels every row of a hot
+    key through ONE reducer and sorts all of them — at crawl scale a
+    single domain can be 10% of the corpus, and AQE does not split
+    window partitions the way it splits joins. Two phases instead:
+
+    1. window over (key, salt): each of the n_salts sub-partitions
+       keeps its local top-k (bounded sort, parallel across salts);
+    2. window over key on the ≤ n_salts·k survivors: exact top-k.
+
+    Lossless for any k: a global top-k row is top-k within its salt
+    bucket a fortiori. ``order_by`` must be a total order (add a
+    unique id as the last column) or ties make the result
+    nondeterministic — same contract as the plain window.
+    """
+    from pyspark.sql import Window
+
+    ob = [c if not isinstance(c, str) else F.col(c) for c in order_by]
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(*keys, _SALT).orderBy(*ob)
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", _SALT)
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*ob)
+    return (
+        local.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

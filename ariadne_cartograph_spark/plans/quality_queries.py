@@ -449,3 +449,38 @@ def corpus_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decision")
     )
+
+
+@register(
+    "corpus_domain_cap",
+    tags=["U5", "W6", "W3"],
+    oracle=r"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source, n_chars FROM ranked
+WHERE rn <= 5
+ORDER BY source, n_chars DESC, doc_id
+""",
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain over-representation cap (the C4/RefinedWeb-style
+    "no domain dominates the corpus" rule): keep the top 5 docs per
+    source by length, deterministic doc_id tie-break.
+
+    Runs through operators/skew.salted_topk_per_key — two bounded
+    window phases instead of one full sort per domain, because at
+    crawl scale a single hot domain funnels through one reducer under
+    the plain window (AQE does not split window partitions). Lossless
+    vs the plain window (pinned in tests/test_skew.py); the oracle IS
+    the plain window.
+    """
+    from ..operators.skew import salted_topk_per_key
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = salted_topk_per_key(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], k=5
+    )
+    return kept.orderBy("source", F.col("n_chars").desc(), "doc_id")

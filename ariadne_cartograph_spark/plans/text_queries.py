@@ -157,6 +157,47 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_CONTAINMENT_THRESHOLD = 0.7
+
+
+@register(
+    "ngram_containment_pairs",
+    tags=["W6", "U4"],
+    oracle=rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= {_CONTAINMENT_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-copy detection: containment = |A∩B| / min(|A|,|B|)
+    flags excerpt/quote duplication that Jaccard's union-normalization
+    hides (a paragraph inside a 100x longer doc). Same bucketed
+    hashed-shingle equi-join shape as the Jaccard entry — see
+    operators/dedup.ngram_containment_pairs for the scale notes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=_CONTAINMENT_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
 # --------------------------------------------------------------------------
 # Skewed-corpus near-dup — the 100 TB stress shape. Every document gets
 # the same boilerplate footer appended (ToS / license banners in real

@@ -331,3 +331,31 @@ def test_repeated_span_coverage_semantics(spark):
     assert rows[3]["n_repeated"] == 0
     # sub-k docs have no windows: absent from output by contract
     assert 4 not in rows
+
+
+def test_containment_catches_partial_copy_jaccard_misses(spark):
+    """An excerpt embedded in a much longer doc: containment ~1.0,
+    Jaccard far below any near-dup threshold."""
+    from ariadne_cartograph_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    excerpt = " ".join(f"w{i}" for i in range(30))
+    long_doc = excerpt + " " + " ".join(f"x{i}" for i in range(400))
+    other = " ".join(f"y{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, excerpt), (2, long_doc), (3, other)], ["doc_id", "text"]
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", shingle_size=3, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert (1, 3) not in cont and (2, 3) not in cont
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_size=3, threshold=0.5
+    ).collect()
+    assert jac == []  # union-normalized similarity misses the copy

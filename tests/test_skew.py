@@ -124,3 +124,38 @@ def test_prefix_join_lossless_on_random_corpora(spark):
                 f"trial {trial} thr {thr}: prefix lost "
                 f"{exact - pref} / gained {pref - exact}"
             )
+
+
+def test_salted_topk_matches_plain_window(spark):
+    from pyspark.sql import Window
+
+    from ariadne_cartograph_spark.operators.skew import salted_topk_per_key
+
+    df = _skewed_df(spark).withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    order = [F.col("v").desc(), F.col("uid")]
+    w = Window.partitionBy("k").orderBy(*order)
+    plain = sorted(
+        (r.k, r.uid)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    )
+    salted = sorted(
+        (r.k, r.uid)
+        for r in salted_topk_per_key(df, ["k"], order, k=7, n_salts=8).collect()
+    )
+    assert salted == plain
+    # k larger than some groups: still exact.
+    plain1 = sorted(
+        (r.k, r.uid)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1000)
+        .collect()
+    )
+    salted1 = sorted(
+        (r.k, r.uid)
+        for r in salted_topk_per_key(df, ["k"], order, k=1000, n_salts=4).collect()
+    )
+    assert salted1 == plain1
