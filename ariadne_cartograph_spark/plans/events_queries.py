@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.time import micros
+from ..functions.money import money_sum
 from ..operators.asof import asof_join
 from ..operators.sessionize import session_bounds, sessionize
 from ..sources.tables import load_table
@@ -127,7 +128,7 @@ SELECT user_id,
        CAST(max(session_seq) AS BIGINT)    AS n_sessions,
        count(*)                            AS n_events,
        CAST(count(*) AS DOUBLE) / CAST(max(session_seq) AS BIGINT) AS events_per_session,
-       round(sum(value), 2)                AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_value
 FROM sess
 GROUP BY user_id
 ORDER BY user_id
@@ -144,7 +145,7 @@ def sessionize_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)).cast("double") / F.max("session_seq")).alias(
                 "events_per_session"
             ),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .orderBy("user_id")
     )
@@ -164,7 +165,7 @@ def sessionize_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
        event_type,
        count(*) AS n,
-       round(sum(value), 2) AS total_value,
+       CAST(round(sum(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -177,7 +178,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value", "n_users")
@@ -191,7 +192,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS win_start,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_value
 FROM events
 CROSS JOIN (VALUES (0), (1)) offsets(k)
 GROUP BY 1
@@ -202,7 +203,7 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("win_start"), "n", "total_value")
         .orderBy("win_start")
     )
@@ -330,7 +331,7 @@ def _staged_stream(spark: SparkSession, sf_dir: str, copies: int = 1):
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
        event_type,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY win_start, event_type

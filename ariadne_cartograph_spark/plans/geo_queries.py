@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import money_sum
 from ..functions.geo import grid_cell, haversine_m, lnglat_to_tile_pixel, project_4326_to_3857
 from ..sources.tables import load_table
 from .catalog import register
@@ -134,7 +135,7 @@ def geo_haversine_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH pts AS (SELECT {_EV_LNG} AS lng, {_EV_LAT} AS lat, value FROM events)
 SELECT CAST(floor(lng / 0.0625) AS BIGINT) AS cx,
        CAST(floor(lat / 0.0625) AS BIGINT) AS cy,
-       count(*) AS n, round(sum(value), 2) AS total
+       count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS total
 FROM pts
 GROUP BY 1, 2
 ORDER BY cx, cy
@@ -146,7 +147,7 @@ def geo_grid_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     cx, cy = grid_cell("lng", "lat", 0.0625)
     return (
         pts.groupBy(cx.alias("cx"), cy.alias("cy"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("total"))
         .orderBy("cx", "cy")
     )
 

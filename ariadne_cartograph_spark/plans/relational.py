@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.money import money, money_sum
 from ..sources.tables import load_table
 from .catalog import register
 
@@ -43,10 +44,13 @@ from .catalog import register
     tags=["S10", "A4", "A5"],
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                    AS sum_qty,
-       round(sum(l_extendedprice), 2)                               AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       -- money sums accumulate in exact DECIMAL (see functions/money.py):
+       -- double accumulation lands on half-cent midpoints at scale and
+       -- rounds differently per engine/partitioning.
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(27,2))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_charge,
        CAST(avg(l_quantity) AS FLOAT)                               AS avg_qty,
        CAST(avg(l_extendedprice) AS FLOAT)                          AS avg_price,
        CAST(avg(l_discount) AS FLOAT)                               AS avg_disc,
@@ -64,10 +68,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price, scale=4).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax")), scale=6).alias("sum_charge"),
             F.avg("l_quantity").cast("float").alias("avg_qty"),
             F.avg("l_extendedprice").cast("float").alias("avg_price"),
             F.avg("l_discount").cast("float").alias("avg_disc"),
@@ -88,7 +92,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["J6", "W4"],
     oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -114,7 +118,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
                 "revenue"
             )
         )
@@ -136,7 +140,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=["J6", "A5"],
     oracle="""
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -167,7 +171,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
                 "revenue"
             )
         )
@@ -190,7 +194,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=["A5", "P1", "P14"],
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -210,7 +214,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -232,7 +236,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["J6", "A5", "W4"],
     oracle="""
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
        round(c_acctbal, 2) AS acctbal,
        n_name
 FROM customer
@@ -261,7 +265,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
                 "revenue"
             )
         )
@@ -376,7 +380,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_mktsegment,
        count(o_orderkey)                          AS n_orders,
-       round(coalesce(sum(o_totalprice), 0), 2)   AS total_spent
+       CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(27,2))), 0), 2) AS DOUBLE) AS total_spent
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment
@@ -391,7 +395,7 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.coalesce(money_sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -449,7 +453,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus, o_orderpriority,
        grouping(o_orderstatus)  AS g_status,
        grouping(o_orderpriority) AS g_priority,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
@@ -463,7 +467,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("long").alias("g_status"),
             F.grouping("o_orderpriority").cast("long").alias("g_priority"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money_sum("o_totalprice").alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "total")
         .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
@@ -476,7 +480,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
-       count(*) AS n, round(sum(l_quantity), 2) AS qty
+       count(*) AS n, CAST(round(sum(CAST(l_quantity AS DECIMAL(27,2))), 2) AS DOUBLE) AS qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
@@ -490,7 +494,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("long").alias("g_rf"),
             F.grouping("l_linestatus").cast("long").alias("g_ls"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            money_sum("l_quantity").alias("qty"),
         )
         .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "qty")
         .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
@@ -530,7 +534,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        count(*) FILTER (WHERE o_totalprice > 1000)  AS n_big,
        count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
-       round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS urgent_total
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS DOUBLE) AS urgent_total
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -544,7 +548,7 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.when(F.col("o_totalprice") > 1000, 1)).alias("n_big"),
             F.count(F.when(urgent, 1)).alias("n_urgent"),
-            F.round(F.sum(F.when(urgent, F.col("o_totalprice"))), 2).alias("urgent_total"),
+            money_sum(F.when(urgent, F.col("o_totalprice"))).alias("urgent_total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -584,9 +588,10 @@ def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["W3"],
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2)))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
          AS running_total,
        rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
        dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_drank,
@@ -610,7 +615,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+            F.round(F.sum(money("o_totalprice")).over(w_run), 2).cast("double").alias("running_total"),
             F.rank().over(w_rank).alias("price_rank"),
             F.dense_rank().over(w_status).alias("status_drank"),
             F.ntile(4).over(w_nt).alias("quartile"),
@@ -777,7 +782,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["P14"],
     oracle="""
 SELECT year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS d, hour(ts) AS h,
-       count(*) AS n, round(sum(value), 2) AS total
+       count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS total
 FROM events
 GROUP BY year(ts), month(ts), dayofmonth(ts), hour(ts)
 ORDER BY y, m, d, h
@@ -792,7 +797,7 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofmonth("ts").alias("d"),
             F.hour("ts").alias("h"),
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("total"))
         .orderBy("y", "m", "d", "h")
     )
 
@@ -909,7 +914,7 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus, o_orderpriority,
        grouping(o_orderstatus) AS g_status,
        grouping(o_orderpriority) AS g_priority,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
@@ -925,7 +930,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
                CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS total
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
@@ -1029,7 +1034,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["A5"],
     oracle="""
 SELECT l_returnflag,
-       round(sum(l_extendedprice), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS revenue,
        count(*) AS n,
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price
@@ -1044,7 +1049,9 @@ def agg_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB job applies when one group key is hot enough to straggle."""
     from ..operators.skew import salted_agg
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", money("l_extendedprice").alias("l_extendedprice")
+    )
     out = salted_agg(
         li,
         ["l_returnflag"],
@@ -1058,10 +1065,10 @@ def agg_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_returnflag",
-        F.round("revenue", 2).alias("revenue"),
+        F.round("revenue", 2).cast("double").alias("revenue"),
         "n",
-        F.round("min_price", 2).alias("min_price"),
-        F.round("max_price", 2).alias("max_price"),
+        F.round("min_price", 2).cast("double").alias("min_price"),
+        F.round("max_price", 2).cast("double").alias("max_price"),
     ).orderBy("l_returnflag")
 
 
@@ -1070,8 +1077,9 @@ def agg_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["W3"],
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                       RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
          AS nearby_total,
        count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
                       RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS nearby_n
@@ -1089,7 +1097,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w_trail), 2).alias("nearby_total"),
+            F.round(F.sum(money("o_totalprice")).over(w_trail), 2).cast("double").alias("nearby_total"),
             F.count(F.lit(1)).over(w_sym).alias("nearby_n"),
         )
         .orderBy("o_custkey", "o_orderkey")
@@ -1101,11 +1109,11 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["A5", "P14"],
     oracle="""
 SELECT o_orderstatus,
-       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent,
-       round(sum(CASE WHEN o_orderpriority = '2-HIGH'   THEN o_totalprice ELSE 0 END), 2) AS high,
-       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END), 2) AS medium,
-       round(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
-                      THEN o_totalprice ELSE 0 END), 2) AS other
+       CAST(round(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END AS DECIMAL(27,2))), 2) AS DOUBLE) AS urgent,
+       CAST(round(sum(CAST(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0 END AS DECIMAL(27,2))), 2) AS DOUBLE) AS high,
+       CAST(round(sum(CAST(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END AS DECIMAL(27,2))), 2) AS DOUBLE) AS medium,
+       CAST(round(sum(CAST(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+                      THEN o_totalprice ELSE 0 END AS DECIMAL(27,2))), 2) AS DOUBLE) AS other
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -1126,7 +1134,7 @@ def agg_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("prio", bucket)
         .groupBy("o_orderstatus")
         .pivot("prio", known + ["other"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(money_sum("o_totalprice"))
         .select(
             "o_orderstatus",
             F.coalesce(F.col("1-URGENT"), F.lit(0.0)).alias("urgent"),
@@ -1296,15 +1304,15 @@ SELECT 'rollup' AS src,
        COALESCE(o_orderpriority, '<all>') AS prio,
        COALESCE(o_orderstatus, '<all>') AS status,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS revenue
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 UNION ALL
 SELECT 'cube', COALESCE(o_orderpriority, '<all>'), COALESCE(o_orderstatus, '<all>'),
-       count(*), round(sum(o_totalprice), 2)
+       count(*), CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2) AS DOUBLE)
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 UNION ALL
 SELECT 'gsets', COALESCE(o_orderpriority, '<all>'), COALESCE(o_orderstatus, '<all>'),
-       count(*), round(sum(o_totalprice), 2)
+       count(*), CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2) AS DOUBLE)
 FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 ORDER BY src, prio, status
 """,
@@ -1323,7 +1331,7 @@ def agg_grouping_structures(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             grouped.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                money_sum("o_totalprice").alias("revenue"),
             )
             .select(
                 F.lit(src).alias("src"),
@@ -1344,7 +1352,7 @@ def agg_grouping_structures(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(o_orderpriority, '<all>') AS prio,
                COALESCE(o_orderstatus, '<all>') AS status,
                count(*) AS n,
-               round(sum(o_totalprice), 2) AS revenue
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS revenue
         FROM {view}
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
@@ -1415,7 +1423,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_nation_volume",
     tags=["J6", "A5"],
     oracle="""
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(round(sum(CAST(volume AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,
@@ -1455,8 +1463,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -1527,7 +1535,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["J6", "A5", "W4"],
     oracle="""
 WITH rev AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey)
@@ -1551,8 +1559,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
             ).alias("total_revenue")
         )
     )
@@ -1612,7 +1620,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_disjunctive_revenue",
     tags=["J6", "A5", "P14"],
     oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -1643,8 +1651,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             | band("Brand#3", 35, 20, 30)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -1657,7 +1665,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
 big_buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000.0)
-SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT c_nationkey, count(*) AS numcust, CAST(round(sum(CAST(c_acctbal AS DECIMAL(27,2))), 2) AS DOUBLE) AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > ab
   AND c_custkey NOT IN (SELECT o_custkey FROM big_buyers)
@@ -1688,7 +1696,7 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -1962,7 +1970,7 @@ d AS (
 SELECT change,
        count(*) AS n,
        CAST(sum(coalesce(o_orderkey, 0)) AS BIGINT) AS key_checksum,
-       round(sum(coalesce(new_p, 0) - coalesce(old_p, 0)), 2) AS price_delta
+       CAST(round(sum(CAST(coalesce(new_p, 0) - coalesce(old_p, 0) AS DECIMAL(27,2))), 2) AS DOUBLE) AS price_delta
 FROM d GROUP BY change ORDER BY change
 """,
 )
@@ -2002,12 +2010,9 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.coalesce(F.col("o_orderkey"), F.lit(0))).cast("bigint").alias("key_checksum"),
-            F.round(
-                F.sum(
-                    F.coalesce(F.col("new_o_totalprice"), F.lit(0.0))
-                    - F.coalesce(F.col("old_o_totalprice"), F.lit(0.0))
-                ),
-                2,
+            money_sum(
+                F.coalesce(F.col("new_o_totalprice"), F.lit(0.0))
+                - F.coalesce(F.col("old_o_totalprice"), F.lit(0.0))
             ).alias("price_delta"),
         )
         .orderBy("change")

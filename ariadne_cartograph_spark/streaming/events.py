@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.money import money_sum
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -72,7 +74,7 @@ def tumbling_counts(
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
     )
 
@@ -86,7 +88,7 @@ def sliding_counts(
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("win_start"), "n", "total_value")
     )
 
