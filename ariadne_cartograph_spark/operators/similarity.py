@@ -536,3 +536,99 @@ def semantic_dedup(
             F.coalesce(F.col("__d") == 1, F.lit(False)).alias("is_dropped"),
         )
     )
+
+
+def exact_cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via block-matrix scoring.
+
+    The row-at-a-time form (non-equi self-join + per-pair expression)
+    costs ~1 us/pair no matter how the pair expression is written —
+    measured ~500 s for 2x10^8 pairs at the sf1 rehearsal — because
+    the nested-loop join itself dominates. The scalable exact plan is
+    the classic blocked GEMM: hash ids into ~n/block_rows blocks,
+    group each block's vectors into ONE row, cross the block rows
+    (upper triangle), and score each block pair with one vectorized
+    numpy matmul inside Arrow `mapInPandas`. Work is n^2 either way,
+    but it runs as (n/B)^2/2 BLAS calls sharded across executors
+    instead of n^2 interpreter iterations: seconds instead of minutes
+    at rehearsal scale, and block pairs are a natural 1000-executor
+    fan-out unit. Memory per task is 2 blocks + one B x B score
+    matrix.
+
+    Output: (id_a, id_b, cosine float32) with id_a < id_b, one row
+    per unordered pair — identical contract (and, under the repo's
+    f32 policy for division-derived values, identical hashes) to the
+    join-based exact form; equality is pinned in
+    tests/test_dedup_similarity.py.
+    """
+    import math
+
+    n = df.count()  # one scalar aggregate to size the block grid
+    n_blocks = max(1, math.ceil(n / block_rows))
+    blocks = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("b"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    )
+    grouped = blocks.groupBy("b").agg(
+        F.collect_list(F.struct("id", "v")).alias("rows")
+    )
+    ga = grouped.select(F.col("b").alias("ba"), F.col("rows").alias("ra"))
+    gb = grouped.select(F.col("b").alias("bb"), F.col("rows").alias("rb"))
+    pairs = ga.join(gb, F.col("ba") <= F.col("bb"))
+
+    thr = float(threshold)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        def unpack(rows):
+            ids = np.array([r["id"] for r in rows], dtype=np.int64)
+            mat = np.array([r["v"] for r in rows], dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            nrm[nrm == 0.0] = 1.0
+            return ids, mat / nrm[:, None]
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for ba, ra, bb, rb in zip(pdf["ba"], pdf["ra"], pdf["bb"], pdf["rb"]):
+                ia, ma = unpack(ra)
+                same = ba == bb
+                if same:
+                    ib, mb = ia, ma
+                else:
+                    ib, mb = unpack(rb)
+                # f32 cast first, then compare against the DOUBLE
+                # threshold (numpy would silently downcast the
+                # threshold to f32 otherwise — not what SQL does).
+                s32 = (ma @ mb.T).astype(np.float32)
+                keep = s32.astype(np.float64) >= thr
+                if same:
+                    # upper triangle only, or each within-block pair
+                    # (i,j)/(j,i) would emit twice
+                    keep &= np.tri(len(ia), k=-1, dtype=bool).T
+                ii, jj = np.nonzero(keep)
+                id_i, id_j = ia[ii], ib[jj]
+                lo = np.minimum(id_i, id_j)
+                hi = np.maximum(id_i, id_j)
+                m = lo < hi  # drops hash-collision self-pairs cross-block
+                out_a.append(lo[m])
+                out_b.append(hi[m])
+                out_c.append(s32[ii, jj][m])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return pairs.mapInPandas(score, "id_a long, id_b long, cosine float")

@@ -871,17 +871,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_similarity.py. Random low-similarity corpora
     defeat LSH recall at low thresholds, so the driver-checked entry
     is the exact form."""
-    from ..functions.vector import cosine
-
+    # Blocked GEMM form of the exact plan (see
+    # operators/similarity.exact_cosine_pairs_blocked): the sf1
+    # rehearsal caught the naive non-equi self-join wedged for 20 min
+    # on one core — a BroadcastNestedLoopJoin streams in O(file-split)
+    # partitions and pays ~1 us/pair in the join iterator regardless
+    # of how cheap the pair expression is. Block-matrix numpy turns
+    # the same n² work into (n/B)²/2 BLAS calls. Cosine is division-
+    # derived → f32 output per the repo float policy, so the blocked
+    # result hashes identically to the join form (equality pinned in
+    # tests/test_dedup_similarity.py).
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("va", "vb").cast("float").alias("cosine"))
-        .filter(F.col("cosine") >= 0.45)
-        .orderBy("id_a", "id_b")
-    )
+    return S.exact_cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.45)
 
 
 @register(

@@ -359,3 +359,43 @@ def test_containment_catches_partial_copy_jaccard_misses(spark):
         df, "doc_id", "text", shingle_size=3, threshold=0.5
     ).collect()
     assert jac == []  # union-normalized similarity misses the copy
+
+
+def test_blocked_exact_cosine_equals_join_form(spark):
+    """exact_cosine_pairs_blocked (block GEMM / mapInPandas) must emit
+    the same pair set and the same f32 cosines as the join-based exact
+    plan, including odd block sizes that force within-block triangles
+    and cross-block rectangles."""
+    import random
+
+    from ariadne_cartograph_spark.functions.vector import cosine
+    from ariadne_cartograph_spark.operators.similarity import (
+        exact_cosine_pairs_blocked,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    join_form = {
+        (r.id_a, r.id_b): r.cosine
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").cast("float").alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+        .collect()
+    }
+    for block_rows in (64, 97, 1000):
+        blocked = {
+            (r.id_a, r.id_b): r.cosine
+            for r in exact_cosine_pairs_blocked(
+                df, "vec_id", "embedding", threshold=0.45, block_rows=block_rows
+            ).collect()
+        }
+        assert set(blocked) == set(join_form), block_rows
+        for k in join_form:
+            assert abs(blocked[k] - join_form[k]) <= 2e-7, (k, block_rows)

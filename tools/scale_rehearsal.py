@@ -1,0 +1,105 @@
+"""Scale rehearsal: run the full catalog at a large SF (default the
+10x replicated set from tools/make_sf.py) and record per-entry status
++ wall time into a JSON artifact.
+
+Usage:
+  python tools/scale_rehearsal.py [sf_dir] [out_json] [--only a,b] [--skip-oracle a,b]
+
+For entries in --skip-oracle (or the built-in ORACLE_QUADRATIC list)
+the DuckDB oracle is NOT run — only the Spark side executes, recording
+row count and time with status "spark_only". These are the near-dup
+entries whose *oracle* is an exact all-pairs self-join: its cost is
+quadratic in duplicate-cluster size, so at the 10x-replica stress set
+(every doc has >=10 exact copies) the ORACLE blows up while the
+engine's banded/prefix plans stay bounded — which is precisely the
+asymmetry the rehearsal exists to demonstrate. Their hash parity is
+evidenced at sf0.01 (driver gate) and sf0.1 (pytest sweep).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# Exact all-pairs oracles: cost ~ sum over shingles of df^2. The 10x
+# replica set multiplies every df by 10 (100x candidates), and the
+# boilerplate entry's hot shingles reach df = n_docs (10^9+ pairs per
+# shingle) — the oracle, not the engine, is the bottleneck.
+ORACLE_QUADRATIC = {
+    "ngram_jaccard_near_dup",
+    "ngram_jaccard_skewed_corpus",
+    "ngram_containment_pairs",
+    "minhash_lsh_near_dup",
+    "simhash_near_dup",
+    "dedup_cluster_resolution",       # recursive CTE over the 100x pair graph
+    "docs_incremental_dedup_parity",  # exhaustive offline near-dup oracle
+    "decontamination_overlap",
+    "embedding_near_dup",             # exact-twin oracle: n^2 list_dot_product
+    "embedding_semantic_dedup",       # within-cell pair oracle, 100x under replicas
+    "text_repeated_spans",            # cross-doc span pairs, 100x under replicas
+    "trajectory_jaccard_pairs",       # all-pairs grid-signature oracle
+    "corpus_curation_funnel",         # embeds the exact near-dup pair oracle
+    "corpus_multimodal_curation",     # embeds exact semantic-dup oracle
+}
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a.split("=")[0]: a.split("=", 1)[1] for a in sys.argv[1:] if "=" in a and a.startswith("--")}
+    sf_dir = args[0] if args else "/root/repo/testdata_sf1"
+    out_path = args[1] if len(args) > 1 else "SCALE_REHEARSAL_sf1.json"
+    only = set(flags.get("--only", "").split(",")) - {""}
+    skip_oracle = ORACLE_QUADRATIC | (set(flags.get("--skip-oracle", "").split(",")) - {""})
+
+    from ariadne_cartograph_spark.session import get_spark
+    from ariadne_cartograph_spark.plans.catalog import REGISTRY, get_queries
+    from ariadne_cartograph_spark.plans.oracle_harness import compare, duckdb_connection
+
+    get_queries()
+    spark = get_spark("scale-rehearsal")
+    con = duckdb_connection(sf_dir)
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for name, entry in sorted(REGISTRY.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            if entry.oracle is not None and name not in skip_oracle:
+                rep = compare(name, entry.fn(spark, sf_dir), entry.oracle, sf_dir, con=con)
+                status = "ok" if rep.ok else "FAIL"
+                rows = rep.spark_rows
+                if not rep.ok:
+                    n_fail += 1
+                    print(rep.describe()[:600], file=sys.stderr)
+            else:
+                rows = entry.fn(spark, sf_dir).count()
+                status = "spark_only" if entry.oracle is not None else "rows_only"
+        except Exception as exc:
+            status, rows = "ERROR", -1
+            n_fail += 1
+            print(f"# {name}: {type(exc).__name__}: {exc}"[:600], file=sys.stderr)
+        dt = round(time.time() - t0, 2)
+        results[name] = {"status": status, "rows": rows, "sec": dt}
+        print(f"# {name}: {status} {rows} rows {dt}s", file=sys.stderr)
+
+    summary = {
+        "sf_dir": sf_dir,
+        "n_entries": len(results),
+        "n_fail": n_fail,
+        "n_hash_checked": sum(1 for r in results.values() if r["status"] in ("ok", "FAIL")),
+        "n_spark_only": sum(1 for r in results.values() if r["status"] == "spark_only"),
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "entries": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "entries"}))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
