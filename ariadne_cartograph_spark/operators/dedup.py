@@ -439,10 +439,13 @@ def ngram_jaccard_pairs_auto(
     # prefix path's rank join — without it the explode+groupBy runs twice
     freq = _track_persist(exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df_g")))
     stats = freq.agg(
-        F.max("df_g").alias("max_df"), F.sum("df_g").alias("total")
+        F.max("df_g").alias("max_df"),
+        F.sum("df_g").alias("total"),
+        F.sum(F.col("df_g") * F.col("df_g")).alias("sum_sq"),
     ).first()
     max_df, total = (stats["max_df"] or 0), (stats["total"] or 0)
-    if ngram_join_strategy(max_df, total) == "prefix":
+    sum_sq = stats["sum_sq"] or 0
+    if ngram_join_strategy(max_df, total, sum_sq) == "prefix":
         return ngram_jaccard_pairs_prefix(
             df, id_col, text_col, shingle_size, threshold, _sh=sh, _freq=freq
         )
@@ -501,11 +504,30 @@ def ngram_jaccard_join_two_tables(
     )
 
 
-def ngram_join_strategy(max_df: int, total_shingle_rows: int) -> str:
-    """The auto-selection rule, exposed for tests: 'prefix' when the
-    hottest shingle alone would emit at least as many candidate pairs
-    as the linear pass has rows, else 'count'."""
-    return "prefix" if max_df * max_df >= total_shingle_rows else "count"
+def ngram_join_strategy(
+    max_df: int, total_shingle_rows: int, sum_df_sq: int | None = None
+) -> str:
+    """The auto-selection rule, exposed for tests: 'prefix' when either
+
+    - the hottest shingle ALONE would emit at least as many candidate
+      pairs as the linear pass has rows (max_df² ≥ Σ df — the
+      boilerplate-skew shape: one ToS footer in every doc), or
+    - the AGGREGATE candidate volume dwarfs the linear pass
+      (Σ df² ≥ 32·Σ df — the duplicated-corpus shape: no single hot
+      shingle, but every df inflated k× multiplies candidates k²×;
+      measured at the 10×-replica rehearsal: Σ df²/Σ df went 10.7 at
+      sf0.1 → 107 at sf1, turning the count plan's candidate join
+      into 1.4×10⁸ rows while the prefix plan stays bounded),
+
+    else 'count' (cheapest on uniform corpora: no rank window, no
+    frequency join). Σ df² costs nothing extra: it folds into the
+    same 1-row stats aggregate the max-df rule already runs.
+    """
+    if max_df * max_df >= total_shingle_rows:
+        return "prefix"
+    if sum_df_sq is not None and sum_df_sq >= 32 * total_shingle_rows:
+        return "prefix"
+    return "count"
 
 
 # ---------------------------------------------------------------------------

@@ -516,20 +516,65 @@ def semantic_dedup(
         F.col(vec_col).alias("v"),
         _argmax_cell(_centroid_score_array(vec_col, cents)).alias("cell"),
     )
-    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    # float32-cast cosine on both engines so the threshold comparison is
-    # representation-stable (same convention as embedding_near_dup).
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine("va", "vb").cast("float") >= threshold)
-        .select("cell", F.col("id_b").alias("id"))
-        .distinct()
+    # Within-cell scoring runs BLOCKED (same GEMM kernel idea as
+    # exact_cosine_pairs_blocked): cells are the comparison scope, but
+    # a skewed quantizer can funnel most of the corpus into one cell —
+    # observed at the sf1 rehearsal with centroids="first" on a
+    # clustered corpus (2x10^8 within-cell pairs; 242 s interpreted,
+    # 130 s with codegen'd per-pair cosine, ~8 s blocked). Hashing ids
+    # into ~block_rows blocks and crossing (cell, block) groups keeps
+    # the quadratic work in numpy matmuls AND breaks a hot cell into
+    # many parallel tasks instead of one straggler.
+    # float32-cast cosine on both engines so the threshold comparison
+    # is representation-stable (same convention as embedding_near_dup).
+    import math
+
+    n = corpus.count()
+    n_blocks = max(1, math.ceil(n / 1024))
+    blocks = assigned.select(
+        "cell", "id", "v", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("b")
     )
+    grouped = blocks.groupBy("cell", "b").agg(
+        F.collect_list(F.struct("id", "v")).alias("rows")
+    )
+    ga = grouped.select("cell", F.col("b").alias("ba"), F.col("rows").alias("ra"))
+    gb = grouped.select("cell", F.col("b").alias("bb"), F.col("rows").alias("rb"))
+    bpairs = ga.join(gb, "cell").filter(F.col("ba") <= F.col("bb"))
+    thr = float(threshold)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        def unpack(rows):
+            ids = np.array([r["id"] for r in rows], dtype=np.int64)
+            mat = np.array([r["v"] for r in rows], dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            nrm[nrm == 0.0] = 1.0
+            return ids, mat / nrm[:, None]
+
+        for pdf in batches:
+            out = []
+            for ba, ra, bb, rb in zip(pdf["ba"], pdf["ra"], pdf["bb"], pdf["rb"]):
+                ia, ma = unpack(ra)
+                if ba == bb:
+                    ib, mb = ia, ma
+                else:
+                    ib, mb = unpack(rb)
+                s32 = (ma @ mb.T).astype(np.float32)
+                keep = s32.astype(np.float64) >= thr
+                ii, jj = np.nonzero(keep)
+                id_i, id_j = ia[ii], ib[jj]
+                m = id_i != id_j  # self-pairs on the same-block diagonal
+                # pair (lo, hi) qualifying → hi is dropped (keep-min-id)
+                out.append(np.maximum(id_i, id_j)[m])
+            if out:
+                yield pd.DataFrame({"id": np.unique(np.concatenate(out))})
+
+    dropped = bpairs.mapInPandas(score, "id long").distinct()
     return (
         assigned.select("cell", "id")
-        .join(dropped.withColumn("__d", F.lit(1)), ["cell", "id"], "left")
+        .join(dropped.withColumn("__d", F.lit(1)), ["id"], "left")
         .select(
             "cell",
             "id",

@@ -131,12 +131,18 @@ def test_prefix_filter_variant_matches_count_based(spark, exact_pairs):
 
 
 def test_ngram_auto_strategy_rule():
-    """Scale-free routing rule: prefix iff max_df^2 >= total rows."""
+    """Scale-free routing rule: prefix iff max_df^2 >= total rows, OR
+    aggregate candidate volume sum_df_sq >= 32x total rows."""
     # uniform corpus (sf0.01 shape): max df 25, ~26k rows → count path
     assert D.ngram_join_strategy(25, 26000) == "count"
     # boilerplate corpus: hottest shingle in every doc → prefix path
     assert D.ngram_join_strategy(500, 31000) == "prefix"
     assert D.ngram_join_strategy(0, 0) == "prefix"  # degenerate: empty
+    # measured sf0.01 / sf0.1 / 10x-replica stats: the aggregate rule
+    # keeps uniform corpora on count and flips the replicated one
+    assert D.ngram_join_strategy(7, 26136, 54106) == "count"
+    assert D.ngram_join_strategy(25, 260388, 2791946) == "count"
+    assert D.ngram_join_strategy(250, 2603880, 279194600) == "prefix"
 
 
 def test_ngram_auto_matches_both_variants_on_skewed_corpus(spark):
