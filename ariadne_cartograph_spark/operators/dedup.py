@@ -778,3 +778,95 @@ def repeated_span_coverage(
             .alias("repeated_frac"),
         )
     )
+
+
+def chunk_exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 40,
+) -> DataFrame:
+    """CCNet-style duplicated-passage removal, on token chunks.
+
+    CCNet (and most web-corpus pipelines) dedups at *paragraph* level:
+    every paragraph is fingerprinted corpus-wide and only its first
+    occurrence is kept, so boilerplate shared across pages disappears
+    while unique prose survives. This corpus has no line structure, so
+    the passage unit is the non-overlapping ``chunk_size``-token chunk
+    (same slicing formula as the chunking UDTF / plan, stride = size:
+    every token in exactly one chunk).
+
+    Keeps, per distinct chunk fingerprint, the occurrence with the
+    smallest ``(id, chunk_idx)`` and rebuilds each document from its
+    surviving chunks in order. Output: one row per input document with
+    ``doc_id, n_chunks, n_kept, new_text`` (empty string when every
+    chunk was a duplicate).
+
+    Plan shape / 100 TB posture: explode to chunks (narrow), then the
+    keeper per fingerprint is a groupBy().min() — map-side combinable,
+    so a boilerplate chunk repeated 10^9 times costs one partial per
+    task, never a single-reducer sort (a row_number window here would
+    skew-stall on exactly the hot chunks this operator exists to kill).
+    Join back on fingerprint+key (equi, AQE-skew-splittable), then one
+    groupBy(id) to reassemble. Three shuffles total, zero Python.
+    """
+    t = F.split(F.col(text_col), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil((F.size(t) - F.lit(chunk_size)).cast("double") / chunk_size).cast(
+            "long"
+        )
+        + 1,
+        F.lit(1).cast("long"),
+    )
+    chunks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(t, i * chunk_size + 1, chunk_size),
+            )
+        ).alias("__idx", "__c"),
+    ).select(
+        "__id",
+        "__idx",
+        "__c",
+        F.md5(F.array_join("__c", " ")).alias("__fp"),
+        # one bigint key per occurrence; 10^6 > chunks-per-doc always
+        (F.col("__id") * 1_000_000 + F.col("__idx")).alias("__key"),
+    )
+    keeper = chunks.groupBy("__fp").agg(F.min("__key").alias("__keep_key"))
+    marked = chunks.join(keeper, "__fp").withColumn(
+        "__kept", F.col("__key") == F.col("__keep_key")
+    )
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__kept"),
+                                    F.struct(
+                                        F.col("__idx").alias("i"),
+                                        F.col("__c").alias("c"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["c"],
+                    )
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_chunks",
+            "n_kept",
+            "new_text",
+        )
+    )

@@ -1624,3 +1624,97 @@ def docs_incremental_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style duplicated-passage removal (W6/U5): fingerprint every
+# non-overlapping token chunk corpus-wide, keep only first occurrences,
+# rebuild documents. The passage-level complement to the whole-document
+# exact dedup above — kills shared boilerplate inside otherwise-unique
+# docs. Keeper choice is a map-side-combinable groupBy().min(), never a
+# window sort over the hot fingerprints (operators/dedup.py:
+# chunk_exact_dedup for the scale analysis).
+# --------------------------------------------------------------------------
+
+_CDD_SIZE = 40
+
+
+@register(
+    "text_chunk_dedup",
+    tags=["W6", "U5"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         CAST(i - 1 AS BIGINT) AS chunk_idx,
+         list_slice(t, (i - 1) * {_CDD_SIZE} + 1,
+                       (i - 1) * {_CDD_SIZE} + {_CDD_SIZE}) AS c
+  FROM toks,
+       LATERAL unnest(range(1, greatest(CAST(ceil((len(t) - {_CDD_SIZE})
+                / CAST({_CDD_SIZE} AS DOUBLE)) AS BIGINT) + 1, 1) + 1)) AS r(i)),
+fp AS (
+  SELECT doc_id, chunk_idx, c,
+         md5(array_to_string(c, ' ')) AS f,
+         doc_id * 1000000 + chunk_idx AS k
+  FROM chunks),
+keep AS (SELECT f, min(k) AS keep_k FROM fp GROUP BY f),
+marked AS (
+  SELECT fp.doc_id, fp.chunk_idx, fp.c, (fp.k = keep.keep_k) AS kept
+  FROM fp JOIN keep ON fp.f = keep.f)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN array_to_string(c, ' ') END,
+                           ' ' ORDER BY chunk_idx), '') AS new_text
+FROM marked GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.chunk_exact_dedup(docs, "text", "doc_id", chunk_size=_CDD_SIZE).orderBy(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (U5/W3): concatenate-and-cut assignment of documents
+# to fixed-length training sequences, sharded so no global sort exists
+# (operators/packing.py for the scale analysis). Output is the per-doc
+# pack index a trainer's data loader consumes.
+# --------------------------------------------------------------------------
+
+_PACK_L = 256
+_PACK_SHARDS = 8
+
+
+@register(
+    "corpus_sequence_pack",
+    tags=["U5", "W3"],
+    oracle=rf"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_PACK_SHARDS} AS shard,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_excl
+  FROM b)
+SELECT doc_id, shard, n_tokens,
+       CAST(shard * 1000000000000 + cum_excl // {_PACK_L} AS BIGINT) AS pack_id,
+       CAST(cum_excl % {_PACK_L} AS BIGINT) AS offset_in_pack,
+       (cum_excl % {_PACK_L}) + n_tokens > {_PACK_L} AS spans_boundary
+FROM c ORDER BY doc_id
+""",
+)
+def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import sequence_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_pack(
+        docs, context_len=_PACK_L, n_shards=_PACK_SHARDS
+    ).orderBy("doc_id")
