@@ -1718,3 +1718,140 @@ def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(
         docs, context_len=_PACK_L, n_shards=_PACK_SHARDS
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# k-NN label vote (U4): classify query vectors by majority vote of
+# their k nearest neighbors — the standard "label new data from the
+# labeled corpus" primitive (auto-labeling, eval-set sanity checks).
+# Exact brute-force rerank here (query set is broadcast-small and the
+# oracle must be exact); at corpus scale the neighbor search swaps to
+# the IVF/IVF-PQ operators with the same vote tail.
+# --------------------------------------------------------------------------
+
+_KNN_K = 10
+
+
+@register(
+    "embedding_knn_label_vote",
+    tags=["U4", "W1"],
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id % 25 = 7),
+scored AS (
+  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         CAST(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS FLOAT)
+           AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+knn AS (
+  SELECT * FROM (
+    SELECT qid, qlabel, vec_id, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {_KNN_K}),
+votes AS (
+  SELECT qid, qlabel, label, count(*) AS votes
+  FROM knn GROUP BY qid, qlabel, label),
+pred AS (
+  SELECT qid, qlabel, label, votes,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY votes DESC, label) AS vr
+  FROM votes)
+SELECT qid AS vec_id,
+       CAST(qlabel AS INT) AS true_label,
+       CAST(label AS INT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM pred WHERE vr = 1 ORDER BY vec_id
+""",
+)
+def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 7)
+    knn = S.cosine_topk(emb, q, "vec_id", "embedding", k=_KNN_K)
+    nbr = knn.join(emb.select("vec_id", "label"), "vec_id")
+    votes = nbr.groupBy("q_vec_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    w = W.partitionBy("q_vec_id").orderBy(F.desc("votes"), F.asc("label"))
+    pred = votes.withColumn("vr", F.row_number().over(w)).filter(F.col("vr") == 1)
+    return (
+        pred.join(
+            q.select(
+                F.col("vec_id").alias("q_vec_id"), F.col("label").alias("true_label")
+            ),
+            "q_vec_id",
+        )
+        .select(
+            F.col("q_vec_id").alias("vec_id"),
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("label").cast("int").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary induction + OOV coverage (U5): build the top-V token
+# vocabulary from corpus frequencies (the word-level skeleton of BPE
+# vocab training) and measure per-source out-of-vocabulary rate — the
+# tokenizer-fit audit a pipeline runs before committing to a vocab.
+# Scale: token counts are map-side combinable; the vocab is top-V
+# (TakeOrdered, never a global sort) and model-sized → broadcast to
+# tag the token stream. One wide shuffle on token, one on source.
+# --------------------------------------------------------------------------
+
+_VOCAB_V = 50
+
+
+@register(
+    "text_vocab_coverage",
+    tags=["U5", "W4"],
+    oracle=rf"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT {_VOCAB_V})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN tok.t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END)
+            AS BIGINT) AS oov_tokens,
+       CAST(sum(CASE WHEN tok.t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END)
+            / CAST(count(*) AS DOUBLE) AS FLOAT) AS oov_rate
+FROM tok GROUP BY source ORDER BY source
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(_VOCAB_V)
+        .select("t", F.lit(1).alias("__v"))
+    )
+    tagged = tok.join(F.broadcast(vocab), "t", "left")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "oov_tokens",
+            (F.col("oov_tokens") / F.col("total_tokens").cast("double"))
+            .cast("float")
+            .alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
