@@ -1855,3 +1855,89 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe corpus split (W6/U5): train/val assignment keyed on the
+# near-dup CLUSTER representative, not the document id — so a document
+# and its near-duplicates can never straddle the split boundary (the
+# classic eval-contamination bug a doc-id hash split silently commits).
+# Composition: near-dup pairs (skew-routed prefix/AllPairs join) →
+# connected components (bounded min-label rounds) → md5 bucket of the
+# representative. Singletons are their own representative, so the
+# assignment degrades to the plain hash split exactly where no
+# duplicate structure exists.
+# --------------------------------------------------------------------------
+
+_LEAK_MOD, _LEAK_VAL_PCT = 100, 10
+
+
+@register(
+    "corpus_leakage_safe_split",
+    tags=["W6", "U5"],
+    oracle=rf"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+rep AS (
+  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS rep_id
+  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id)
+SELECT doc_id, rep_id,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(rep_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % {_LEAK_MOD} < {_LEAK_VAL_PCT}
+            THEN 'val' ELSE 'train' END AS split
+FROM rep ORDER BY doc_id
+""",
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", shingle_size=3, threshold=_JACCARD_THRESHOLD
+    )
+    membership = connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("rep_id")
+    )
+    rep = (
+        docs.select("doc_id")
+        .join(membership, "doc_id", "left")
+        .withColumn("rep_id", F.coalesce("rep_id", F.col("doc_id")))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("rep_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _LEAK_MOD
+    )
+    return rep.select(
+        "doc_id",
+        "rep_id",
+        F.when(bucket < _LEAK_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    ).orderBy("doc_id")

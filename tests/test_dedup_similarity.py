@@ -405,3 +405,31 @@ def test_blocked_exact_cosine_equals_join_form(spark):
         assert set(blocked) == set(join_form), block_rows
         for k in join_form:
             assert abs(blocked[k] - join_form[k]) <= 2e-7, (k, block_rows)
+
+
+def test_leakage_safe_split_never_splits_near_dup_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ariadne_cartograph_spark.operators import dedup as D
+    from ariadne_cartograph_spark.plans.text_queries import (
+        _JACCARD_THRESHOLD,
+        corpus_leakage_safe_split,
+    )
+    from ariadne_cartograph_spark.sources.tables import load_table
+
+    out = corpus_leakage_safe_split(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", shingle_size=3, threshold=_JACCARD_THRESHOLD
+    )
+    assert pairs.count() > 0  # vacuous otherwise
+    sa = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    straddling = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert straddling.count() == 0
+    # and both split sides are non-empty (the guard didn't collapse
+    # everything into train)
+    assert out.select("split").distinct().count() == 2
