@@ -582,3 +582,59 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_n")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable distinct-count sketches (A5 at-scale surface): Datasketches
+# HLL via hll_sketch_agg / hll_union_agg — unlike approx_count_distinct
+# the SKETCH itself is a storable, re-aggregatable binary column, so
+# per-(type, day) sketches roll up to per-type totals without touching
+# raw events again: the pre-aggregated-cube pattern for 100 TB distinct
+# counting. Same bounds-check contract as agg_approx_distinct: Spark
+# emits the exact count plus a boolean asserting the merged-sketch
+# estimate landed within ±5% (lgConfigK=12 → ~1.6% typical error); the
+# oracle emits the exact count and literal TRUE.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_hll_sketch_union",
+    tags=["A5", "T2"],
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(DISTINCT time_bucket(INTERVAL '1 day', ts)) AS n_days,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.window("ts", "1 day").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            (
+                F.abs(
+                    F.col("est").cast("double") / F.col("exact_users").cast("double")
+                    - F.lit(1.0)
+                )
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -1941,3 +1941,90 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters via mergeable Misra-Gries sketch + exact recount
+# (operators/sketch.py). The sketch pass shuffles ONLY per-partition
+# summaries (<= capacity rows each, never raw tokens); the recount is a
+# candidate-only aggregate — the two-pass exact heavy-hitters plan that
+# survives 100 TB. The oracle is the plain exact top-k: with capacity
+# 4096 the merged MG bound n/(m+1) sits far below the k-th frequency on
+# this corpus, so the sketch path provably returns the exact answer.
+# --------------------------------------------------------------------------
+
+_HH_K = 20
+
+
+@register(
+    "text_token_topk_sketch",
+    tags=["U3", "A5", "W4"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS n_occurrences FROM toks GROUP BY tok)
+SELECT tok, n_occurrences FROM c
+ORDER BY n_occurrences DESC, tok LIMIT {_HH_K}
+""",
+)
+def text_token_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitters_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters_topk(docs, "doc_id", "text", k=_HH_K, capacity=4096)
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (operators/sampling.py): score docs
+# by mean token log(P_target/P_source) against the corpus's own 'en'
+# subset as target, draw ∝ weight via seedless md5-Gumbel top-k. The
+# selection key is rounded to 1e-4 pre-rank on BOTH sides so the
+# double-ulp noise of the token-log mean cannot flip an ordering.
+# --------------------------------------------------------------------------
+
+_DSIR_BUDGET = 200
+
+
+@register(
+    "corpus_importance_resample",
+    tags=["U5", "A5", "W4"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+src AS (SELECT tok, CAST(count(*) AS DOUBLE) AS sc FROM toks GROUP BY tok),
+tgtc AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents
+  WHERE lang = 'en'),
+tgt AS (SELECT tok, CAST(count(*) AS DOUBLE) AS tc FROM tgtc GROUP BY tok),
+stats AS (
+  SELECT (SELECT sum(sc) FROM src) AS ns,
+         (SELECT CAST(count(*) AS DOUBLE) FROM src) AS v,
+         (SELECT sum(tc) FROM tgt) AS nt),
+scored AS (
+  SELECT t.doc_id,
+         avg(ln((coalesce(g.tc, 0) + 1.0) / (stats.nt + stats.v))
+             - ln((s.sc + 1.0) / (stats.ns + stats.v))) AS log_ratio
+  FROM toks t JOIN src s USING (tok) LEFT JOIN tgt g USING (tok)
+  CROSS JOIN stats
+  GROUP BY t.doc_id),
+keyed AS (
+  SELECT doc_id, log_ratio,
+         round(log_ratio - ln(-ln(
+           (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            + 0.5) / 4294967296.0)), 4) AS gkey
+  FROM scored),
+ranked AS (
+  SELECT doc_id, log_ratio,
+         row_number() OVER (ORDER BY gkey DESC, doc_id) AS rank
+  FROM keyed)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(log_ratio AS FLOAT) AS log_ratio
+FROM ranked WHERE rank <= {_DSIR_BUDGET} ORDER BY rank
+""",
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import importance_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_resample(
+        docs, "doc_id", "text", F.col("lang") == "en", budget=_DSIR_BUDGET
+    )
