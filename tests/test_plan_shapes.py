@@ -185,3 +185,16 @@ def test_ann_lsh_candidate_exchange_carries_ids_only(spark, queries):
             assert "_vec" not in s and "embedding" not in s, (
                 "shuffle partitioning carries vector columns: " + s
             )
+
+
+def test_heavy_hitters_sketch_plan_posture(spark, queries):
+    """MG heavy hitters: Python appears only as the Arrow-batched
+    sketch map; the candidate recount joins via broadcast (no raw-token
+    shuffle-join); the final top-k is a TakeOrdered heap, not a global
+    sort."""
+    plan = plan_of(queries["text_token_topk_sketch"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan or "MapInArrow" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
