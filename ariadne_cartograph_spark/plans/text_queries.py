@@ -2028,3 +2028,55 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_resample(
         docs, "doc_id", "text", F.col("lang") == "en", budget=_DSIR_BUDGET
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming heavy hitters (streaming/sketch.py): documents drain as 4
+# micro-batches through a per-bucket Misra-Gries applyInPandasWithState
+# operator; the union of emitted candidates is recounted exactly in
+# batch. Same candidate/recount contract as text_token_topk_sketch, so
+# the SAME exact-top-k oracle hash-checks the whole streaming state
+# machinery end-to-end.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_stream_topk_parity",
+    tags=["T4", "U3", "A5", "W4"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS n_occurrences FROM toks GROUP BY tok)
+SELECT tok, n_occurrences FROM c
+ORDER BY n_occurrences DESC, tok LIMIT {_HH_K}
+""",
+)
+def docs_stream_topk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming.events import run_to_memory
+    from ..streaming.sketch import (
+        read_docs_stream,
+        running_token_sketch,
+        stage_docs_as_stream_source,
+    )
+
+    stage = tempfile.mkdtemp(prefix="acs_stream_topk_")
+    stage_docs_as_stream_source(spark, sf_dir, stage, n_files=4)
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        running_token_sketch(read_docs_stream(spark, stage)),
+        name,
+        output_mode="update",
+    )
+    cands = spark.table(name).select("tok").distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(_HH_K)
+    )
