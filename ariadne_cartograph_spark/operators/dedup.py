@@ -141,7 +141,14 @@ def lsh_candidate_pairs(
         ).alias("band_idx", "band_hash"),
     )
     a = banded.alias("a")
-    b = banded.alias("b")
+    # shuffle_hash: both sides are the same SF-scaling frame, so a
+    # broadcast is impossible at scale AND (measured at the sf1
+    # rehearsal) pins the whole bucket join to the stream side's scan
+    # parallelism — 1 task on a single-file table. The co-partitioned
+    # shuffle join runs at spark.sql.shuffle.partitions parallelism,
+    # ReuseExchange ships the frame once, and AQE can split hot
+    # buckets.
+    b = banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -256,7 +263,8 @@ def ngram_jaccard_pairs(
     sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_size)
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("g"))
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    # shuffle_hash: SF-scaling self-join — see lsh_candidate_pairs.
+    b = exploded.hint("shuffle_hash").alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -303,7 +311,8 @@ def ngram_containment_pairs(
     sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_size)
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("g"))
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    # shuffle_hash: SF-scaling self-join — see lsh_candidate_pairs.
+    b = exploded.hint("shuffle_hash").alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -364,7 +373,8 @@ def ngram_jaccard_pairs_prefix(
         .select(id_col, "n_sh", "g", "__rnk")
     )
     a = prefix.alias("a")
-    b = prefix.alias("b")
+    # shuffle_hash: SF-scaling self-join — see lsh_candidate_pairs.
+    b = prefix.hint("shuffle_hash").alias("b")
     # Jaccard ≥ t ⇔ overlap ≥ t/(1+t)·(n_a+n_b); a match at prefix
     # ranks (ra, rb) leaves at most min(n_a−ra, n_b−rb)+1 shingles of
     # possible overlap (suffixes after the match, plus the match
@@ -594,15 +604,37 @@ def _md5_token_bits(tok: "F.Column") -> "F.Column":
     digits; bit b = parity of digit b) — the cross-engine hash scheme:
     DuckDB computes the identical bits with md5 || md5('x:'||tok), so a
     simhash built on these bits is oracle-checkable (same pattern as
-    text_winnow_fingerprint_md5). xxhash64 stays the scale scheme."""
+    text_winnow_fingerprint_md5). xxhash64 stays the scale scheme.
+
+    Extraction parses the digest in 8-digit chunks via conv() and takes
+    digit parities arithmetically — measured 4x faster at sf0.1 (10.1s
+    vs 40.6s) than the original per-bit substr+ascii form (64 substring
+    allocations per token occurrence), bit-for-bit identical: parity of
+    digit i of chunk c is (c div 16^(7-i)) mod 2, and chunks are <= 32
+    bits so the double-division floor is exact."""
     h = F.concat(F.md5(tok), F.md5(F.concat(F.lit("x:"), tok)))
+    from ..functions.text import _bind
 
-    def bit(b):
-        c = F.ascii(h.substr(b + 1, F.lit(1)))
-        v = F.when(c <= 57, c - 48).otherwise(c - 87)
-        return (v % 2).cast("long")
-
-    return F.transform(F.sequence(F.lit(0), F.lit(63)), bit)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.conv(h.substr(i * F.lit(8) + 1, F.lit(8)), 16, 10).cast("long"),
+    )
+    return _bind(
+        chunks,
+        lambda cs: F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda b: (
+                (
+                    F.element_at(cs, (b / F.lit(8)).cast("int") + 1)
+                    / F.pow(
+                        F.lit(2.0),
+                        (F.lit(28) - (b % F.lit(8)) * F.lit(4)).cast("double"),
+                    )
+                ).cast("long")
+                % 2
+            ),
+        ),
+    )
 
 
 def simhash_md5(df: DataFrame, text_col: str, out_col: str = "sim_bits") -> DataFrame:
@@ -649,7 +681,8 @@ def simhash_md5_near_dup_pairs(
         F.posexplode(blocks_arr).alias("blk_idx", "blk_val"),
     )
     a = blocks.alias("a")
-    b = blocks.alias("b")
+    # shuffle_hash: SF-scaling self-join — see lsh_candidate_pairs.
+    b = blocks.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -700,7 +733,8 @@ def simhash_near_dup_pairs(
         ).alias("blk_idx", "blk_val"),
     )
     a = blocks.alias("a")
-    b = blocks.alias("b")
+    # shuffle_hash: SF-scaling self-join — see lsh_candidate_pairs.
+    b = blocks.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,

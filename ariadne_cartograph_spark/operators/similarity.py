@@ -449,7 +449,11 @@ def embedding_near_dup_pairs(
         ).alias("tbl", "bucket"),
     )
     a = buckets.alias("a")
-    b = buckets.alias("b")
+    # shuffle_hash: both sides are the SF-scaling bucket frame — a
+    # broadcast OOMs at scale and (measured, sf1 rehearsal) serializes
+    # the pair join onto the scan's partition count; co-partitioned
+    # shuffle keeps full parallelism, AQE splits hot buckets.
+    b = buckets.hint("shuffle_hash").alias("b")
     pair_ids = (
         a.join(
             b,

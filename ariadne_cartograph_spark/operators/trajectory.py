@@ -59,7 +59,8 @@ def trajectory_jaccard_pairs(
     cells = trajectory_cells(pts, traj_col, lng_col, lat_col, cell_deg)
     sizes = cells.groupBy(traj_col).agg(F.count(F.lit(1)).alias("n_cells"))
     a = cells.alias("a")
-    b = cells.alias("b")
+    # shuffle_hash: SF-scaling cell self-join (see dedup.lsh_candidate_pairs).
+    b = cells.hint("shuffle_hash").alias("b")
     inter = (
         a.join(
             b,
