@@ -60,6 +60,12 @@ def main() -> int:
 
     get_queries()
     spark = get_spark("scale-rehearsal")
+    # The replica set is ONE parquet file per table, so default
+    # 128m splits give 1-2 scan partitions — every broadcast-probe
+    # pipeline then runs near-serial, which misrepresents the
+    # many-file layout any real deployment reads. 16m splits restore
+    # representative scan parallelism (row-group granularity).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     con = duckdb_connection(sf_dir)
     results: dict[str, dict] = {}
     n_fail = 0
