@@ -654,6 +654,61 @@ def simhash_md5(df: DataFrame, text_col: str, out_col: str = "sim_bits") -> Data
     return df.withColumn(out_col, bits)
 
 
+def _exact_dup_collapse(df: DataFrame, id_col: str, text_col: str):
+    """Collapse exact-text duplicates to their min-id representative
+    before a pair join. Returns (rep_df, member): rep_df is the input
+    restricted to representatives; member maps every id to its
+    (__rep, __fp) cluster. On k-fold duplicated corpora this cuts pair
+    candidates k² → 1 per cluster pair AND signature computation k → 1
+    (measured at the sf1 replica rehearsal: simhash 346s → the pair
+    join and the 64-bit signature pass both ran 10x wider than needed).
+    """
+    base = df.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp"))
+    reps = base.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    member = base.join(reps, "__fp").select(F.col(id_col), F.col("__rep"), F.col("__fp"))
+    # No broadcast hint: reps is corpus-sized on a dup-free corpus.
+    rep_df = df.join(reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi")
+    return rep_df, member
+
+
+def _expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    member: DataFrame,
+    id_col: str,
+    metric_col: str,
+    exact_value: "F.Column",
+) -> DataFrame:
+    """Reconstruct the full pair set from representative pairs: every
+    cross-cluster member pair inherits the rep pair's metric (identical
+    texts → identical signatures), intra-cluster pairs are emitted
+    directly at the exact-duplicate metric value. Row-identical to the
+    naive all-members pair join."""
+    ma = member.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
+    mb = member.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            F.col(metric_col),
+        )
+    )
+    m1 = member.alias("m1")
+    # shuffle_hash: SF-scaling self-join — see lsh_candidate_pairs.
+    m2 = member.hint("shuffle_hash").alias("m2")
+    intra = m1.join(
+        m2,
+        (F.col("m1.__fp") == F.col("m2.__fp"))
+        & (F.col(f"m1.{id_col}") < F.col(f"m2.{id_col}")),
+    ).select(
+        F.col(f"m1.{id_col}").alias("id_a"),
+        F.col(f"m2.{id_col}").alias("id_b"),
+        exact_value.alias(metric_col),
+    )
+    return cross.unionByName(intra)
+
+
 def simhash_md5_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -661,9 +716,13 @@ def simhash_md5_near_dup_pairs(
     block equi-join over (max_hamming+1) 16-bit blocks (lossless — any
     pair within Hamming k agrees on ≥1 whole block), exact Hamming
     filter. Output (id_a, id_b, hamming) is value-hash checkable
-    against a DuckDB oracle recomputing the same bits."""
+    against a DuckDB oracle recomputing the same bits. Exact duplicates
+    are collapsed before the block join and re-expanded after (see
+    _exact_dup_collapse) — output unchanged, candidate work k²-fold
+    smaller on k-fold duplicated corpora."""
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
+    df, member = _exact_dup_collapse(df, id_col, text_col)
     s = simhash_md5(df.select(id_col, text_col), text_col)
     blocks_arr = F.array(
         *[
@@ -703,10 +762,13 @@ def simhash_md5_near_dup_pairs(
         F.lit(0).cast("long"),
         lambda acc, d: acc + d,
     )
-    return (
+    rep_pairs = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+    return _expand_collapsed_pairs(
+        rep_pairs, member, id_col, "hamming", F.lit(0).cast("long")
     )
 
 
@@ -714,9 +776,11 @@ def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Pairs with simhash Hamming distance ≤ max_hamming via the
-    pigeonhole block join over (max_hamming+1) bit-blocks."""
+    pigeonhole block join over (max_hamming+1) bit-blocks. Exact
+    duplicates are collapsed/re-expanded as in the md5 twin."""
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
+    df, member = _exact_dup_collapse(df, id_col, text_col)
     s = simhash(df.select(id_col, text_col), text_col)
     blocks = s.select(
         F.col(id_col),
@@ -751,10 +815,13 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    rep_pairs = (
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+    return _expand_collapsed_pairs(
+        rep_pairs, member, id_col, "hamming", F.lit(0).cast("long")
     )
 
 
