@@ -1958,6 +1958,7 @@ _HH_K = 20
 
 @register(
     "text_token_topk_sketch",
+    headline=True,  # fences the MG-sketch mapInPandas + recount path
     tags=["U3", "A5", "W4"],
     oracle=rf"""
 WITH toks AS (

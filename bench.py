@@ -45,6 +45,7 @@ BASELINE_QUERIES: dict[str, float] = {
     "similarity_topk_cosine": 0.696,
     "text_bm25_topk": 1.14,
     "text_fingerprint_exact_dedup": 0.374,
+    "text_token_topk_sketch": 0.739,  # r5: MG-sketch Arrow path fence
     "ways_enrichment_pipeline": 2.6,
 }
 REGRESSION_FACTOR = 2.0
