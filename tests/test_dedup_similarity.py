@@ -433,3 +433,87 @@ def test_leakage_safe_split_never_splits_near_dup_pairs(spark, sf_dir):
     # and both split sides are non-empty (the guard didn't collapse
     # everything into train)
     assert out.select("split").distinct().count() == 2
+
+
+def test_collapse_expansion_matches_naive_pair_join(spark):
+    """The exact-duplicate collapse in simhash_near_dup_pairs must be
+    output-IDENTICAL to the naive all-members pair join: replicate a
+    corpus 5x (fresh ids, same texts) and check the pair set against a
+    brute-force recomputation from signatures."""
+    import itertools
+    import random
+
+    from ariadne_cartograph_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    rng = random.Random(5)
+    base = [
+        " ".join(rng.choices(["alpha", "beta", "gamma", "delta", "eps"], k=30))
+        for _ in range(12)
+    ]
+    rows = [(r * 100 + i, t) for r in range(5) for i, t in enumerate(base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, "text").select("doc_id", "simhash").collect()
+    }
+    want = set()
+    for x, y in itertools.combinations(sorted(sigs), 2):
+        h = bin((sigs[x] ^ sigs[y]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            want.add((x, y, h))
+    assert got == want
+    # replicas guarantee intra-cluster pairs exist and were expanded
+    assert any(h == 0 for _, _, h in got)
+
+
+def test_trajectory_collapse_matches_naive(spark):
+    """trajectory_jaccard_pairs' signature collapse: duplicate
+    trajectories (same points, new ids) must yield the identical pair
+    set a brute-force jaccard over cell signatures produces."""
+    import itertools
+    import random
+
+    from ariadne_cartograph_spark.operators.trajectory import (
+        cell_id as _cell,  # noqa: F401  (docs the dependency)
+        trajectory_jaccard_pairs,
+    )
+
+    rng = random.Random(9)
+    pts = []
+    base_traj = {
+        t: [(rng.uniform(-170, 170), rng.uniform(-80, 80)) for _ in range(8)]
+        for t in range(6)
+    }
+    for rep in range(4):
+        for t, coords in base_traj.items():
+            for lng, lat in coords:
+                pts.append((rep * 10 + t, lng, lat))
+    df = spark.createDataFrame(pts, "traj long, lng double, lat double").repartition(5)
+
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in trajectory_jaccard_pairs(
+            df, "traj", "lng", "lat", cell_deg=30.0, threshold=0.3
+        ).collect()
+    }
+    sig = {}
+    for tid, lng, lat in pts:
+        import math
+
+        cx, cy = math.floor(lng / 30.0), math.floor(lat / 30.0)
+        sig.setdefault(tid, set()).add((cx, cy))
+    want = set()
+    for x, y in itertools.combinations(sorted(sig), 2):
+        j = len(sig[x] & sig[y]) / len(sig[x] | sig[y])
+        if j >= 0.3:
+            want.add((x, y, round(j, 9)))
+    assert got == want
+    assert any(j == 1.0 for _, _, j in got)
