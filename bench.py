@@ -14,7 +14,7 @@ import os
 import sys
 import time
 
-# Round-4 fence at sf0.1 / local[32] (min of two clean runs). The r1
+# Round-4/5 fences at sf0.1 / local[32] (latest clean-run minimum). The r1
 # fence was retired in r4: the driver regenerated every parquet table in
 # r3 (schema change on ts columns proves it), so r1 timings are not
 # comparable to the current data. Every headline query now has an entry;
@@ -27,13 +27,13 @@ BASELINE_QUERIES: dict[str, float] = {
     "asof_purchase_after_signup": 0.6,
     "events_stream_session_parity": 3.406,
     "events_tumbling_hourly": 0.427,
-    "minhash_lsh_near_dup": 2.815,
+    "minhash_lsh_near_dup": 2.1,  # r5 re-pin (shuffle-hash band join)
     # r5 Arrow-path fences (the advice item): the OSM XML mapInPandas
     # ingest and the multimodal image mapInPandas stage — a regression
     # in the Arrow machinery is now fence-visible.
     "multimodal_image_stats": 0.6,
-    "osm_ingest_feature_tables": 3.43,
-    "ngram_jaccard_near_dup": 2.526,
+    "osm_ingest_feature_tables": 2.47,  # r5 re-pin
+    "ngram_jaccard_near_dup": 1.55,  # r5 re-pin
     "ngram_jaccard_skewed_corpus": 3.0,  # r4 PPJoin positional filter
     "q10_returned_items": 0.987,
     "q14_promo_revenue": 0.417,
@@ -42,8 +42,8 @@ BASELINE_QUERIES: dict[str, float] = {
     "q5_region_revenue": 1.188,
     "q6_forecast_revenue": 0.249,
     "sessionize_bounds": 0.679,
-    "similarity_topk_cosine": 0.696,
-    "text_bm25_topk": 1.14,
+    "similarity_topk_cosine": 0.62,  # r5 re-pin
+    "text_bm25_topk": 0.88,  # r5 re-pin
     "text_fingerprint_exact_dedup": 0.374,
     "text_token_topk_sketch": 0.739,  # r5: MG-sketch Arrow path fence
     "ways_enrichment_pipeline": 2.6,
