@@ -2081,3 +2081,92 @@ def docs_stream_topk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("tok"))
         .limit(_HH_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (U4+U5 composition —
+# the modern RAG retrieval shape): BM25 lexical candidates and exact
+# dense-cosine candidates, fused by RRF score Σ 1/(60 + rank). Both
+# legs are already-oracled operators; fusion is a full-outer join of
+# two depth-20 lists — model-sized, so the fuse stage is free at any
+# corpus scale (the legs carry the cost, each already scale-shaped).
+# --------------------------------------------------------------------------
+
+_RRF_K0, _RRF_DEPTH, _RRF_OUT = 60, 20, 10
+
+
+@register(
+    "text_hybrid_retrieval_rrf",
+    tags=["U4", "U5", "W4"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+  WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+n_df AS (SELECT tok, count(DISTINCT doc_id) AS df_t FROM toks GROUP BY tok),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - n_df.df_t + 0.5) / (n_df.df_t + 0.5))
+         * (tf.tf * ({_BM25_K1} + 1))
+         / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+         AS term_score
+  FROM tf
+  JOIN n_df ON n_df.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.tok IN {_BM25_TERMS!r}),
+agg AS (
+  SELECT doc_id, CAST(sum(term_score) AS FLOAT) AS score
+  FROM scored GROUP BY doc_id),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM agg ORDER BY score DESC, doc_id LIMIT {_RRF_DEPTH}),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+dscored AS (
+  SELECT e.vec_id,
+         CAST(list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))) AS FLOAT) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0),
+dense AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS dense_rank
+  FROM dscored ORDER BY cosine DESC, vec_id LIMIT {_RRF_DEPTH}),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+         CAST(coalesce(1.0 / ({_RRF_K0} + l.lex_rank), 0)
+              + coalesce(1.0 / ({_RRF_K0} + d.dense_rank), 0) AS FLOAT) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+SELECT doc_id, lex_rank, dense_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_OUT}
+""",
+)
+def text_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+    from ..operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, list(_BM25_TERMS), "doc_id", "text",
+        k=_RRF_DEPTH, k1=_BM25_K1, b=_BM25_B,
+    ).select("doc_id", F.col("rank").cast("long").alias("lex_rank"))
+    dense = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=_RRF_DEPTH
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    fused = lex.join(dense, "doc_id", "full_outer")
+    rrf = (
+        F.coalesce(1.0 / (F.lit(_RRF_K0) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(_RRF_K0) + F.col("dense_rank")), F.lit(0.0))
+    ).cast("float")
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_OUT)
+        .select("doc_id", "lex_rank", "dense_rank", "rrf_score")
+    )
