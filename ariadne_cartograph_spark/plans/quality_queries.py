@@ -484,3 +484,88 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], k=5
     )
     return kept.orderBy("source", F.col("n_chars").desc(), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# In-engine trained quality classifier (operators/classifier.py):
+# 5 iterations of batch-GD logistic regression (label: lang='en';
+# features: token count and char count, normalized by exact integer/
+# constant division so both engines see bit-identical inputs). The
+# oracle REPLAYS THE WHOLE TRAINING LOOP as unrolled CTEs with the
+# same per-iteration float32 weight rounding, then both sides report
+# per-source predictions AND the final weights — the hash checks the
+# entire training trajectory, not just the scores.
+# --------------------------------------------------------------------------
+
+_LR_ITER, _LR_RATE = 5, 0.5
+_LR_FEATS_SQL = (
+    "len(string_split_regex(text, '\\s+')) / 100.0 AS x1, "
+    "n_chars / 1000.0 AS x2"
+)
+
+
+def _logreg_oracle(n_iter: int = _LR_ITER, lr: float = _LR_RATE) -> str:
+    ctes = [
+        f"""feats AS (
+  SELECT source,
+         {_LR_FEATS_SQL},
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+w0 AS (SELECT CAST(0.0 AS FLOAT) AS wb, CAST(0.0 AS FLOAT) AS w1,
+              CAST(0.0 AS FLOAT) AS w2)"""
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""p{t} AS (
+  SELECT y, x1, x2,
+         1.0 / (1.0 + exp(-(w.wb + w.w1 * x1 + w.w2 * x2))) AS p
+  FROM feats, w{t - 1} w),
+g{t} AS (
+  SELECT avg(p - y) AS g0, avg((p - y) * x1) AS g1, avg((p - y) * x2) AS g2
+  FROM p{t}),
+w{t} AS (
+  SELECT CAST(w.wb - {lr} * g.g0 AS FLOAT) AS wb,
+         CAST(w.w1 - {lr} * g.g1 AS FLOAT) AS w1,
+         CAST(w.w2 - {lr} * g.g2 AS FLOAT) AS w2
+  FROM w{t - 1} w, g{t} g)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN 1.0 / (1.0 + exp(-(w.wb + w.w1 * x1 + w.w2 * x2))) > 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+       CAST(avg(1.0 / (1.0 + exp(-(w.wb + w.w1 * x1 + w.w2 * x2)))) AS FLOAT) AS avg_p,
+       w.wb AS w_bias, w.w1 AS w_ntok, w.w2 AS w_nchars
+FROM feats, w{n_iter} w
+GROUP BY source, w.wb, w.w1, w.w2
+ORDER BY source"""
+    )
+
+
+@register("text_quality_logreg", tags=["U5", "A5"], oracle=_logreg_oracle())
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import logreg_score, train_logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source",
+        (F.size(F.split(F.col("text"), r"\s+")) / F.lit(100.0)).alias("x1"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = train_logreg(feats, ["x1", "x2"], "y", n_iter=_LR_ITER, lr=_LR_RATE)
+    p = logreg_score(["x1", "x2"], w)
+    return (
+        feats.select("source", p.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("p") > 0.5, 1).otherwise(0)).cast("bigint").alias("n_pred_en"),
+            F.avg("p").cast("float").alias("avg_p"),
+        )
+        .withColumn("w_bias", F.lit(w[0]).cast("float"))
+        .withColumn("w_ntok", F.lit(w[1]).cast("float"))
+        .withColumn("w_nchars", F.lit(w[2]).cast("float"))
+        .orderBy("source")
+    )

@@ -100,3 +100,23 @@ def test_importance_resample_favors_target_like_docs(spark):
     ).collect()
     w = {r["doc_id"]: r["log_ratio"] for r in got}
     assert min(w[i] for i in range(40)) > max(w[100 + i] for i in range(40))
+
+
+def test_logreg_weights_partition_independent(spark):
+    """The f32 per-iteration rounding must absorb partition-order sum
+    noise: training on 2 vs 32 partitions lands on identical weights."""
+    import random
+
+    from ariadne_cartograph_spark.operators.classifier import train_logreg
+
+    rng = random.Random(13)
+    rows = [
+        (float(rng.randint(5, 200)) / 100.0, float(rng.randint(50, 900)) / 1000.0,
+         1.0 if rng.random() < 0.4 else 0.0)
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    w2 = train_logreg(df.repartition(2), ["x1", "x2"], "y", n_iter=5, lr=0.5)
+    w32 = train_logreg(df.repartition(32), ["x1", "x2"], "y", n_iter=5, lr=0.5)
+    assert w2 == w32
+    assert any(abs(x) > 1e-4 for x in w2), "training produced all-zero weights"
