@@ -216,7 +216,15 @@ def minhash_near_dup_pairs(
     The shingle frame is computed ONCE and persisted: signatures derive
     from it row-locally and the verification step reuses the same sets,
     so tokenize+hash (the scan-side cost at 100 TB) runs a single time
-    instead of twice."""
+    instead of twice.
+
+    Exact duplicates collapse to representatives before the band join
+    and re-expand after (see _exact_dup_collapse) — output-identical
+    (identical texts always share all bands, so the naive plan finds
+    the same pairs), with signature+candidate work k²-fold smaller on
+    k-fold duplicated corpora; intra-cluster pairs emit at jaccard 1.0,
+    exactly what the naive verify computes for identical sets."""
+    df, member = _exact_dup_collapse(df, id_col, text_col)
     sh = _track_persist(df.select(
         F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
     ))
@@ -224,9 +232,10 @@ def minhash_near_dup_pairs(
         F.col(id_col), _minhash_from_shingles(F.col("sh"), n_hashes).alias("mh_sig")
     )
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
-    return jaccard_verify(
+    rep_pairs = jaccard_verify(
         cands, df, id_col, text_col, shingle_size, threshold, shingles=sh
     )
+    return _expand_collapsed_pairs(rep_pairs, member, id_col, "jaccard", F.lit(1.0))
 
 
 def _shingle_frame(
@@ -442,7 +451,14 @@ def ngram_jaccard_pairs_auto(
     Both strategies are lossless, so the output is identical either
     way; only the physical plan changes. The persisted shingle frame
     and the df table are reused by whichever path runs.
+
+    Exact duplicates collapse to representatives first (see
+    _exact_dup_collapse; output-identical, re-expanded after) — this
+    both shrinks every df(g) back to its deduped value (so the skew
+    rule measures REAL shingle skew, not duplication inflation) and
+    cuts candidate volume k²-fold on k-fold duplicated corpora.
     """
+    df, member = _exact_dup_collapse(df, id_col, text_col)
     sh = _shingle_frame(df, id_col, text_col, shingle_size)
     exploded = sh.select(F.col(id_col), "n_sh", F.explode("sh").alias("g"))
     # persisted: the df table feeds BOTH the stats action below and the
@@ -456,10 +472,14 @@ def ngram_jaccard_pairs_auto(
     max_df, total = (stats["max_df"] or 0), (stats["total"] or 0)
     sum_sq = stats["sum_sq"] or 0
     if ngram_join_strategy(max_df, total, sum_sq) == "prefix":
-        return ngram_jaccard_pairs_prefix(
+        rep_pairs = ngram_jaccard_pairs_prefix(
             df, id_col, text_col, shingle_size, threshold, _sh=sh, _freq=freq
         )
-    return ngram_jaccard_pairs(df, id_col, text_col, shingle_size, threshold, _sh=sh)
+    else:
+        rep_pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, shingle_size, threshold, _sh=sh
+        )
+    return _expand_collapsed_pairs(rep_pairs, member, id_col, "jaccard", F.lit(1.0))
 
 
 def ngram_jaccard_join_two_tables(
