@@ -12,7 +12,15 @@ update (the same device as the f32 score policy and the 1e-4-rounded
 Gumbel key): double-sum noise (~1e-13 relative) is far below f32
 resolution (~6e-8), so Spark and a SQL engine replaying the same
 unrolled iterations land on bit-identical weights, and the training
-trajectory itself becomes hash-checkable.
+trajectory itself becomes hash-checkable. This is a probabilistic
+guarantee, not an absolute one: if an iteration's true gradient
+average happens to land WITHIN the ~1e-13 noise band of an f32
+rounding boundary, the two engines can round to adjacent f32 values,
+and because weights feed the next iteration the divergence compounds.
+Treat a trajectory-hash mismatch as this rare boundary-straddle case
+(re-pin the oracle or round more coarsely, e.g. fixed 1e-4 decimal
+rounding where a sub-noise perturbation provably cannot flip the
+rounded value) rather than as an engine bug.
 
 Scale design (100 TB): per iteration one aggregate (partial aggregation
 before the shuffle, 1 output row); driver state is len(features)+1

@@ -116,7 +116,11 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, n_hashes: int = 32, bands: int = 8
+    sig_df: DataFrame,
+    id_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     r = n_hashes/bands rows; docs agreeing on any full band become a
@@ -124,9 +128,18 @@ def lsh_candidate_pairs(
 
     The band join shuffles (band_idx, band_hash) — at 100 TB, band
     buckets are the unit of parallelism and hot buckets (boilerplate
-    docs) are the skew risk; AQE skew-join handles moderate cases, and
-    a bucket-size cap can drop degenerate buckets (not needed on the
-    test corpora).
+    docs) are the skew risk. AQE skew-join splits a hot bucket's TASKS,
+    but the candidate COUNT still grows as bucket², so
+    ``max_bucket_size`` drops buckets above the bound before the join
+    (a viral band bucket of B docs would alone emit B²/2 candidates).
+    Dropping a bucket is the standard LSH degradation: a pair is still
+    found via any of its other ``bands − 1`` buckets, so only pairs
+    whose EVERY shared band is viral are lost — on boilerplate corpora
+    those are exactly the pairs the verify step would reject or the
+    exact-dup collapse already handled. Not silent: the number of
+    dropped buckets/rows is logged (one model-sized aggregate on the
+    already-computed bucket-frequency table). ``None`` (default)
+    disables the cap — the exact contract the DuckDB oracles check.
     """
     r = n_hashes // bands
     banded = sig_df.select(
@@ -140,6 +153,32 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket_size is not None:
+        bucket_n = _track_persist(
+            banded.groupBy("band_idx", "band_hash").agg(
+                F.count(F.lit(1)).alias("__bn")
+            )
+        )
+        dropped = bucket_n.filter(F.col("__bn") > max_bucket_size).agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("__bn"), F.lit(0)).alias("rows"),
+        ).first()
+        if dropped["buckets"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: dropping %d hot band buckets "
+                "(> %d rows each, %d banded rows total) — pairs only "
+                "reachable through those buckets are not candidates",
+                dropped["buckets"], max_bucket_size, dropped["rows"],
+            )
+        banded = banded.join(
+            bucket_n.filter(F.col("__bn") <= max_bucket_size).select(
+                "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+            "left_semi",
+        )
     a = banded.alias("a")
     # shuffle_hash: both sides are the same SF-scaling frame, so a
     # broadcast is impossible at scale AND (measured at the sf1
@@ -193,8 +232,13 @@ def jaccard_verify(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    # Two sub-shingle-length docs share a (NULL-filled) minhash band, so
+    # empty-set candidate pairs DO reach this verify; their Jaccard is
+    # 0/0 — NULL (filtered), never a pair and never an ANSI
+    # divide-by-zero, matching the count/prefix paths which emit
+    # nothing for empty shingle sets.
     return (
-        out.withColumn("jaccard", inter / union)
+        out.withColumn("jaccard", F.when(union > 0, inter / union))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -208,6 +252,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     shingle_size: int = 3,
     threshold: float = 0.6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: signature → band join →
     exact-Jaccard verification. b=8, r=4 → LSH threshold ≈ (1/8)^(1/4)
@@ -231,11 +276,15 @@ def minhash_near_dup_pairs(
     sigs = sh.select(
         F.col(id_col), _minhash_from_shingles(F.col("sh"), n_hashes).alias("mh_sig")
     )
-    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands, max_bucket_size)
     rep_pairs = jaccard_verify(
         cands, df, id_col, text_col, shingle_size, threshold, shingles=sh
     )
-    return _expand_collapsed_pairs(rep_pairs, member, id_col, "jaccard", F.lit(1.0))
+    empty_reps = sh.filter(F.size("sh") == 0).select(F.col(id_col).alias("__rep"))
+    return _expand_collapsed_pairs(
+        rep_pairs, member, id_col, "jaccard", F.lit(1.0),
+        exclude_intra_reps=empty_reps,
+    )
 
 
 def _shingle_frame(
@@ -479,7 +528,11 @@ def ngram_jaccard_pairs_auto(
         rep_pairs = ngram_jaccard_pairs(
             df, id_col, text_col, shingle_size, threshold, _sh=sh
         )
-    return _expand_collapsed_pairs(rep_pairs, member, id_col, "jaccard", F.lit(1.0))
+    empty_reps = sh.filter(F.size("sh") == 0).select(F.col(id_col).alias("__rep"))
+    return _expand_collapsed_pairs(
+        rep_pairs, member, id_col, "jaccard", F.lit(1.0),
+        exclude_intra_reps=empty_reps,
+    )
 
 
 def ngram_jaccard_join_two_tables(
@@ -674,6 +727,14 @@ def simhash_md5(df: DataFrame, text_col: str, out_col: str = "sim_bits") -> Data
     return df.withColumn(out_col, bits)
 
 
+# Skip the duplicate-collapse pre-pass when fewer than this fraction of
+# rows are exact duplicates: the collapse semi-join + the re-expansion
+# joins cost more than they save on (near-)dup-free corpora — measured
+# as the only r5 bench regression (ngram_jaccard_skewed_corpus
+# 2.77→3.80 s from an unconditional collapse on a dup-free corpus).
+_COLLAPSE_MIN_DUP_RATIO = 0.02
+
+
 def _exact_dup_collapse(df: DataFrame, id_col: str, text_col: str):
     """Collapse exact-text duplicates to their min-id representative
     before a pair join. Returns (rep_df, member): rep_df is the input
@@ -682,10 +743,39 @@ def _exact_dup_collapse(df: DataFrame, id_col: str, text_col: str):
     candidates k² → 1 per cluster pair AND signature computation k → 1
     (measured at the sf1 replica rehearsal: simhash 346s → the pair
     join and the 64-bit signature pass both ran 10x wider than needed).
+
+    GATED on measured duplication: one 1-row aggregate over the
+    (persisted) fingerprint frame compares count vs countDistinct; when
+    the corpus is (almost) duplicate-free the collapse and re-expansion
+    are skipped entirely — ``member`` comes back None and
+    :func:`_expand_collapsed_pairs` is a no-op. Output is identical
+    either way (the collapse is lossless and, with the empty-shingle
+    guard in _expand_collapsed_pairs, row-identical to the naive plan),
+    so the gate only changes the physical plan. The fingerprint stats
+    are model-sized (2 longs), never data.
     """
-    base = df.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp"))
+    # The gate pass is intentionally minimal — xxhash64 (cheaper than
+    # the md5 the collapse itself fingerprints with), no persist, one
+    # 1-row aggregate; measured ~0.3 s at sf0.1 vs ~1 s of collapse +
+    # expansion joins it saves on dup-free corpora. (Exact
+    # countDistinct beats approx_count_distinct here: at rsd tight
+    # enough to trust a 2% gate the HLL registers cost MORE than the
+    # exact shuffle of 8-byte hashes.)
+    stats = df.select(F.xxhash64(F.col(text_col)).alias("__gfp")).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("__gfp").alias("n_fp")
+    ).first()
+    n, n_fp = (stats["n"] or 0), (stats["n_fp"] or 0)
+    if n_fp >= n * (1.0 - _COLLAPSE_MIN_DUP_RATIO):
+        return df, None
+    base = _track_persist(
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp"))
+    )
     reps = base.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
-    member = base.join(reps, "__fp").select(F.col(id_col), F.col("__rep"), F.col("__fp"))
+    # member fans out into 4 joins in _expand_collapsed_pairs — persist
+    # so the fingerprint scan + groupBy + join run once, not per branch.
+    member = _track_persist(
+        base.join(reps, "__fp").select(F.col(id_col), F.col("__rep"), F.col("__fp"))
+    )
     # No broadcast hint: reps is corpus-sized on a dup-free corpus.
     rep_df = df.join(reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi")
     return rep_df, member
@@ -693,16 +783,28 @@ def _exact_dup_collapse(df: DataFrame, id_col: str, text_col: str):
 
 def _expand_collapsed_pairs(
     rep_pairs: DataFrame,
-    member: DataFrame,
+    member: DataFrame | None,
     id_col: str,
     metric_col: str,
     exact_value: "F.Column",
+    exclude_intra_reps: DataFrame | None = None,
 ) -> DataFrame:
     """Reconstruct the full pair set from representative pairs: every
     cross-cluster member pair inherits the rep pair's metric (identical
     texts → identical signatures), intra-cluster pairs are emitted
     directly at the exact-duplicate metric value. Row-identical to the
-    naive all-members pair join."""
+    naive all-members pair join. ``member=None`` (the gated no-dup
+    case) passes rep_pairs through untouched.
+
+    ``exclude_intra_reps``: single-column (__rep) frame of clusters
+    whose intra pairs must NOT be emitted. The Jaccard callers pass the
+    empty-shingle representatives here: the naive plan computes 0/0 →
+    NULL Jaccard for a duplicated pair of sub-shingle-length texts and
+    filters it out, so the expansion must not resurrect those pairs at
+    1.0 (the Hamming callers keep the unconditional emission — identical
+    texts have Hamming 0 regardless of length)."""
+    if member is None:
+        return rep_pairs
     ma = member.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
     mb = member.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
     cross = (
@@ -714,9 +816,12 @@ def _expand_collapsed_pairs(
             F.col(metric_col),
         )
     )
-    m1 = member.alias("m1")
+    intra_member = member
+    if exclude_intra_reps is not None:
+        intra_member = member.join(exclude_intra_reps, "__rep", "left_anti")
+    m1 = intra_member.alias("m1")
     # shuffle_hash: SF-scaling self-join — see lsh_candidate_pairs.
-    m2 = member.hint("shuffle_hash").alias("m2")
+    m2 = intra_member.hint("shuffle_hash").alias("m2")
     intra = m1.join(
         m2,
         (F.col("m1.__fp") == F.col("m2.__fp"))

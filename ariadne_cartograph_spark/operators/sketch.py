@@ -41,15 +41,29 @@ def mg_partials(
     input partition; mg_count is the MG lower-bound count within the
     partition (undercounts by ≤ n_partition/(capacity+1)).
 
-    Tokenization here only shapes the CANDIDATE set (a superset is
-    always safe); the exact recount in :func:`heavy_hitters_topk` uses
-    the JVM-side split that the SQL oracle mirrors.
+    Tokenization MUST agree with the recount in
+    :func:`heavy_hitters_topk` and the SQL oracle, or "candidate
+    superset is always safe" silently breaks: a token the sketch never
+    forms (e.g. one joined by non-ASCII whitespace that Java's
+    ASCII-only ``\\s`` does not split) can never enter the candidate
+    set no matter how heavy it is. All three sides therefore tokenize
+    identically: split on the ASCII whitespace class (Java ``\\s`` =
+    ``[ \\t\\n\\x0b\\f\\r]`` — pandas regex ``\\s`` is Unicode-aware,
+    so the class is spelled out) and drop empty tokens (the recount
+    and oracle filter ``tok <> ''`` to cancel Java/DuckDB split()
+    edge-token differences).
     """
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters = pd.Series(dtype="int64")
         for batch in batches:
-            toks = batch[text_col].str.split().explode().dropna()
+            toks = (
+                batch[text_col]
+                .str.split(r"[ \t\n\x0b\f\r]+", regex=True)
+                .explode()
+                .dropna()
+            )
+            toks = toks[toks != ""]
             if toks.empty:
                 continue
             vc = toks.value_counts()
@@ -82,7 +96,7 @@ def heavy_hitters_topk(
     cands = mg_partials(df, text_col, capacity).select("tok").distinct()
     toks = df.select(
         F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
-    )
+    ).filter(F.col("tok") != "")
     exact = (
         toks.join(F.broadcast(cands), "tok")
         .groupBy("tok")

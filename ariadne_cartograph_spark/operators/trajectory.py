@@ -2,13 +2,16 @@
 trajectory similarity): trajectories are reduced to grid-cell
 signature SETS (the local-reference-point idea — a coarse spatial
 vocabulary), so trajectory similarity becomes set similarity and rides
-the same count-based / LSH machinery as document dedup.
+the same count-based / AllPairs-prefix machinery as document dedup.
 
 Scale design: the cell explode-join is the document-shingle join with
-cells as the vocabulary — Σ df(cell)² bounded by cell coarseness;
-hotspots (downtown cells everyone visits) are the skew case and take
-the AllPairs prefix-filter route exactly like hot shingles
-(operators/dedup.py). Cell ids are pure integer arithmetic
+cells as the vocabulary — Σ df(cell)² bounded by cell coarseness.
+Hotspot cells (downtown cells everyone visits) are the skew case:
+:func:`trajectory_jaccard_pairs` measures cell-frequency skew with the
+same 1-row stats aggregate as ngram_jaccard_pairs_auto and auto-routes
+to an AllPairs prefix-filter plan (rarest-cell-first prefixes keep hot
+cells out of the candidate join) when the hottest cell alone would
+dominate the candidate volume. Cell ids are pure integer arithmetic
 (floor(coord/cell_deg)) — deterministic across engines, hence
 DuckDB-oracle-checkable, unlike hash-based shingles.
 """
@@ -19,6 +22,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.geo import grid_cell
+from .dedup import (
+    _COLLAPSE_MIN_DUP_RATIO,
+    _expand_collapsed_pairs,
+    _track_persist,
+    ngram_join_strategy,
+)
 
 # cx ∈ [-360/deg, 360/deg]; ×1e6 keeps the pair injective for any
 # cell_deg ≥ 1e-3 while staying far from long overflow.
@@ -45,59 +54,29 @@ def trajectory_cells(
     ).dropDuplicates()
 
 
-def trajectory_jaccard_pairs(
-    pts: DataFrame,
-    traj_col: str,
-    lng_col: str,
-    lat_col: str,
-    cell_deg: float = 10.0,
-    threshold: float = 0.6,
+def _count_pairs(
+    exploded: DataFrame, sizes: DataFrame, traj_col: str, threshold: float
 ) -> DataFrame:
-    """All trajectory pairs with cell-signature Jaccard ≥ threshold:
-    count-based intersection join on cell (one shuffle keyed by cell,
-    one by pair), same plan shape as ngram_jaccard_pairs.
-
-    Duplicate-collapse pre-pass: trajectories with IDENTICAL cell
-    signatures (exact duplicates — the dominant population on crawl-
-    style corpora; the sf1 replica rehearsal measured this entry at
-    1160s without it, with every candidate evaluated 100x) are
-    collapsed to their min-id representative before pair enumeration.
-    The pair join runs over representatives only; the full pair set is
-    reconstructed after — cross-cluster pairs inherit the rep pair's
-    jaccard (identical signatures), intra-cluster pairs are emitted
-    directly at jaccard 1.0. Output is row-identical to the naive
-    plan; candidate work drops from Σ(k·df)² to Σ df² for k-fold
-    duplicated corpora. Signature equality uses xxhash64 of the sorted
-    cell array (2^-64 collision class, like every hashed scheme here).
-    """
-    cells = trajectory_cells(pts, traj_col, lng_col, lat_col, cell_deg)
-    sig = cells.groupBy(traj_col).agg(
-        F.xxhash64(F.sort_array(F.collect_list("cell"))).alias("__sig")
-    )
-    reps = sig.groupBy("__sig").agg(F.min(traj_col).alias("__rep"))
-    member = sig.join(reps, "__sig").select(traj_col, "__rep", "__sig")
-    # No broadcast hint: on a dup-free corpus reps is corpus-sized
-    # (SF-scaling); AQE broadcasts it only when the collapse actually
-    # shrank it.
-    rep_cells = cells.join(
-        reps.select(F.col("__rep").alias(traj_col)), traj_col, "left_semi"
-    )
-    sizes = rep_cells.groupBy(traj_col).agg(F.count(F.lit(1)).alias("n_cells"))
-    a = rep_cells.alias("a")
+    """Count-based exhaustive path: cell equi-self-join → per-pair
+    intersection count → Jaccard. Σ df(cell)² candidates — cheapest on
+    uniform cell frequencies."""
+    a = exploded.alias("a")
     # shuffle_hash: SF-scaling cell self-join (see dedup.lsh_candidate_pairs).
-    b = rep_cells.hint("shuffle_hash").alias("b")
+    b = exploded.hint("shuffle_hash").alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col(f"a.{traj_col}") < F.col(f"b.{traj_col}")),
         )
-        .groupBy(F.col(f"a.{traj_col}").alias("id_a"), F.col(f"b.{traj_col}").alias("id_b"))
+        .groupBy(
+            F.col(f"a.{traj_col}").alias("id_a"), F.col(f"b.{traj_col}").alias("id_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(traj_col).alias("id_a"), F.col("n_cells").alias("n_a"))
     sb = sizes.select(F.col(traj_col).alias("id_b"), F.col("n_cells").alias("n_b"))
-    rep_pairs = (
+    return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -108,36 +87,151 @@ def trajectory_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # Cross-cluster expansion: every member pair across the two rep
-    # clusters, re-ordered so id_a < id_b (identical signatures make
-    # the rep jaccard exact for every member pair).
-    ma = member.select(F.col("__rep").alias("id_a"), F.col(traj_col).alias("__ma"))
-    mb = member.select(F.col("__rep").alias("id_b"), F.col(traj_col).alias("__mb"))
-    cross = (
-        rep_pairs.join(ma, "id_a")
-        .join(mb, "id_b")
+
+
+def _prefix_pairs(
+    exploded: DataFrame,
+    freq: DataFrame,
+    sig: DataFrame,
+    traj_col: str,
+    threshold: float,
+) -> DataFrame:
+    """AllPairs prefix-filter + PPJoin positional-prune path over cell
+    signatures — the hot-cell escape (same lossless scheme as
+    dedup.ngram_jaccard_pairs_prefix; Bayardo 2007 / Xiao 2008): under
+    the rarest-first total order (df, cell), a Jaccard ≥ t pair must
+    share a cell in each side's first (n − ⌈t·n⌉ + 1) cells, so hot
+    cells sort out of every prefix and never enter the self-join."""
+    from pyspark.sql.window import Window as W
+
+    rnk = F.row_number().over(W.partitionBy(traj_col).orderBy("df_c", "cell"))
+    prefix = (
+        exploded.join(freq, "cell")
+        .withColumn("__rnk", rnk)
+        .filter(
+            F.col("__rnk")
+            <= F.col("n_cells") - F.ceil(F.lit(threshold) * F.col("n_cells")) + 1
+        )
+        .select(traj_col, "n_cells", "cell", "__rnk")
+    )
+    a = prefix.alias("a")
+    # shuffle_hash: SF-scaling self-join — see dedup.lsh_candidate_pairs.
+    b = prefix.hint("shuffle_hash").alias("b")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_cells") + F.col("b.n_cells"))
+    )
+    remaining = (
+        F.least(
+            F.col("a.n_cells") - F.col("a.__rnk"),
+            F.col("b.n_cells") - F.col("b.__rnk"),
+        )
+        + 1
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{traj_col}") < F.col(f"b.{traj_col}"))
+            & (F.col("b.n_cells") >= F.lit(threshold) * F.col("a.n_cells"))
+            & (F.col("a.n_cells") >= F.lit(threshold) * F.col("b.n_cells"))
+            & (remaining >= alpha),
+        )
         .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
-            "jaccard",
+            F.col(f"a.{traj_col}").alias("id_a"), F.col(f"b.{traj_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    arr_a = sig.select(F.col(traj_col).alias("id_a"), F.col("__arr").alias("arr_a"))
+    arr_b = sig.select(F.col(traj_col).alias("id_b"), F.col("__arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("double")
+    union = (F.size("arr_a") + F.size("arr_b")).cast("double") - inter
+    return (
+        cands.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def trajectory_jaccard_pairs(
+    pts: DataFrame,
+    traj_col: str,
+    lng_col: str,
+    lat_col: str,
+    cell_deg: float = 10.0,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All trajectory pairs with cell-signature Jaccard ≥ threshold,
+    with the physical plan auto-selected on MEASURED statistics (both
+    measurements are 1-row model-sized aggregates; every strategy is
+    lossless, so the output is identical either way):
+
+    1. duplicate-collapse gate (dedup._exact_dup_collapse semantics on
+       cell signatures): trajectories with IDENTICAL cell sets — the
+       dominant population on crawl-style corpora; the sf1 replica
+       rehearsal measured this entry at 1160 s without collapse —
+       collapse to their min-id representative before pair enumeration
+       and re-expand after, but ONLY when the measured duplicate ratio
+       clears the gate: on dup-free corpora the collapse + expansion
+       joins are pure overhead and are skipped.
+    2. join-strategy rule (dedup.ngram_join_strategy on cell
+       doc-frequencies): uniform cell frequencies → count-based
+       exhaustive join (no rank window, no frequency join); a hotspot
+       cell (max_df² ≥ Σ df) or aggregate blowup (Σ df² ≥ 32·Σ df) →
+       the AllPairs prefix plan, which keeps the candidate count
+       bounded because hot cells sort out of every prefix.
+
+    Signature equality uses xxhash64 of the sorted cell array (2^-64
+    collision class, like every hashed scheme here).
+    """
+    cells = trajectory_cells(pts, traj_col, lng_col, lat_col, cell_deg)
+    # Persisted: feeds the collapse stats, the frequency table, and the
+    # chosen join path — one scan of the point data, not three.
+    sig = _track_persist(
+        cells.groupBy(traj_col)
+        .agg(F.sort_array(F.collect_list("cell")).alias("__arr"))
+        .select(
+            F.col(traj_col),
+            F.col("__arr"),
+            F.size("__arr").alias("n_cells"),
+            F.xxhash64("__arr").alias("__fp"),
         )
     )
-    # Intra-cluster pairs: exact duplicates, jaccard 1.0 by definition.
-    m1 = member.alias("m1")
-    m2 = member.hint("shuffle_hash").alias("m2")
-    intra = (
-        m1.join(
-            m2,
-            (F.col("m1.__sig") == F.col("m2.__sig"))
-            & (F.col(f"m1.{traj_col}") < F.col(f"m2.{traj_col}")),
+    dstats = sig.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("__fp").alias("n_fp")
+    ).first()
+    n, n_fp = (dstats["n"] or 0), (dstats["n_fp"] or 0)
+    if n_fp >= n * (1.0 - _COLLAPSE_MIN_DUP_RATIO):
+        member, rep_sig = None, sig
+    else:
+        reps = sig.groupBy("__fp").agg(F.min(traj_col).alias("__rep"))
+        member = _track_persist(
+            sig.select(traj_col, "__fp")
+            .join(reps, "__fp")
+            .select(F.col(traj_col), F.col("__rep"), F.col("__fp"))
         )
-        .select(
-            F.col(f"m1.{traj_col}").alias("id_a"),
-            F.col(f"m2.{traj_col}").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
+        rep_sig = _track_persist(
+            sig.join(reps.select(F.col("__rep").alias(traj_col)), traj_col, "left_semi")
         )
-    )
-    return cross.unionByName(intra)
+    exploded = rep_sig.select(traj_col, "n_cells", F.explode("__arr").alias("cell"))
+    freq = _track_persist(exploded.groupBy("cell").agg(F.count(F.lit(1)).alias("df_c")))
+    fstats = freq.agg(
+        F.max("df_c").alias("max_df"),
+        F.sum("df_c").alias("total"),
+        F.sum(F.col("df_c") * F.col("df_c")).alias("sum_sq"),
+    ).first()
+    max_df, total = (fstats["max_df"] or 0), (fstats["total"] or 0)
+    sum_sq = fstats["sum_sq"] or 0
+    if ngram_join_strategy(max_df, total, sum_sq) == "prefix":
+        rep_pairs = _prefix_pairs(exploded, freq, rep_sig, traj_col, threshold)
+    else:
+        sizes = rep_sig.select(traj_col, "n_cells")
+        rep_pairs = _count_pairs(exploded, sizes, traj_col, threshold)
+    # Intra-cluster emission is unconditional: every trajectory has ≥ 1
+    # cell (a point always maps to a cell), so the empty-set Jaccard
+    # case of the text twins cannot arise.
+    return _expand_collapsed_pairs(rep_pairs, member, traj_col, "jaccard", F.lit(1.0))
 
 
 def trajectory_topk_similar(

@@ -1963,7 +1963,7 @@ _HH_K = 20
     oracle=rf"""
 WITH toks AS (
   SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
-c AS (SELECT tok, count(*) AS n_occurrences FROM toks GROUP BY tok)
+c AS (SELECT tok, count(*) AS n_occurrences FROM toks WHERE tok <> '' GROUP BY tok)
 SELECT tok, n_occurrences FROM c
 ORDER BY n_occurrences DESC, tok LIMIT {_HH_K}
 """,
@@ -2047,7 +2047,7 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
 WITH toks AS (
   SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
-c AS (SELECT tok, count(*) AS n_occurrences FROM toks GROUP BY tok)
+c AS (SELECT tok, count(*) AS n_occurrences FROM toks WHERE tok <> '' GROUP BY tok)
 SELECT tok, n_occurrences FROM c
 ORDER BY n_occurrences DESC, tok LIMIT {_HH_K}
 """,
@@ -2073,7 +2073,9 @@ def docs_stream_topk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = spark.table(name).select("tok").distinct()
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
     return (
         toks.join(F.broadcast(cands), "tok")
         .groupBy("tok")

@@ -373,15 +373,42 @@ def assemble_multipolygons(relations: DataFrame, ways_with_geom: DataFrame) -> D
                 ys = [p[1] for p in ring]
                 return min(xs), min(ys), max(xs), max(ys)
 
+            def pip(x, y, ring):
+                # even-odd ray crossing; ring is closed (first == last)
+                inside = False
+                for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+                    if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (
+                        y2 - y1
+                    ):
+                        inside = not inside
+                return inside
+
             oboxes = [bbox(o) for o in outers]
             holes_per_outer: list[list] = [[] for _ in outers]
             for inner in inners:
                 x, y = inner[0]
-                target = 0
-                for j, (x0, y0, x1, y1) in enumerate(oboxes):
-                    if x0 <= x <= x1 and y0 <= y <= y1:
-                        target = j
-                        break
+                cands = [
+                    j
+                    for j, (x0, y0, x1, y1) in enumerate(oboxes)
+                    if x0 <= x <= x1 and y0 <= y <= y1
+                ]
+                target = cands[0] if cands else 0
+                if len(cands) > 1:
+                    # bboxes overlap/touch (L-shaped outers, adjacent
+                    # courtyard blocks): geometric point-in-polygon
+                    # decides; tried over the inner's vertices so a
+                    # test point sitting exactly on an outer's edge
+                    # (crossing-test fragility) falls through to the
+                    # next vertex. bbox order remains the tie-break if
+                    # no vertex lands strictly inside any candidate.
+                    done = False
+                    for px, py in inner[:-1]:
+                        for j in cands:
+                            if pip(px, py, outers[j]):
+                                target, done = j, True
+                                break
+                        if done:
+                            break
                 holes_per_outer[target].append(inner)
             for j, outer in enumerate(outers):
                 out.append(

@@ -96,6 +96,54 @@ def test_feature_tables(tables):
     assert "other_tags" in t["line"].columns
 
 
+def test_multipolygon_hole_attachment_pip_fallback(spark):
+    """Two outer rings whose bboxes OVERLAP (an L-shaped block wrapping
+    a square courtyard building): bbox containment alone attaches the
+    hole to the first bbox match (the L-shape — wrong); the
+    point-in-polygon fallback must attach it to the square that
+    geometrically contains it."""
+    from ariadne_cartograph_spark.sources.osm import assemble_multipolygons
+
+    # outer way 1: L-shape covering (0,0)-(20,4) ∪ (0,0)-(4,10);
+    # its bbox (0,0)-(20,10) contains the whole scene.
+    l_shape = [(0.0, 0.0), (20.0, 0.0), (20.0, 4.0), (4.0, 4.0),
+               (4.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    # outer way 2: square (5,5)-(15,9) — inside the L's bbox but
+    # outside the L polygon.
+    square = [(5.0, 5.0), (15.0, 5.0), (15.0, 9.0), (5.0, 9.0), (5.0, 5.0)]
+    # inner way 3: courtyard (6,6)-(7,7), inside the square only.
+    hole = [(6.0, 6.0), (7.0, 6.0), (7.0, 7.0), (6.0, 7.0), (6.0, 6.0)]
+
+    def pts(ring):
+        return [{"lng": x, "lat": y} for x, y in ring]
+
+    relations = spark.createDataFrame(
+        [
+            (
+                1,
+                {"type": "multipolygon", "building": "yes"},
+                [
+                    {"member_type": "way", "ref": 1, "role": "outer"},
+                    {"member_type": "way", "ref": 2, "role": "outer"},
+                    {"member_type": "way", "ref": 3, "role": "inner"},
+                ],
+            )
+        ],
+        "id long, tags map<string,string>, "
+        "members array<struct<member_type string, ref long, role string>>",
+    )
+    geoms = spark.createDataFrame(
+        [(1, pts(l_shape)), (2, pts(square)), (3, pts(hole))],
+        "id long, geom array<struct<lng double, lat double>>",
+    )
+    rows = assemble_multipolygons(relations, geoms).collect()
+    assert len(rows) == 2  # one row per outer ring
+    sq = next(r for r in rows if (r.geom[0]["lng"], r.geom[0]["lat"]) == (5.0, 5.0))
+    lsh = next(r for r in rows if (r.geom[0]["lng"], r.geom[0]["lat"]) == (0.0, 0.0))
+    assert len(sq.holes) == 1 and len(lsh.holes) == 0
+    assert (sq.holes[0][0]["lng"], sq.holes[0][0]["lat"]) == (6.0, 6.0)
+
+
 def test_multipolygon_assembly(tables, spark):
     """README.md:37 — the polygon table includes multipolygon
     relations: all 16 fixture relations stitch to one outer ring each,

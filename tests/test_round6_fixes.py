@@ -1,0 +1,239 @@
+"""Round-6 scale/correctness fixes, pinned:
+
+- the duplicate-collapse pre-pass is GATED on measured duplication and
+  (with the empty-shingle guard) row-identical to the naive plan on
+  corpora WITH duplicates — including duplicated sub-shingle-length
+  texts, where the naive Jaccard is NULL (0/0) and must stay absent;
+- the LSH hot-bucket cap bounds candidate volume with a pinned
+  degradation contract;
+- trajectory_jaccard_pairs auto-routes to the AllPairs prefix plan on
+  measured hot-cell skew with row-identical output;
+- lang_scores' contains-based form equals the bigram-intersect form;
+- the MG sketch tokenization agrees with the exact recount on
+  non-ASCII whitespace and edge empty tokens;
+- cosine_topk's blocked-GEMM strategy equals the crossjoin strategy.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_cartograph_spark.operators import dedup as D
+from ariadne_cartograph_spark.operators import trajectory as TJ
+from ariadne_cartograph_spark.operators.similarity import cosine_topk
+
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+
+
+def _corpus_with_dups(spark, n=120, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        base = " ".join(rng.choice(WORDS) for _ in range(rng.randint(6, 14)))
+        rows.append((i, base))
+    # heavy duplication: clone 60% of docs 2-4x under new ids
+    nid = n
+    for i in range(int(n * 0.6)):
+        for _ in range(rng.randint(1, 3)):
+            rows.append((nid, rows[i][1]))
+            nid += 1
+    # duplicated SHORT docs (< shingle_size tokens → EMPTY shingle set):
+    # the naive Jaccard for these pairs is 0/0 → NULL → filtered, so the
+    # collapse expansion must not emit them either.
+    for t in ("tiny", "two words"):
+        for _ in range(3):
+            rows.append((nid, t))
+            nid += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs_set(df, metric):
+    return {
+        (r["id_a"], r["id_b"], round(float(r[metric]), 9)) for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("fn,metric", [
+    (lambda df: D.minhash_near_dup_pairs(df, "doc_id", "text"), "jaccard"),
+    (lambda df: D.ngram_jaccard_pairs_auto(df, "doc_id", "text"), "jaccard"),
+    (lambda df: D.simhash_md5_near_dup_pairs(df, "doc_id", "text"), "hamming"),
+])
+def test_collapse_gate_row_identical(spark, monkeypatch, fn, metric):
+    df = _corpus_with_dups(spark)
+    collapsed = _pairs_set(fn(df), metric)
+    # force the gate to always skip → the naive (no-collapse) plan
+    monkeypatch.setattr(D, "_COLLAPSE_MIN_DUP_RATIO", -1.0)
+    naive = _pairs_set(fn(df), metric)
+    D.release_caches()
+    assert collapsed == naive
+    assert collapsed  # non-trivial corpus
+
+
+def test_collapse_skips_dup_free_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, f"unique text number {i} with tail {i * 7}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    rep_df, member = D._exact_dup_collapse(df, "doc_id", "text")
+    assert member is None and rep_df is df
+    D.release_caches()
+
+
+def test_short_dup_docs_emit_no_jaccard_pairs(spark):
+    # ONLY duplicated sub-shingle-length docs plus unique fillers: the
+    # naive plan emits nothing for the short dups (NULL jaccard), so the
+    # collapsed plan must emit nothing for them too.
+    rows = [(i, f"filler document body {i} {i+1} {i+2} {i+3}") for i in range(30)]
+    rows += [(100 + j, "tiny") for j in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.minhash_near_dup_pairs(df, "doc_id", "text").collect()
+    D.release_caches()
+    assert all(r["id_a"] < 100 and r["id_b"] < 100 for r in out)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    # 40 docs share one band bucket (identical signature); 6 docs have
+    # distinct signatures sharing a different bucket pairwise-never.
+    hot = [(i, [7] * 32) for i in range(40)]
+    cold = [(100 + i, [100 + i] * 32) for i in range(6)]
+    sig = spark.createDataFrame(hot + cold, "doc_id long, mh_sig array<long>")
+    uncapped = D.lsh_candidate_pairs(sig, "doc_id").count()
+    capped = D.lsh_candidate_pairs(sig, "doc_id", max_bucket_size=10).count()
+    assert uncapped == 40 * 39 // 2  # the viral bucket's quadratic blowup
+    assert capped == 0  # hot buckets dropped, cold buckets are singletons
+    # cap above the bucket size → identical to uncapped (no silent loss)
+    assert D.lsh_candidate_pairs(sig, "doc_id", max_bucket_size=64).count() == uncapped
+    D.release_caches()
+
+
+def _traj_points(spark, hot_cell_every=True, dup_ratio=0.0, seed=5):
+    rng = random.Random(seed)
+    rows = []
+    tid = 0
+    base_trajs = []
+    for _ in range(60):
+        cells = {(rng.randint(0, 6), rng.randint(0, 6)) for _ in range(rng.randint(3, 8))}
+        if hot_cell_every:
+            cells.add((50, 50))  # downtown cell present in EVERY trajectory
+        base_trajs.append(sorted(cells))
+    for cells in base_trajs:
+        for (cx, cy) in cells:
+            rows.append((tid, cx * 10.0 + 1.0, cy * 5.0 + 1.0))
+        tid += 1
+    for i in range(int(60 * dup_ratio)):
+        for (cx, cy) in base_trajs[i]:
+            rows.append((tid, cx * 10.0 + 1.0, cy * 5.0 + 1.0))
+        tid += 1
+    return spark.createDataFrame(rows, "traj_id long, lng double, lat double")
+
+
+def test_trajectory_auto_routes_and_matches_count_plan(spark, monkeypatch):
+    pts = _traj_points(spark, hot_cell_every=True)
+    # the hot cell makes max_df = n → max_df² ≥ Σ df → prefix route
+    strategies = []
+    real = D.ngram_join_strategy
+
+    def spy(max_df, total, sum_sq=None):
+        s = real(max_df, total, sum_sq)
+        strategies.append(s)
+        return s
+
+    monkeypatch.setattr(TJ, "ngram_join_strategy", spy)
+    auto = _pairs_set(
+        TJ.trajectory_jaccard_pairs(pts, "traj_id", "lng", "lat", cell_deg=10.0), "jaccard"
+    )
+    assert strategies == ["prefix"]
+    # force the count plan → identical rows
+    monkeypatch.setattr(TJ, "ngram_join_strategy", lambda *a, **k: "count")
+    count = _pairs_set(
+        TJ.trajectory_jaccard_pairs(pts, "traj_id", "lng", "lat", cell_deg=10.0), "jaccard"
+    )
+    D.release_caches()
+    assert auto == count
+    assert auto
+
+
+def test_trajectory_collapse_gate_row_identical(spark, monkeypatch):
+    pts = _traj_points(spark, hot_cell_every=False, dup_ratio=0.5)
+    collapsed = _pairs_set(
+        TJ.trajectory_jaccard_pairs(pts, "traj_id", "lng", "lat", cell_deg=10.0), "jaccard"
+    )
+    monkeypatch.setattr(TJ, "_COLLAPSE_MIN_DUP_RATIO", -1.0)
+    naive = _pairs_set(
+        TJ.trajectory_jaccard_pairs(pts, "traj_id", "lng", "lat", cell_deg=10.0), "jaccard"
+    )
+    D.release_caches()
+    assert collapsed == naive
+    assert any(j == 1.0 for _, _, j in collapsed)  # dup pairs present
+
+
+def test_lang_scores_contains_equals_bigram_intersect(spark):
+    from ariadne_cartograph_spark.functions import text as T
+
+    rng = random.Random(3)
+    texts = [
+        "",
+        "a",
+        "th",
+        "the quick brown fox",
+        "der schnelle braune Fuchs springt",
+        "le renard brun rapide",
+        "el rapido zorro marron",
+        "THE THE THE the",
+        "  padded   text  ",
+    ] + [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz .,") for _ in range(rng.randint(0, 80)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    # the pre-round-6 formula, inlined: distinct bigram array ∩ profile
+    grams = T.char_ngrams(F.lower(F.col("text")), 2)
+    old_cols = [
+        (F.size(F.array_intersect(grams, F.array(*[F.lit(x) for x in prof])))
+         .cast("double") / len(prof)).alias(f"old_{lang}")
+        for lang, prof in T.LANG_PROFILES.items()
+    ]
+    new = F.col("__m")
+    rows = df.withColumn("__m", T.lang_scores("text")).select(
+        "i", *old_cols, *[new[lang].alias(f"new_{lang}") for lang in T.LANG_PROFILES]
+    ).collect()
+    for r in rows:
+        for lang in T.LANG_PROFILES:
+            assert r[f"old_{lang}"] == r[f"new_{lang}"], (r["i"], lang)
+
+
+def test_sketch_tokenization_agrees_with_recount(spark):
+    from ariadne_cartograph_spark.operators.sketch import heavy_hitters_topk
+
+    # "x y" joined by non-ASCII whitespace is ONE token under the
+    # Java \s+ split — the sketch must form it too, or the heaviest
+    # token can silently miss the candidate set. Padded docs exercise
+    # the '' edge tokens filtered on both sides.
+    docs = [(i, "  x y common  ") for i in range(30)]
+    docs += [(100 + i, f"rare{i} common") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["tok"], r["n_occurrences"]) for r in
+           heavy_hitters_topk(df, "doc_id", "text", k=3, capacity=4).collect()]
+    assert got[0] == ("common", 35)
+    assert got[1] == ("x y", 30)
+    assert "" not in {t for t, _ in got}
+
+
+def test_cosine_topk_blocked_equals_crossjoin(spark):
+    rng = random.Random(17)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ]
+    # inject exact ties: duplicate vectors under different ids
+    vecs += [(300 + i, list(vecs[i][1])) for i in range(10)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 31 == 4)
+    a = cosine_topk(emb, q, "vec_id", "embedding", k=7, strategy="crossjoin")
+    b = cosine_topk(emb, q, "vec_id", "embedding", k=7, strategy="blocked", block_rows=64)
+    ra = {(r["q_vec_id"], r["vec_id"], r["cosine"], r["rank"]) for r in a.collect()}
+    rb = {(r["q_vec_id"], r["vec_id"], r["cosine"], r["rank"]) for r in b.collect()}
+    assert ra == rb
