@@ -264,11 +264,13 @@ def minhash_near_dup_pairs(
     instead of twice.
 
     Exact duplicates collapse to representatives before the band join
-    and re-expand after (see _exact_dup_collapse) — output-identical
-    (identical texts always share all bands, so the naive plan finds
-    the same pairs), with signature+candidate work k²-fold smaller on
-    k-fold duplicated corpora; intra-cluster pairs emit at jaccard 1.0,
-    exactly what the naive verify computes for identical sets."""
+    and re-expand after, when the measured duplicate ratio clears the
+    gate (see _exact_dup_collapse) — output-identical (identical texts
+    always share all bands, so the naive plan finds the same pairs),
+    with signature+candidate work k²-fold smaller on k-fold duplicated
+    corpora; intra-cluster pairs emit at jaccard 1.0, exactly what the
+    naive verify computes for identical non-empty sets (empty-shingle
+    clusters are excluded — the naive verify yields NULL for them)."""
     df, member = _exact_dup_collapse(df, id_col, text_col)
     sh = _track_persist(df.select(
         F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
@@ -501,12 +503,36 @@ def ngram_jaccard_pairs_auto(
     way; only the physical plan changes. The persisted shingle frame
     and the df table are reused by whichever path runs.
 
-    Exact duplicates collapse to representatives first (see
-    _exact_dup_collapse; output-identical, re-expanded after) — this
-    both shrinks every df(g) back to its deduped value (so the skew
-    rule measures REAL shingle skew, not duplication inflation) and
-    cuts candidate volume k²-fold on k-fold duplicated corpora.
+    Exact duplicates collapse to representatives first when the
+    measured duplicate ratio clears the gate (see _exact_dup_collapse;
+    output-identical, re-expanded after) — this both shrinks every
+    df(g) back to its deduped value (so the skew rule measures REAL
+    shingle skew, not duplication inflation) and cuts candidate volume
+    k²-fold on k-fold duplicated corpora; on dup-free corpora the
+    collapse is skipped entirely.
     """
+    rep_pairs, member, empty_reps = _ngram_rep_pairs(
+        df, id_col, text_col, shingle_size, threshold
+    )
+    return _expand_collapsed_pairs(
+        rep_pairs, member, id_col, "jaccard", F.lit(1.0),
+        exclude_intra_reps=empty_reps,
+    )
+
+
+def _ngram_rep_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+    threshold: float,
+):
+    """Shared core of the auto-routed n-gram Jaccard join: collapse
+    gate → measured-skew strategy pick → representative pair set.
+    Returns (rep_pairs, member, empty_reps); member is None when the
+    collapse gate skipped, empty_reps is the single-column (__rep)
+    frame of clusters with EMPTY shingle sets (their intra pairs must
+    never be emitted — see _expand_collapsed_pairs)."""
     df, member = _exact_dup_collapse(df, id_col, text_col)
     sh = _shingle_frame(df, id_col, text_col, shingle_size)
     exploded = sh.select(F.col(id_col), "n_sh", F.explode("sh").alias("g"))
@@ -529,10 +555,41 @@ def ngram_jaccard_pairs_auto(
             df, id_col, text_col, shingle_size, threshold, _sh=sh
         )
     empty_reps = sh.filter(F.size("sh") == 0).select(F.col(id_col).alias("__rep"))
-    return _expand_collapsed_pairs(
-        rep_pairs, member, id_col, "jaccard", F.lit(1.0),
-        exclude_intra_reps=empty_reps,
+    return rep_pairs, member, empty_reps
+
+
+def ngram_near_dup_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """(id_a, id_b) edge list whose connected components are IDENTICAL
+    to ngram_jaccard_pairs_auto's pair set — the input to cluster
+    resolution / leakage-safe splitting, where only connectivity
+    matters. Collapsed duplicate clusters are expanded as a rep→member
+    STAR (k−1 edges) instead of a clique (k(k−1)/2 pairs), and
+    cross-cluster matches stay one rep-rep edge instead of k_a·k_b
+    member pairs: on a k-fold duplicated corpus the edge list feeding
+    the (iterative, per-round-shuffled) component rounds shrinks ~k²×
+    with the same components — at the sf1 10×-replica rehearsal the
+    clique form made corpus_leakage_safe_split the single worst entry
+    (937 s). Star edges for empty-shingle clusters are excluded,
+    mirroring the pair set (those duplicates never pair — NULL
+    Jaccard), so members stay singletons in both forms."""
+    rep_pairs, member, empty_reps = _ngram_rep_pairs(
+        df, id_col, text_col, shingle_size, threshold
     )
+    edges = rep_pairs.select("id_a", "id_b")
+    if member is None:
+        return edges
+    star = (
+        member.join(empty_reps, "__rep", "left_anti")
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return edges.unionByName(star)
 
 
 def ngram_jaccard_join_two_tables(

@@ -196,10 +196,44 @@ def build_topology(nodes: DataFrame, ways: DataFrame) -> dict[str, DataFrame]:
         edges = edges.join(
             attrs, edges["osm_way_id"] == attrs["__w_id"], "left"
         ).drop("__w_id")
+    # Vertex bookkeeping columns mirroring osm2pgrouting's
+    # ways_vertices_pgr (`/root/reference/README.md:44,48`): ``cnt`` =
+    # incident edge count, ``ein``/``eout`` = directed in/out degree
+    # under the oneway attribute (a non-oneway edge counts both ways),
+    # ``chk`` = pgr_analyzeGraph's problem flag, here its cheap exact
+    # subset: 1 for degree-1 dead ends (the candidate set the analyzer
+    # inspects), 0 otherwise — the geometric near-miss refinement is a
+    # PostGIS-side pass out of scope for the import itself. All three
+    # are one groupBy over the edge endpoints (map-side combinable).
+    oneway = (
+        F.col("oneway").isin("yes", "true", "1")
+        if "tags" in ways.columns
+        else F.lit(False)
+    )
+    endpoint_stats = (
+        edges.select(
+            F.col("source").alias("node_id"),
+            F.lit(1).alias("n_out"),
+            F.when(oneway, 0).otherwise(1).alias("n_in"),
+        )
+        .unionAll(
+            edges.select(
+                F.col("target"),
+                F.when(oneway, 0).otherwise(1),
+                F.lit(1),
+            )
+        )
+        .groupBy("node_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_in").cast("long").alias("ein"),
+            F.sum("n_out").cast("long").alias("eout"),
+        )
+    )
     vertices = (
-        edges.select(F.col("source").alias("node_id"))
-        .unionAll(edges.select(F.col("target")))
-        .distinct()
+        endpoint_stats
         .join(nodes.select(F.col("id").alias("node_id"), "lon", "lat"), "node_id")
+        .withColumn("chk", F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .select("node_id", "lon", "lat", "cnt", "chk", "ein", "eout")
     )
     return {"edges": edges, "vertices": vertices}

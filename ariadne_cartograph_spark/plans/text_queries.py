@@ -1918,7 +1918,12 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cluster import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs_auto(
+    # Star-expanded edge list, NOT the full pair set: components (and
+    # therefore min-id reps and the split) are identical, but collapsed
+    # duplicate clusters contribute k−1 edges instead of k²/2 pairs —
+    # the difference between this entry being the worst sf1-rehearsal
+    # entry (937 s, clique form) and an ordinary one.
+    pairs = D.ngram_near_dup_edges(
         docs, "doc_id", "text", shingle_size=3, threshold=_JACCARD_THRESHOLD
     )
     membership = connected_components(pairs, "id_a", "id_b").select(

@@ -171,6 +171,24 @@ def test_trajectory_collapse_gate_row_identical(spark, monkeypatch):
     assert any(j == 1.0 for _, _, j in collapsed)  # dup pairs present
 
 
+def test_near_dup_edges_components_match_pair_set(spark):
+    """Star-expanded edge list (ngram_near_dup_edges) must induce
+    EXACTLY the same connected components — node set and min-id
+    labels — as the full clique pair set, including on a corpus with
+    duplicated short (empty-shingle) docs that must stay singletons."""
+    from ariadne_cartograph_spark.operators.cluster import connected_components
+
+    df = _corpus_with_dups(spark)
+    pairs = D.ngram_jaccard_pairs_auto(df, "doc_id", "text")
+    edges = D.ngram_near_dup_edges(df, "doc_id", "text")
+    cp = {(r["id"], r["comp"]) for r in connected_components(pairs).collect()}
+    ce = {(r["id"], r["comp"]) for r in connected_components(edges).collect()}
+    D.release_caches()
+    assert cp == ce and cp
+    # edge list strictly smaller than the clique pair set on this corpus
+    assert edges.count() < pairs.count()
+
+
 def test_lang_scores_contains_equals_bigram_intersect(spark):
     from ariadne_cartograph_spark.functions import text as T
 

@@ -40,6 +40,34 @@ def test_topology_structure(topo):
     assert mismatched == 0
 
 
+def test_vertices_pgr_bookkeeping(topo):
+    """ways_vertices_pgr analog (README.md:44,48): cnt = incident edge
+    count, ein/eout directed degrees under oneway, chk flags degree-1
+    dead ends. Cross-checked against a driver-side recount of the edge
+    endpoint lists."""
+    verts = {r.node_id: r for r in topo["vertices"].collect()}
+    edges = topo["edges"].select("source", "target", "oneway").collect()
+    cnt, ein, eout = {}, {}, {}
+    for e in edges:
+        one = e.oneway in ("yes", "true", "1")
+        cnt[e.source] = cnt.get(e.source, 0) + 1
+        cnt[e.target] = cnt.get(e.target, 0) + 1
+        eout[e.source] = eout.get(e.source, 0) + 1
+        ein[e.target] = ein.get(e.target, 0) + 1
+        if not one:
+            ein[e.source] = ein.get(e.source, 0) + 1
+            eout[e.target] = eout.get(e.target, 0) + 1
+    assert set(verts) == set(cnt)
+    for nid, r in verts.items():
+        assert r.cnt == cnt[nid]
+        assert r.ein == ein.get(nid, 0)
+        assert r.eout == eout.get(nid, 0)
+        assert r.chk == (1 if cnt[nid] == 1 else 0)
+    # the fixture graph has real dead ends AND real intersections
+    assert any(r.chk == 1 for r in verts.values())
+    assert any(r.cnt > 2 for r in verts.values())
+
+
 def test_edge_attributes_census(topo):
     """--attributes --tags analog (README.md:44): every edge carries
     its way's highway / name / oneway and tags map. Golden numbers
