@@ -367,7 +367,19 @@ def ngram_containment_pairs(
     Σ df² candidate bound and its skew remedies apply identically
     (route hot-shingle corpora through the prefix/auto variants first
     to produce the candidate set, then score containment on it).
+
+    Exact duplicates collapse/re-expand behind the same measured-
+    duplication gate as the Jaccard family (duplicates share their
+    rep's size, so cross-cluster pairs inherit the rep containment
+    exactly; intra pairs are 1.0; empty-shingle clusters excluded —
+    0/0 containment is NULL in the naive plan). On the k-fold
+    replica rehearsal this is the k² candidate cut that kept the
+    entry from scaling.
     """
+    if _sh is None:
+        df, member = _exact_dup_collapse(df, id_col, text_col)
+    else:
+        member = None
     sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_size)
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("g"))
     a = exploded.alias("a")
@@ -380,7 +392,7 @@ def ngram_containment_pairs(
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    rep_pairs = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -389,6 +401,11 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
+    )
+    empty_reps = sh.filter(F.size("sh") == 0).select(F.col(id_col).alias("__rep"))
+    return _expand_collapsed_pairs(
+        rep_pairs, member, id_col, "containment", F.lit(1.0),
+        exclude_intra_reps=empty_reps,
     )
 
 

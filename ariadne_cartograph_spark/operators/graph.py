@@ -41,9 +41,22 @@ def pagerank(
     at the surface (per-group float sums differ in final ulps across
     engines/partition orders; SURVEY.md §5.2 float policy).
     """
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # The edge list is often an upstream JOIN (the trading entry builds
+    # it from orders⋈lineitem): checkpoint it ONCE so each rank round
+    # shuffles the materialized (u, v) pairs instead of re-running the
+    # whole upstream plan per iteration (measured 51 s → the edge build
+    # dominated every round at the sf1 rehearsal). deg/verts derive
+    # from the checkpointed frame and are checkpointed too — both are
+    # joined every round.
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     verts = (
-        edges.select("u").unionByName(edges.select(F.col("v").alias("u"))).distinct()
+        edges.select("u")
+        .unionByName(edges.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     n = verts.count()
     pr = verts.select(F.col("u").alias("node_id"), F.lit(1.0 / n).alias("pr"))

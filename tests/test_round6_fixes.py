@@ -61,6 +61,8 @@ def _pairs_set(df, metric):
     (lambda df: D.minhash_near_dup_pairs(df, "doc_id", "text"), "jaccard"),
     (lambda df: D.ngram_jaccard_pairs_auto(df, "doc_id", "text"), "jaccard"),
     (lambda df: D.simhash_md5_near_dup_pairs(df, "doc_id", "text"), "hamming"),
+    (lambda df: D.ngram_containment_pairs(df, "doc_id", "text", threshold=0.7),
+     "containment"),
 ])
 def test_collapse_gate_row_identical(spark, monkeypatch, fn, metric):
     df = _corpus_with_dups(spark)
