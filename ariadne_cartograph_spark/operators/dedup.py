@@ -1043,17 +1043,33 @@ def repeated_span_coverage(
     strings — output carries only counts, so a 2⁻⁶⁴ collision is the
     only accuracy cost); the repeated set comes from one groupBy on the
     hash with a distinct-doc count (map-side combinable), re-joined as a
-    semi-join; per-doc coverage is one more agg on the id key.
+    semi-join; per-doc coverage is one more agg on the id key. The
+    token array and its per-token hashes are let-bound (_bind) so
+    tokenize+hash run once per ROW, not once per window — the earlier
+    slice+concat_ws form re-inlined the split into every window and
+    built k-token strings before hashing (same lesson as
+    hashed_word_shingles); the window hash combines k consecutive
+    token hashes instead, and the exploded window frame is persisted
+    because three aggregates consume it.
     """
-    toks = F.split(F.col(text_col), r"\s+")
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - k + 1),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    from ..functions.text import _bind
+
+    grams = _bind(
+        F.split(F.col(text_col), r"\s+"),
+        lambda t: _bind(
+            F.transform(t, lambda x: F.xxhash64(x)),
+            lambda th: F.when(
+                F.size(th) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(th) - k + 1),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(th, i + j) for j in range(k)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    w = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    )
+    w = _track_persist(df.select(F.col(id_col), F.explode(grams).alias("g")))
     rep = (
         w.groupBy("g")
         .agg(F.countDistinct(id_col).alias("nd"))

