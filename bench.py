@@ -27,14 +27,16 @@ BASELINE_QUERIES: dict[str, float] = {
     "asof_purchase_after_signup": 0.6,
     "events_stream_session_parity": 3.406,
     "events_tumbling_hourly": 0.427,
-    "minhash_lsh_near_dup": 2.1,  # r5 re-pin (shuffle-hash band join)
+    "minhash_lsh_near_dup": 1.8,  # r6 re-pin (gated collapse skip)
     # r5 Arrow-path fences (the advice item): the OSM XML mapInPandas
     # ingest and the multimodal image mapInPandas stage — a regression
     # in the Arrow machinery is now fence-visible.
     "multimodal_image_stats": 0.6,
     "osm_ingest_feature_tables": 2.47,  # r5 re-pin
     "ngram_jaccard_near_dup": 1.55,  # r5 re-pin
-    "ngram_jaccard_skewed_corpus": 3.0,  # r4 PPJoin positional filter
+    # r6: the gate pass (xxhash64 fingerprint + 1-row countDistinct)
+    # rides on top of the r4 prefix plan; clean-run minimum 3.19.
+    "ngram_jaccard_skewed_corpus": 3.2,
     "q10_returned_items": 0.987,
     "q14_promo_revenue": 0.417,
     "q1_pricing_summary": 0.417,
