@@ -1,24 +1,27 @@
-"""Self-trained n-gram language-model scoring (U5 quality family).
-
-Perplexity-proxy quality signal (public heuristic — the KenLM-style
-"score documents by LM log-prob" filter used in CCNet-style curation
-pipelines, here with the corpus's OWN add-k-smoothed unigram
-distribution so no external model is needed): documents whose tokens
-are improbable under the corpus distribution (gibberish, boilerplate
-symbol soup, wrong-language fragments) score low and can be
-threshold-filtered.
+"""In-engine n-gram language-model scoring (U5 + "model in the
+engine" family, alongside the logreg classifier and k-means): train an
+add-alpha-smoothed bigram LM on the corpus's own token stream and
+score every document by mean log-likelihood — the perplexity-proxy
+quality signal CCNet-style pipelines use to rank crawl text against a
+reference corpus (Wenzek et al. 2020 use a KenLM 5-gram; the bigram
+form is the same statistic at the order the engine can train exactly
+in two aggregates).
 
 Scale design (100 TB):
-- the unigram table is ONE map-side-combinable groupBy over exploded
-  tokens (partial counts combine before the shuffle);
-- corpus totals (N, |V|) are a 1-row aggregate — model statistics;
-- scoring is a token → count join (broadcast when the vocab fits, a
-  plain hash join on the token key otherwise — Zipf makes the vocab
-  orders of magnitude smaller than the corpus) plus a per-doc agg;
-- the per-doc mean is cast to float32: the sum of per-token logs is
-  order-sensitive in the last double ulps across engines/partitions,
-  and f32 is exactly the policy the repo uses for division-derived
-  aggregates (SURVEY.md §5.2).
+- the MODEL is relations, not driver state: bigram counts
+  (groupBy(prev, cur), map-side combinable) and context counts
+  (groupBy(prev)) — vocabulary-bounded tables that join back onto the
+  token stream on the same keys they were aggregated on;
+- the vocabulary size (the smoothing denominator) is ONE scalar
+  aggregate shipped as a broadcast 1-row frame — no driver collect in
+  the plan;
+- scoring is one equi-join per table plus a per-doc average: every
+  shuffle is keyed on tokens or doc ids. No Python anywhere.
+
+Cross-engine determinism: per-doc mean of ln() terms is an
+order-dependent double sum, so the surfaced score is float32 (the repo
+float policy for division/avg-derived values); rule thresholds over it
+should use the f32 value on both engines.
 """
 
 from __future__ import annotations
@@ -27,25 +30,83 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def unigram_logprob_scores(
-    df: DataFrame, id_col: str, text_col: str, k: float = 1.0
+def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, cur) — one row per positional token bigram. Tokens
+    split on ``\\s+`` with empty tokens dropped (the repo-wide token
+    convention); the bigram array builds row-locally (no posexplode
+    self-join), let-bound so the split runs once per row."""
+    from ..functions.text import _bind
+
+    def grams(t):
+        k = F.size(t)
+        return F.when(
+            k >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.greatest(k, F.lit(2))),
+                lambda i: F.struct(
+                    F.element_at(t, i - 1).alias("prev"),
+                    F.element_at(t, i).alias("cur"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    pairs = _bind(toks, grams)
+    return df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+
+
+def bigram_lm_doc_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
 ) -> DataFrame:
-    """Per-document mean token log-probability under the corpus's own
-    add-``k`` smoothed unigram LM. Output: (id, n_tok, mean_logprob)."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    """Mean bigram log-likelihood per document under the corpus's own
+    add-``alpha`` bigram LM:
+
+        score(d) = mean over bigrams (p, c) of d of
+                   ln( (count(p, c) + alpha) / (count(p, ·) + alpha·V) )
+
+    where V is the corpus vocabulary size. Low scores mark documents
+    whose token transitions are atypical for the corpus (gibberish,
+    wrong-language, templated noise) — the standard LM-filter signal.
+
+    Output: (id, n_bigrams, lm_score float32); documents with fewer
+    than 2 tokens have no bigrams and score NULL (surfaced, not
+    dropped — the caller decides what a scoreless doc means).
+    """
+    bg = doc_bigrams(df, id_col, text_col)
+    big = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = (
+        bg.select(F.col("cur").alias("tok"))
+        .unionByName(bg.select(F.col("prev").alias("tok")))
+        .agg(F.countDistinct("tok").alias("v"))
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    stats = vocab.agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
-    )
-    lp = F.log((F.col("c") + F.lit(float(k))) / (F.col("n") + F.lit(float(k)) * F.col("v")))
     scored = (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), lp.alias("lp"))
+        bg.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c_bg") + F.lit(alpha))
+                / (F.col("c_ctx") + F.lit(alpha) * F.col("v"))
+            ).alias("ll"),
+        )
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.avg("lp").cast("float").alias("mean_logprob"),
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("ll").cast("float").alias("lm_score"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_score",
+        )
     )

@@ -569,3 +569,49 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w_nchars", F.lit(w[2]).cast("float"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quality scoring (operators/lm.py): train an add-1 bigram LM
+# on the corpus's own token stream with two aggregates, score every doc
+# by mean log-likelihood — the CCNet-style perplexity-proxy filter. The
+# model is relations (bigram/context count tables joined back on their
+# own keys) plus one broadcast scalar (vocab size); no driver state.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_lm_quality",
+    tags=["U5", "A5", "J6"],
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents),
+pairs AS (
+  SELECT doc_id, b['prev'] AS prev, b['cur'] AS cur
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(2, greatest(len(tk), 1) + 1),
+           i -> {'prev': tk[i-1], 'cur': tk[i]})) AS b
+    FROM t)),
+big AS (SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c_bg FROM pairs GROUP BY prev, cur),
+ctx AS (SELECT prev, CAST(count(*) AS DOUBLE) AS c_ctx FROM pairs GROUP BY prev),
+v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM
+      (SELECT prev AS tok FROM pairs UNION ALL SELECT cur FROM pairs)),
+ll AS (
+  SELECT p.doc_id, ln((big.c_bg + 1.0) / (ctx.c_ctx + 1.0 * v.v)) AS ll
+  FROM pairs p JOIN big USING (prev, cur) JOIN ctx USING (prev) CROSS JOIN v),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(avg(ll) AS FLOAT) AS lm_score
+  FROM ll GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       per.lm_score
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bigram_lm_doc_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_doc_scores(docs, "doc_id", "text", alpha=1.0).orderBy("doc_id")

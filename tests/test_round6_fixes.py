@@ -243,6 +243,33 @@ def test_sketch_tokenization_agrees_with_recount(spark):
     assert "" not in {t for t, _ in got}
 
 
+def test_bigram_lm_doc_scores_hand_computed(spark):
+    """4-doc corpus small enough to verify the add-1 bigram LM by hand:
+    corpus bigrams: (a b)x4 (docs 1, 2, and twice in 3), (b a)x1
+    (doc 3). V = |{a, b}| = 2. ctx(a)=4, ctx(b)=1.
+    P(b|a) = (4+1)/(4+2) = 5/6 ; P(a|b) = (1+1)/(1+2) = 2/3.
+    doc1/doc2 score = ln 5/6 ; doc3 = (2 ln 5/6 + ln 2/3)/3;
+    doc4 has < 2 tokens -> 0 bigrams, NULL score."""
+    import math
+
+    from ariadne_cartograph_spark.operators.lm import bigram_lm_doc_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a  b"), (3, "a b a b"), (4, "a")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_lm_doc_scores(df, "doc_id", "text").collect()}
+    assert rows[4].n_bigrams == 0 and rows[4].lm_score is None
+    lab = math.log(5.0 / 6.0)
+    lba = math.log(2.0 / 3.0)
+    assert rows[1].n_bigrams == 1 and abs(rows[1].lm_score - lab) < 1e-6
+    assert abs(rows[2].lm_score - lab) < 1e-6  # double space = same tokens
+    assert rows[3].n_bigrams == 3
+    assert abs(rows[3].lm_score - (2 * lab + lba) / 3.0) < 1e-6
+    # corpus-typical transitions score higher than rare ones
+    assert rows[1].lm_score > (2 * lab + lba) / 3.0
+
+
 def test_cosine_topk_blocked_equals_crossjoin(spark):
     rng = random.Random(17)
     vecs = [
