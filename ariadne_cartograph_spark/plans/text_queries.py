@@ -2177,3 +2177,33 @@ def text_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_OUT)
         .select("doc_id", "lex_rank", "dense_rank", "rrf_score")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (operators/bpe.py): learn subword merges from the
+# corpus's own word frequencies — Sennrich et al. 2016, trained as
+# Spark aggregates over the (vocabulary-sized) word-frequency table.
+# No SQL oracle on purpose: the training loop is iterative with
+# driver-held model state (the driver records the weaker rows-only
+# check); correctness is pinned in tests/test_round6_fixes.py against
+# an independent plain-Python reference implementation plus the
+# classic fixed example, and determinism follows from integer-only
+# (count desc, pair asc) selection.
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 20
+
+
+@register("text_bpe_merge_train", tags=["U5", "A5"])
+def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, "text", n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [
+            (m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "step int, left string, right string, merged string, pair_count long",
+    ).orderBy("step")

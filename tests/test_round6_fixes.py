@@ -270,6 +270,87 @@ def test_bigram_lm_doc_scores_hand_computed(spark):
     assert rows[1].lm_score > (2 * lab + lba) / 3.0
 
 
+def _ref_bpe(word_counts: dict, n_merges: int, min_count: int = 2):
+    """Independent plain-Python BPE (Sennrich 2016) for equivalence
+    checks: same tie-break (count desc, pair lexicographic asc), same
+    left-greedy non-overlapping apply."""
+    words = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: dict = {}
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] = pc.get((sym[i], sym[i + 1]), 0) + c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        if c < min_count:
+            break
+        merges.append((step, a, b, a + b, c))
+        new_words: dict = {}
+        for sym, cnt in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + cnt
+        words = new_words
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    from ariadne_cartograph_spark.operators.bpe import train_bpe_merges
+
+    # classic Sennrich-style corpus + a randomized one
+    rng = random.Random(9)
+    corpora = [
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3},
+        {
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6))): rng.randint(1, 9)
+            for _ in range(40)
+        },
+    ]
+    for wc in corpora:
+        text = " ".join(" ".join([w] * c) for w, c in sorted(wc.items()))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = [
+            (m["step"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in train_bpe_merges(df, "text", n_merges=12)
+        ]
+        assert got == _ref_bpe(wc, 12), wc
+
+
+def test_bpe_segmentation_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from ariadne_cartograph_spark.operators.bpe import (
+        bpe_segment_words,
+        train_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower newest newest widest")], "doc_id long, text string"
+    )
+    merges = train_bpe_merges(df, "text", n_merges=8)
+    assert merges  # learns something on this corpus
+    words = spark.createDataFrame(
+        [("low",), ("lowest",), ("newest",)], "word string"
+    )
+    seg = {
+        r["word"]: r["sym"]
+        for r in bpe_segment_words(words, "word", merges).collect()
+    }
+    for w, sym in seg.items():
+        # subwords reassemble the word + terminal exactly
+        assert "".join(sym) == w + "</w>"
+        assert len(sym) >= 1
+
+
 def test_cosine_topk_blocked_equals_crossjoin(spark):
     rng = random.Random(17)
     vecs = [
