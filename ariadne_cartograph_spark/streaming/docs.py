@@ -184,8 +184,13 @@ def _dropped_ids(
     cands = pair_ids.join(sh_new, "new_id").join(sh_old, "old_id")
     inter = F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
     union = (F.size("sh_new") + F.size("sh_old")).cast("double") - inter
+    # when(union > 0): two sub-shingle-length docs share their
+    # NULL-filled minhash bands, so empty-set pairs DO reach this
+    # verify — 0/0 must be NULL (pair rejected), not an ANSI
+    # divide-by-zero that kills the foreachBatch (same guard as
+    # operators/dedup.jaccard_verify).
     return (
-        cands.withColumn("jaccard", inter / union)
+        cands.withColumn("jaccard", F.when(union > 0, inter / union))
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("new_id").alias(id_col))
         .distinct()

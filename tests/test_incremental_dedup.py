@@ -55,6 +55,29 @@ def test_incremental_single_batch_equals_offline(spark, tmp_path):
     assert {r.doc_id for r in kept.select("doc_id").collect()} == want
 
 
+def test_incremental_short_docs_no_divide_by_zero(spark, tmp_path):
+    """Sub-shingle-length docs share their NULL-filled minhash bands,
+    so empty-set pairs reach the verify across batches: the 0/0
+    Jaccard must reject the pair (NULL), not raise an ANSI
+    divide-by-zero inside the batch — and the short docs all stay
+    kept (they pair with nothing, matching the offline relation)."""
+    b1 = spark.createDataFrame(
+        [(1, "tiny"), (2, "some longer filler document body one two")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "tiny"), (4, "ti ny"), (5, "some longer filler document body one two")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store_short")
+    kept = set()
+    for b in (b1, b2):
+        out = incremental_near_dup_filter(spark, b, store, threshold=THRESH)
+        kept |= {r.doc_id for r in out.collect()}
+    # 5 is an exact dup of 2 -> dropped; every short doc survives
+    assert kept == {1, 2, 3, 4}
+
+
 def test_verify_stage_is_candidate_bounded(spark, tmp_path):
     """Scale evidence for the per-batch cost bound: the stored-shingle
     fetch must be (a) partition-pruned to the candidate buckets —
