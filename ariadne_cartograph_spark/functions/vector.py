@@ -26,7 +26,19 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; a zero vector scores 0.0 instead of raising
+    ANSI divide-by-zero. The 0.0 convention matches the blocked numpy
+    kernels (operators/similarity unpack() clamps zero norms to 1, so
+    a zero vector's scores are exactly 0.0) — the column and GEMM
+    paths must agree for the strategy-equivalence contract. Testdata
+    has no zero vectors, so DuckDB oracles (which would yield NaN)
+    are unaffected."""
+    from .text import _bind
+
+    return _bind(
+        norm(a) * norm(b),
+        lambda d: F.when(d != 0.0, dot(a, b) / d).otherwise(F.lit(0.0)),
+    )
 
 
 def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:

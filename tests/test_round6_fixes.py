@@ -358,6 +358,10 @@ def test_cosine_topk_blocked_equals_crossjoin(spark):
     ]
     # inject exact ties: duplicate vectors under different ids
     vecs += [(300 + i, list(vecs[i][1])) for i in range(10)]
+    # a zero vector: scores 0.0 on both paths (numpy kernel clamps the
+    # zero norm; the column cosine's when-guard matches) — no ANSI
+    # divide-by-zero on either side
+    vecs += [(999, [0.0] * 16)]
     emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
     q = emb.filter(F.col("vec_id") % 31 == 4)
     a = cosine_topk(emb, q, "vec_id", "embedding", k=7, strategy="crossjoin")
