@@ -30,6 +30,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str, k: float = 1.0
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    add-``k`` smoothed unigram LM (the order-1 sibling of
+    :func:`bigram_lm_doc_scores` — same model-as-relations shape: one
+    map-side-combinable vocab count, 1-row broadcast totals, a token
+    join + per-doc agg). Output: (id, n_tok, mean_logprob float32)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    stats = vocab.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    lp = F.log((F.col("c") + F.lit(float(k))) / (F.col("n") + F.lit(float(k)) * F.col("v")))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.avg("lp").cast("float").alias("mean_logprob"),
+    )
+
+
 def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, prev, cur) — one row per positional token bigram. Tokens
     split on ``\\s+`` with empty tokens dropped (the repo-wide token

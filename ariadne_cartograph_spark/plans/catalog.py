@@ -87,12 +87,16 @@ WINDOW_ORDER: list[str] = [
     "events_stream_session_parity",
     # temporal batch surface (T2/W3/A5, J6 interval + as-of)
     "sessionize_bounds",
-    "sessionize_user_stats",
     "events_click_purchase_interval",
     "events_median_normalize",
     "asof_purchase_after_signup",
     # text analysis + dedup family (U5/W6/U4)
     "text_token_stats",
+    # r6 addition under the driver hash: in-engine bigram-LM quality
+    # scoring (sessionize_user_stats moved to the tail — its T2/W3/A5
+    # tags are all window-covered by sessionize_bounds and the
+    # aggregates above)
+    "text_bigram_lm_quality",
     "text_quality_metrics",
     "text_gopher_quality_filters",
     "text_pii_redact",
