@@ -243,6 +243,37 @@ def test_sketch_tokenization_agrees_with_recount(spark):
     assert "" not in {t for t, _ in got}
 
 
+def test_cosine_topk_auto_routes_by_pair_count(spark, monkeypatch):
+    """auto must take the blocked-GEMM path above the pair threshold
+    and the crossjoin path below it, with identical results either
+    side of the boundary."""
+    from ariadne_cartograph_spark.operators import similarity as S
+
+    rng = random.Random(23)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") % 17 == 3)
+
+    calls = []
+    real = S._cosine_topk_blocked
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(S, "_cosine_topk_blocked", spy)
+    lo = S.cosine_topk(emb, q, "vec_id", "embedding", k=4)  # below threshold
+    lo_rows = {tuple(r) for r in lo.collect()}
+    assert not calls
+    monkeypatch.setattr(S, "BLOCKED_TOPK_MIN_PAIRS", 10)
+    hi = S.cosine_topk(emb, q, "vec_id", "embedding", k=4, block_rows=32)
+    hi_rows = {tuple(r) for r in hi.collect()}
+    assert calls  # routed through the GEMM kernel
+    assert lo_rows == hi_rows
+
+
 def test_bigram_lm_doc_scores_hand_computed(spark):
     """4-doc corpus small enough to verify the add-1 bigram LM by hand:
     corpus bigrams: (a b)x4 (docs 1, 2, and twice in 3), (b a)x1
