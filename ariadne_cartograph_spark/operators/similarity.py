@@ -375,8 +375,38 @@ def ann_ivf_topk(
 
 def _centroid_score_array(vec: str | F.Column, cents: list[list[float]]) -> F.Column:
     """array<double> of cosine(vec, centroid_i) over literal centroids —
-    pure column math, no join; the quantizer ships inside the plan."""
-    return F.array(*[cosine(vec, F.array(*[F.lit(x) for x in c])) for c in cents])
+    pure column math, no join; the quantizer ships inside the plan.
+
+    The row norm is computed ONCE (let-bound) instead of once per
+    centroid, and centroid norms fold to plan literals (python
+    math.sqrt over a left-to-right sum — the same IEEE sequence as the
+    column norm(), so scores are bit-identical to the plain
+    cosine-per-centroid form; measured: the per-centroid norm
+    recompute put +30%% on the sf1 trained-IVF entry after cosine()
+    gained its zero guard). Zero vectors score 0.0 on every centroid,
+    matching cosine()."""
+    import math
+
+    from ..functions.text import _bind
+    from ..functions.vector import dot, norm
+
+    def _n(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    def scores(nv: F.Column) -> F.Column:
+        cols = []
+        for c in cents:
+            lit_c = F.array(*[F.lit(float(x)) for x in c])
+            denom = nv * F.lit(_n(c))
+            cols.append(
+                F.when(denom != 0.0, dot(vec, lit_c) / denom).otherwise(F.lit(0.0))
+            )
+        return F.array(*cols)
+
+    return _bind(norm(vec), scores)
 
 
 # Above this many model floats (n_centroids × dim, or m × k × dsub for
@@ -414,13 +444,32 @@ def _with_centroid_scores(
         path = "literal" if n_lits <= LITERAL_MODEL_MAX else "broadcast"
     if path == "literal":
         return df.withColumn(out, _centroid_score_array(vec_col, cents))
+    from ..functions.text import _bind
+    from ..functions.vector import dot, norm
+
     cmat = df.sparkSession.createDataFrame(
         [([[float(x) for x in c] for c in cents],)],
         "__cmat array<array<double>>",
     )
+    # Same row-norm factoring as the literal path (norm(v) once per
+    # row, not per centroid); centroid norms come from the broadcast
+    # matrix with the identical IEEE fold, so both paths stay
+    # bit-identical (pinned in tests/test_model_broadcast_path.py).
+    scores = _bind(
+        norm(F.col(vec_col)),
+        lambda nv: F.transform(
+            F.col("__cmat"),
+            lambda c: _bind(
+                nv * norm(c),
+                lambda d: F.when(d != 0.0, dot(F.col(vec_col), c) / d).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+        ),
+    )
     return (
         df.crossJoin(F.broadcast(cmat))
-        .withColumn(out, F.transform(F.col("__cmat"), lambda c: cosine(F.col(vec_col), c)))
+        .withColumn(out, scores)
         .drop("__cmat")
     )
 
