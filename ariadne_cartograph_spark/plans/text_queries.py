@@ -429,18 +429,26 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_id_oracle() -> str:
     # Generated from the same LANG_PROFILES the Spark side uses, so the
     # two can never drift. Tie-break mirrors array_max on struct(v, k):
-    # max score, then max lang code.
+    # max score, then max lang code. Scoring is the same substring-
+    # membership form the Spark side uses (a profile bigram is in the
+    # doc's distinct-bigram set iff position() finds it) — value-
+    # identical to the original list_intersect-over-all-bigrams oracle
+    # but without materializing the O(len) bigram list per doc, which
+    # dominated this entry's oracle cost at the sf1 rehearsal.
     structs = ",\n           ".join(
-        "{'k': '%s', 'v': CAST(len(list_intersect(grams, [%s])) AS DOUBLE) / %d}"
-        % (lang, ", ".join(f"'{g}'" for g in profile), len(profile))
+        "{'k': '%s', 'v': CAST(%s AS DOUBLE) / %d}"
+        % (
+            lang,
+            " + ".join(
+                f"CAST(position('{g}' IN t) > 0 AS INT)" for g in profile
+            ),
+            len(profile),
+        )
         for lang, profile in T.LANG_PROFILES.items()
     )
     return f"""
 WITH g AS (
-  SELECT doc_id, lang,
-         list_distinct(list_transform(range(1, length(text)),
-                       i -> substring(lower(text), CAST(i AS INT), 2))) AS grams
-  FROM documents),
+  SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents),
 sc AS (
   SELECT doc_id, lang,
          unnest([{structs}]) AS s
