@@ -1,0 +1,131 @@
+"""Round-7 regression pins (VERDICT r6 "next round" items):
+
+- cosine_topk's auto gate runs ONE combined count job and memoizes it
+  by semantic plan hash — repeated calls on the same logical plans
+  route with no extra Spark jobs (the r6 fence-creep item).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_cartograph_spark.operators import similarity as S
+
+
+@pytest.fixture()
+def emb(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pair_counts_single_job_and_memo(spark, emb):
+    S._PAIR_COUNT_CACHE.clear()
+    q = emb.filter(F.col("vec_id") < 3)
+    assert S._pair_counts(emb, q) == (40, 3)
+    assert len(S._PAIR_COUNT_CACHE) == 1
+    # second call with SEMANTICALLY identical (rebuilt) plans must hit
+    # the memo: poison the cached value and observe it coming back
+    key = next(iter(S._PAIR_COUNT_CACHE))
+    S._PAIR_COUNT_CACHE[key] = (123, 456)
+    q2 = emb.filter(F.col("vec_id") < 3)
+    assert S._pair_counts(emb, q2) == (123, 456)
+    S._PAIR_COUNT_CACHE.clear()
+    # a semantically different query plan is a different key
+    q3 = emb.filter(F.col("vec_id") < 5)
+    assert S._pair_counts(emb, q3) == (40, 5)
+    S._PAIR_COUNT_CACHE.clear()
+
+
+def test_footer_rows_statistics(spark):
+    """Zero-job routing statistics: exact count for a bare parquet
+    scan, upper bound under a filter, no answer for non-file plans."""
+    from ariadne_cartograph_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    exact, ub = S._footer_rows(emb)
+    assert exact == n and ub == n
+    filt = emb.filter(F.col("vec_id") < 5)
+    exact_f, ub_f = S._footer_rows(filt)
+    assert exact_f is None and ub_f == n  # bound, not exact
+    local = emb.sparkSession.createDataFrame([(1,)], "x int")
+    assert S._footer_rows(local) == (None, None)
+    joined = emb.join(emb.select(F.col("vec_id").alias("v2")), emb.vec_id == F.col("v2"))
+    assert S._footer_rows(joined) == (None, None)  # cardinality-changing
+
+
+def test_route_topk_footer_fast_paths(spark):
+    """The router decides from footer statistics without a count job
+    when it can: exact×exact above/below threshold, and small upper
+    bounds that cannot reach the blocked zone."""
+    from ariadne_cartograph_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    S._PAIR_COUNT_CACHE.clear()
+    # exact×exact: decide either way with no job (cache stays empty)
+    assert S._route_topk(emb, emb, n * n + 1) == "crossjoin"
+    assert S._route_topk(emb, emb, n * n) == "blocked"
+    assert len(S._PAIR_COUNT_CACHE) == 0
+    # ub×ub below threshold: filter side has only a bound, still no job
+    filt = emb.filter(F.col("vec_id") < 5)
+    assert S._route_topk(emb, filt, n * n + 1) == "crossjoin"
+    assert len(S._PAIR_COUNT_CACHE) == 0
+    # ambiguous (bound straddles): falls back to the memoized count job
+    assert S._route_topk(emb, filt, n * 5 + 1) == "crossjoin"
+    assert len(S._PAIR_COUNT_CACHE) == 1
+    S._PAIR_COUNT_CACHE.clear()
+
+
+def test_rolling_fingerprint_md5_matches_python(spark):
+    """Independent plain-Python oracle for the md5 winnowing twin
+    (min-of-md5 over word 8-shingles; md5-of-text fallback below 8
+    tokens; null-safe)."""
+    import hashlib
+    import re
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "short text"),
+        (3, None),
+    ]
+    from ariadne_cartograph_spark.functions.text import rolling_fingerprint_md5
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", rolling_fingerprint_md5("text").alias("fp")
+        ).collect()
+    }
+
+    def py_fp(t):
+        if t is None:
+            return None
+        toks = re.split(r"\s+", t)
+        if len(toks) >= 8:
+            return min(
+                hashlib.md5(" ".join(toks[i : i + 8]).encode()).hexdigest()
+                for i in range(len(toks) - 7)
+            )
+        return hashlib.md5(t.encode()).hexdigest()
+
+    for i, t in texts:
+        assert got[i] == py_fp(t), i
+
+
+def test_auto_route_unchanged_by_memo(spark, emb):
+    """The gate still routes exactly as before: below threshold →
+    crossjoin result identical to the explicit-strategy run."""
+    S._PAIR_COUNT_CACHE.clear()
+    q = emb.filter(F.col("vec_id") == 0)
+    auto = S.cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    explicit = S.cosine_topk(
+        emb, q, "vec_id", "embedding", k=5, strategy="crossjoin"
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+    S._PAIR_COUNT_CACHE.clear()
