@@ -149,6 +149,19 @@ def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
     )
 
 
+def rolling_fingerprint_md5(text: Column | str, window: int = 8) -> Column:
+    """Cross-engine-checkable twin of :func:`rolling_fingerprint`: min
+    of md5-hex over the same word ``window``-shingles (fixed-width
+    lowercase hex, so the string min IS the numeric min). xxhash64 is
+    the scale scheme (8-byte signatures); this twin exists so the
+    winnowing pipeline itself can be value-hash checked against a SQL
+    oracle — same pattern as simhash_md5_near_dup_pairs."""
+    t = F.col(text) if isinstance(text, str) else text
+    sh = word_shingles(text, n=window)
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    return F.when(F.size(hashed) > 0, F.array_min(hashed)).otherwise(F.md5(t))
+
+
 # ---------------------------------------------------------------------------
 # Language ID: char-frequency heuristic. Scores each candidate language
 # by overlap between the doc's frequent character bigrams and a small

@@ -550,12 +550,39 @@ def trajectory_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("trajectory_topk_similar", tags=["U4", "W4"])
+@register(
+    "trajectory_topk_similar",
+    tags=["U4", "W4"],
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id,
+         CAST(floor(({_EV_LNG}) / 10.0) AS BIGINT) * 1000000
+         + CAST(floor(({_EV_LAT}) / 10.0) AS BIGINT) AS cell
+  FROM events),
+c AS (SELECT DISTINCT user_id, cell FROM pts),
+sizes AS (SELECT user_id, count(*) AS n FROM c GROUP BY user_id),
+inter AS (
+  SELECT q.user_id AS q_id, t.user_id AS id, count(*) AS ni
+  FROM c q JOIN c t ON q.cell = t.cell AND q.user_id <> t.user_id
+  WHERE q.user_id IN (0, 1, 2, 3)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT q_id, id, CAST(ni AS DOUBLE) / (sq.n + st.n - ni) AS jaccard
+  FROM inter JOIN sizes sq ON sq.user_id = q_id JOIN sizes st ON st.user_id = id),
+ranked AS (
+  SELECT q_id, id, jaccard,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY jaccard DESC, id) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, id, jaccard, rank FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+""",
+)
 def trajectory_topk_similar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k similar trajectories for a fixed query set (rows-only:
-    top-k rank ties at equal jaccard are broken by id deterministically,
-    but the windowed form is cheaper to keep rows-only; pair semantics
-    are already hash-checked by trajectory_jaccard_pairs)."""
+    """Top-k similar trajectories for a fixed query set (REPOSE's query
+    shape). Fully hash-checked (r6 verdict #4): jaccard is ONE IEEE
+    division of integers — bit-identical across engines — and rank ties
+    break on id ascending in both plans."""
     from ..operators.trajectory import trajectory_topk_similar
 
     ev = load_table(spark, sf_dir, "events")
