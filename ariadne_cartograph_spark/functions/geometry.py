@@ -78,7 +78,9 @@ def is_closed_ring(refs: Column | str, min_refs: int = 4) -> Column:
 
 
 def linestring_length_m(geom: Column | str) -> Column:
-    """Sum of consecutive-vertex haversine distances (meters)."""
+    """Sum of consecutive-vertex haversine distances (meters). NULL
+    geometry → NULL (PostGIS ST_Length semantics, the P11 null-
+    propagation contract); a degenerate 0/1-point line → 0.0."""
     from .geo import haversine_m
 
     g = F.col(geom) if isinstance(geom, str) else geom
@@ -90,7 +92,9 @@ def linestring_length_m(geom: Column | str) -> Column:
             lambda a, b: haversine_m(a["lng"], a["lat"], b["lng"], b["lat"]),
         ),
     ).otherwise(F.array().cast("array<double>"))
-    return F.aggregate(segs, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(
+        g.isNotNull(), F.aggregate(segs, F.lit(0.0), lambda acc, x: acc + x)
+    )
 
 
 def bbox(geom: Column | str) -> Column:

@@ -255,6 +255,103 @@ def test_jdbc_geometry_wkb_roundtrip_enrich_merge(spark, tmp_path):
         assert rows[gid].greenery is not None and rows[gid].greenery > 0.0
 
 
+def test_jdbc_null_geometry_and_multibatch_upsert(spark, tmp_path):
+    """Remaining ON CONFLICT edges over the typed JDBC path (r6 verdict
+    #7): NULL geometry rows must survive the WKB boundary (NULL WKB →
+    NULL points → NULL metric, never a decode crash), and writes larger
+    than the JDBC batch size (batchsize=37 · 3 partitions · 500 rows —
+    the execute_values page-size analog of
+    /root/reference/update_ways_metadata.py:48-54) must land exactly
+    once through the full read → enrich → merge_into → write cycle,
+    updating only the targeted column on matched keys and inserting
+    unmatched ones."""
+    import pytest
+
+    from ariadne_cartograph_spark.functions.geometry import linestring_length_m
+    from ariadne_cartograph_spark.functions.wkb import (
+        decode_linestring,
+        encode_linestring,
+        wkb_to_geom_col,
+    )
+    from ariadne_cartograph_spark.operators.merge import merge_into
+
+    cfg = {
+        "database": {
+            "url": f"jdbc:derby:{tmp_path}/batchdb;create=true",
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        }
+    }
+    opts = C.jdbc_options(cfg)
+    n = 500
+    rows = [
+        (
+            gid,
+            None
+            if gid % 5 == 0  # clipped ways: geometry legitimately NULL
+            else bytearray(
+                encode_linestring(
+                    [(gid * 1e-3, 1.0), (gid * 1e-3, 1.0 + 1e-3)]
+                )
+            ),
+            None,
+        )
+        for gid in range(n)
+    ]
+    ways = spark.createDataFrame(
+        rows, "gid bigint, geom binary, greenery double"
+    ).repartition(3)
+    try:
+        ways.write.format("jdbc").options(**opts).option(
+            "dbtable", "ways_nb"
+        ).option("batchsize", "37").mode("overwrite").save()
+    except Exception as exc:  # pragma: no cover - driver-missing env only
+        if "ClassNotFoundException" in str(exc):
+            pytest.skip("Derby JDBC driver not on classpath")
+        raise
+    back = (
+        spark.read.format("jdbc").options(**opts)
+        .option("dbtable", "ways_nb").load()
+    )
+    assert back.count() == n
+
+    # enrich only even gids (partial-run ON CONFLICT shape) + 50 inserts
+    decoded = back.withColumn("geom_pts", wkb_to_geom_col("geom"))
+    updates = (
+        decoded.filter(F.col("gid") % 2 == 0)
+        .select("gid", (linestring_length_m("geom_pts") / 1000.0).alias("greenery"))
+    )
+    inserts = spark.createDataFrame(
+        [(n + i, 9.9) for i in range(50)], "gid bigint, greenery double"
+    )
+    merged = merge_into(
+        back, updates.unionByName(inserts), "gid", ["greenery"]
+    )
+    merged.write.format("jdbc").options(**opts).option(
+        "dbtable", "ways_nb2"
+    ).option("batchsize", "37").mode("overwrite").save()
+    final = (
+        spark.read.format("jdbc").options(**opts)
+        .option("dbtable", "ways_nb2").load()
+    )
+    got = {r.gid: r for r in final.collect()}
+    # exactly-once across batches: no dup, no drop
+    assert len(got) == n + 50 and final.count() == n + 50
+    for gid in range(n):
+        r = got[gid]
+        if gid % 5 == 0:
+            # NULL geometry: still NULL, enrich produced NULL not crash
+            assert r.geom is None and r.greenery is None
+        elif gid % 2 == 0:
+            assert r.greenery is not None and r.greenery > 0.0
+            # geometry untouched by the metadata-only upsert, bit-exact
+            assert decode_linestring(bytes(r.geom))[0][0] == gid * 1e-3
+        else:
+            # unmatched column run: not nulled, not invented
+            assert r.greenery is None and r.geom is not None
+    for i in range(50):
+        assert got[n + i].greenery == 9.9 and got[n + i].geom is None
+
+
 def test_corpus_layout_prunes_partitions(spark, tmp_path):
     """Domain-scoped scans over the partitioned corpus must prune at
     the directory level: the source filter shows up as a PartitionFilter
