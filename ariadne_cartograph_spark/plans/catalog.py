@@ -73,11 +73,12 @@ DRIVER_WINDOW = 50
 
 WINDOW_ORDER: list[str] = [
     # TPC-H-style headline queries (A4/A5/J6/W4/P1/P14, parquet scan S10)
+    # r7 rotation: q10 moved to the tail (its J6/A5/W4 tags are each
+    # covered 4+× in-window) to surface a newly-oracled operator.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
-    "q10_returned_items",
     # flagship reference dataflow (E1: S1-S3/J2/P4-P7/A1-A3/U1-U2)
     "ways_enrichment_pipeline",
     # upsert sink + streaming parity (S4/J1/J5, S11/T1-T5)
@@ -90,14 +91,18 @@ WINDOW_ORDER: list[str] = [
     "events_click_purchase_interval",
     "events_median_normalize",
     "asof_purchase_after_signup",
-    # text analysis + dedup family (U5/W6/U4)
-    "text_token_stats",
+    # text analysis + dedup family (U5/W6/U4). r7 rotation:
+    # text_token_stats and text_quality_metrics moved to the tail (U5
+    # is covered 6+× in-window) for the two entries that gained full
+    # value-hash oracles this round (winnowing fingerprint + sub-word
+    # budget; trajectory top-k) and the hybrid BM25+cosine RRF fusion.
+    "text_rolling_fingerprint",
     # r6 addition under the driver hash: in-engine bigram-LM quality
     # scoring (sessionize_user_stats moved to the tail — its T2/W3/A5
     # tags are all window-covered by sessionize_bounds and the
     # aggregates above)
     "text_bigram_lm_quality",
-    "text_quality_metrics",
+    "text_hybrid_retrieval_rrf",
     "text_gopher_quality_filters",
     "text_pii_redact",
     "text_bm25_topk",
@@ -132,6 +137,7 @@ WINDOW_ORDER: list[str] = [
     "osm_poi_nearest_edge",
     "osm_turn_restrictions",
     "trajectory_jaccard_pairs",
+    "trajectory_topk_similar",
     # relational operator evidence (A5 skew-salted, W5, P3/P14; the
     # approx-distinct probe and the J6 semi/anti/outer/range + subquery
     # + grouping-structure probes sit in the tail — their tags are
