@@ -128,11 +128,14 @@ WINDOW_ORDER: list[str] = [
     "multimodal_frame_means",
     "multimodal_audio_stats",
     "multimodal_resize_pipeline",
-    # geo / OSM (P5/P6/P14/J4/S6/S8/P12/P13/W1)
+    # geo / OSM (P5/P6/P14/J4/S6/S8/P12/P13/W1). r7 rotation:
+    # geo_haversine_user_path to the tail (P14 covered by
+    # text_pii_redact/scalar_json_extract, W3 by sessionize_bounds) for
+    # the new splittable-PBF ingest parity entry.
     "geo_tile_projection",
-    "geo_haversine_user_path",
     "geo_grid_cell_density",
     "osm_ingest_feature_tables",
+    "osm_ingest_pbf_parity",
     "osm_topology_edges",
     "osm_poi_nearest_edge",
     "osm_turn_restrictions",

@@ -304,6 +304,38 @@ def osm_ingest_feature_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("table_name")
 
 
+@register(
+    "osm_ingest_pbf_parity",
+    tags=["S6"],
+    oracle=_OSM_INGEST_ORACLE,
+)
+def osm_ingest_pbf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ingest through the PBF path — the splittable planet
+    format (sources/osm_pbf.py): the fixture transcodes once to a
+    multi-block PBF (cached, deterministic), the blob-parallel reader
+    decodes it, and the identical downstream (assembly → promotion →
+    planet_osm_*) must reproduce the same golden census literals the
+    XML entry hashes against. Format parity under the value hash."""
+    from ..sources.osm import (
+        assemble_way_geometries,
+        derive_feature_tables,
+        split_elements,
+    )
+    from ..sources.osm_pbf import ensure_pbf_fixture, read_osm_pbf
+
+    p = ensure_pbf_fixture(_OSM_PATH)
+    t = split_elements(read_osm_pbf(spark, f"file://{p}"))
+    geo = assemble_way_geometries(t["nodes"], t["ways"])
+    tables = derive_feature_tables(t["nodes"], geo, relations=t["relations"])
+    stats = None
+    for name, df in tables.items():
+        row = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
+        )
+        stats = row if stats is None else stats.unionByName(row)
+    return stats.orderBy("table_name")
+
+
 # Census under the STOCK osm2pgsql default.style with full flag
 # semantics (delete/polygon/area) — re-derived independently in
 # tests/test_osm_ingest.py::test_style_driven_feature_tables_census

@@ -152,27 +152,10 @@ def _open_uri(uri: str):
     )
 
 
-def read_osm_elements(spark: SparkSession, path: str) -> DataFrame:
-    """Parse OSM XML file(s) at ``path`` (glob ok) into the unified
-    element DataFrame with typed columns. Streaming: the Spark scan
-    carries only file *paths*; each task opens its file and iterparses
-    it in PARSE_BATCH_ROWS-row batches (constant memory per file)."""
-    files = spark.read.format("binaryFile").load(path).select("path")
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for uri in pdf["path"]:
-                with _open_uri(uri) as f:
-                    buf: list[dict] = []
-                    for row in _iter_osm_rows(f):
-                        buf.append(row)
-                        if len(buf) >= PARSE_BATCH_ROWS:
-                            yield pd.DataFrame(buf, columns=_PARSED_COLUMNS)
-                            buf = []
-                    if buf:
-                        yield pd.DataFrame(buf, columns=_PARSED_COLUMNS)
-
-    parsed = files.mapInPandas(parse, schema=_PARSED_SCHEMA)
+def typed_elements(parsed: DataFrame) -> DataFrame:
+    """_PARSED_SCHEMA frame → the typed unified element frame — shared
+    by the XML and PBF readers so every downstream consumer (split,
+    assembly, topology, feature tables) is format-agnostic."""
     members_type = ArrayType(
         StructType(
             [
@@ -197,6 +180,29 @@ def read_osm_elements(spark: SparkSession, path: str) -> DataFrame:
         "node_refs",
         F.from_json("members_json", members_type).alias("members"),
     )
+
+
+def read_osm_elements(spark: SparkSession, path: str) -> DataFrame:
+    """Parse OSM XML file(s) at ``path`` (glob ok) into the unified
+    element DataFrame with typed columns. Streaming: the Spark scan
+    carries only file *paths*; each task opens its file and iterparses
+    it in PARSE_BATCH_ROWS-row batches (constant memory per file)."""
+    files = spark.read.format("binaryFile").load(path).select("path")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for uri in pdf["path"]:
+                with _open_uri(uri) as f:
+                    buf: list[dict] = []
+                    for row in _iter_osm_rows(f):
+                        buf.append(row)
+                        if len(buf) >= PARSE_BATCH_ROWS:
+                            yield pd.DataFrame(buf, columns=_PARSED_COLUMNS)
+                            buf = []
+                    if buf:
+                        yield pd.DataFrame(buf, columns=_PARSED_COLUMNS)
+
+    return typed_elements(files.mapInPandas(parse, schema=_PARSED_SCHEMA))
 
 
 def split_elements(elements: DataFrame) -> dict[str, DataFrame]:
