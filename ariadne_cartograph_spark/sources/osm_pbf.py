@@ -385,6 +385,89 @@ def read_osm_pbf(spark: SparkSession, path: str) -> DataFrame:
     return typed_elements(idx.mapInPandas(decode, schema=_PARSED_SCHEMA))
 
 
+def write_pbf_sharded(
+    elements: DataFrame, out_dir: str, block_elements: int = 8000
+) -> DataFrame:
+    """Distributed PBF export sink: each partition encodes its elements
+    into one self-contained ``part-*.osm.pbf`` (PBF is block-framed, so
+    a directory of parts IS a valid sharded extract —
+    :func:`read_osm_pbf` reads it back with a glob). Input is the typed
+    unified element frame; rows sort (kind, id) within partitions for
+    delta-coding efficiency, and each Arrow batch becomes one or more
+    blocks streamed straight to the open part file — executor memory is
+    O(batch), mirroring the reader. Returns a manifest DataFrame
+    (path, n_elements); the write happens on `.collect()` /
+    materialization of the manifest (Spark sink idiom: an action drives
+    the job). Paths must be on shared/mounted storage at scale."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = elements.select(
+        "kind",
+        "id",
+        F.round(F.col("lat") * 1e7).cast("long").alias("lat_e7"),
+        F.round(F.col("lon") * 1e7).cast("long").alias("lon_e7"),
+        "version",
+        "changeset",
+        # epoch seconds: session-timezone-independent serialization of
+        # the instant (date_format would render in session tz)
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "uid",
+        "user",
+        F.when(F.col("visible"), "true")
+        .when(~F.col("visible"), "false")
+        .alias("visible"),
+        F.to_json("tags").alias("tags_json"),
+        "node_refs",
+        F.to_json("members").alias("members_json"),
+    ).sortWithinPartitions("kind", "id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.osm.pbf")
+        n = 0
+        f = None
+        for pdf in batches:
+            if f is None:
+                f = open(path, "wb")
+                f.write(_header_frame())
+            rows = []
+            for r in pdf.to_dict("records"):
+                rows.append(
+                    {
+                        "kind": r["kind"],
+                        "id": int(r["id"]),
+                        "lat_e7": None if pd.isna(r["lat_e7"]) else int(r["lat_e7"]),
+                        "lon_e7": None if pd.isna(r["lon_e7"]) else int(r["lon_e7"]),
+                        "version": None if pd.isna(r["version"]) else int(r["version"]),
+                        "changeset": None if pd.isna(r["changeset"]) else int(r["changeset"]),
+                        "ts": _ts_iso(
+                            None if pd.isna(r["ts_epoch"]) else int(r["ts_epoch"]) * 1000
+                        ),
+                        "uid": None if pd.isna(r["uid"]) else int(r["uid"]),
+                        "user": r["user"] if isinstance(r["user"], str) else None,
+                        "visible": r["visible"] if isinstance(r["visible"], str) else None,
+                        "tags_json": r["tags_json"] if isinstance(r["tags_json"], str) else None,
+                        "node_refs": None
+                        if r["node_refs"] is None
+                        else [int(x) for x in r["node_refs"]],
+                        "members_json": r["members_json"]
+                        if isinstance(r["members_json"], str)
+                        else None,
+                    }
+                )
+            for i in range(0, len(rows), block_elements):
+                f.write(_data_frame(rows[i : i + block_elements]))
+            n += len(rows)
+        if f is not None:
+            f.close()
+            yield pd.DataFrame([{"path": path, "n_elements": n}])
+
+    return src.mapInPandas(enc, "path string, n_elements long")
+
+
 def ensure_pbf_fixture(xml_path: str, cache_dir: str = "/tmp/acs_pbf_cache") -> str:
     """Deterministically transcode an OSM XML file to PBF once, cached
     by (name, mtime, size) — used by the PBF parity entry and tests so
@@ -464,129 +547,134 @@ def _epoch_ms(ts: str | None) -> int:
     )
 
 
+def _frame(btype: str, payload: bytes) -> bytes:
+    comp = zlib.compress(payload)
+    blob = _enc_field(2, 0, len(payload)) + _enc_field(3, 2, comp)
+    bh = _enc_field(1, 2, btype.encode()) + _enc_field(3, 0, len(blob))
+    return struct.pack(">I", len(bh)) + bh + blob
+
+
+def _header_frame() -> bytes:
+    hb = _enc_field(4, 2, b"OsmSchema-V0.6") + _enc_field(4, 2, b"DenseNodes")
+    return _frame("OSMHeader", hb)
+
+
+def _data_frame(chunk: list[dict]) -> bytes:
+    return _frame("OSMData", _block_bytes(chunk))
+
+
+def _block_bytes(chunk: list[dict]) -> bytes:
+    import json
+
+    strings: dict[str, int] = {"": 0}
+
+    def sid(s: str | None) -> int:
+        s = s or ""
+        if s not in strings:
+            strings[s] = len(strings)
+        return strings[s]
+
+    groups = []
+    nodes = [r for r in chunk if r["kind"] == "node"]
+    if nodes:
+        kv: list[int] = []
+        for r in nodes:
+            for k, v in (json.loads(r["tags_json"]) if r["tags_json"] else {}).items():
+                kv += [sid(k), sid(v)]
+            kv.append(0)
+        dinfo = (
+            _enc_packed(1, [r["version"] or 0 for r in nodes])
+            + _enc_packed(2, [_epoch_ms(r["ts"]) // 1000 for r in nodes], zigzag=True, delta=True)
+            + _enc_packed(3, [r["changeset"] or 0 for r in nodes], zigzag=True, delta=True)
+            + _enc_packed(4, [r["uid"] or 0 for r in nodes], zigzag=True, delta=True)
+            + _enc_packed(5, [sid(r["user"]) for r in nodes], zigzag=True, delta=True)
+            + _enc_packed(6, [1 if r["visible"] != "false" else 0 for r in nodes])
+        )
+        dense = (
+            _enc_packed(1, [r["id"] for r in nodes], zigzag=True, delta=True)
+            + _enc_field(5, 2, dinfo)
+            # stored in granularity units (default 100 nano = 1e-7
+            # deg) — exactly the engine's lat_e7/lon_e7 integers
+            + _enc_packed(8, [r["lat_e7"] for r in nodes], zigzag=True, delta=True)
+            + _enc_packed(9, [r["lon_e7"] for r in nodes], zigzag=True, delta=True)
+            + _enc_packed(10, kv)
+        )
+        groups.append(_enc_field(2, 2, dense))
+
+    def info_bytes(r: dict) -> bytes:
+        out = b""
+        if r["version"]:
+            out += _enc_field(1, 0, r["version"])
+        if r["ts"]:
+            out += _enc_field(2, 0, _epoch_ms(r["ts"]) // 1000)
+        if r["changeset"]:
+            out += _enc_field(3, 0, r["changeset"])
+        if r["uid"]:
+            out += _enc_field(4, 0, r["uid"])
+        if r["user"]:
+            out += _enc_field(5, 0, sid(r["user"]))
+        if r["visible"] is not None:
+            out += _enc_field(6, 0, 1 if r["visible"] == "true" else 0)
+        return out
+
+    def tag_fields(r: dict) -> bytes:
+        tags = json.loads(r["tags_json"]) if r["tags_json"] else {}
+        return _enc_packed(2, [sid(k) for k in tags]) + _enc_packed(
+            3, [sid(v) for v in tags.values()]
+        )
+
+    ways = [r for r in chunk if r["kind"] == "way"]
+    if ways:
+        wb = b"".join(
+            _enc_field(
+                3, 2,
+                _enc_field(1, 0, r["id"])
+                + tag_fields(r)
+                + _enc_field(4, 2, info_bytes(r))
+                + _enc_packed(8, r["node_refs"] or [], zigzag=True, delta=True),
+            )
+            for r in ways
+        )
+        groups.append(wb)
+    rels = [r for r in chunk if r["kind"] == "relation"]
+    if rels:
+        tcode = {"node": 0, "way": 1, "relation": 2}
+        parts = []
+        for r in rels:
+            members = json.loads(r["members_json"]) if r["members_json"] else []
+            parts.append(
+                _enc_field(
+                    4, 2,
+                    _enc_field(1, 0, r["id"])
+                    + tag_fields(r)
+                    + _enc_field(4, 2, info_bytes(r))
+                    + _enc_packed(8, [sid(m["role"]) for m in members])
+                    + _enc_packed(9, [m["ref"] for m in members], zigzag=True, delta=True)
+                    + _enc_packed(10, [tcode[m["member_type"]] for m in members]),
+                )
+            )
+        groups.append(b"".join(parts))
+    # each `groups` element is the CONTENT of one PrimitiveGroup
+    # (dense nodes framed as its field 2; way/relation messages as
+    # repeated fields 3/4); frame each as block field 2. String
+    # table first, in sid order (index 0 = "").
+    st = b"".join(
+        _enc_field(1, 2, s.encode("utf-8"))
+        for s, _ in sorted(strings.items(), key=lambda t: t[1])
+    )
+    block = _enc_field(1, 2, st)
+    for g in groups:
+        block += _enc_field(2, 2, g)
+    return block
+
+
 def write_pbf(rows: list[dict], path: str, block_elements: int = 8000) -> None:
     """Encode unified element row dicts (the `_element_row` shape, e.g.
     from `osm._iter_osm_rows`) into a spec-conforming PBF: dense nodes,
     delta/zigzag coding, per-block string tables, zlib blobs. Single-
-    node utility for fixtures and extract export."""
-    import json
-
-    def header_blob() -> bytes:
-        hb = _enc_field(4, 2, b"OsmSchema-V0.6") + _enc_field(4, 2, b"DenseNodes")
-        return _frame("OSMHeader", hb)
-
-    def _frame(btype: str, payload: bytes) -> bytes:
-        comp = zlib.compress(payload)
-        blob = (
-            _enc_field(2, 0, len(payload)) + _enc_field(3, 2, comp)
-        )
-        bh = _enc_field(1, 2, btype.encode()) + _enc_field(3, 0, len(blob))
-        return struct.pack(">I", len(bh)) + bh + blob
-
-    def block_bytes(chunk: list[dict]) -> bytes:
-        strings: dict[str, int] = {"": 0}
-
-        def sid(s: str | None) -> int:
-            s = s or ""
-            if s not in strings:
-                strings[s] = len(strings)
-            return strings[s]
-
-        groups = []
-        nodes = [r for r in chunk if r["kind"] == "node"]
-        if nodes:
-            kv: list[int] = []
-            for r in nodes:
-                for k, v in (json.loads(r["tags_json"]) if r["tags_json"] else {}).items():
-                    kv += [sid(k), sid(v)]
-                kv.append(0)
-            dinfo = (
-                _enc_packed(1, [r["version"] or 0 for r in nodes])
-                + _enc_packed(2, [_epoch_ms(r["ts"]) // 1000 for r in nodes], zigzag=True, delta=True)
-                + _enc_packed(3, [r["changeset"] or 0 for r in nodes], zigzag=True, delta=True)
-                + _enc_packed(4, [r["uid"] or 0 for r in nodes], zigzag=True, delta=True)
-                + _enc_packed(5, [sid(r["user"]) for r in nodes], zigzag=True, delta=True)
-                + _enc_packed(6, [1 if r["visible"] != "false" else 0 for r in nodes])
-            )
-            dense = (
-                _enc_packed(1, [r["id"] for r in nodes], zigzag=True, delta=True)
-                + _enc_field(5, 2, dinfo)
-                # stored in granularity units (default 100 nano = 1e-7
-                # deg) — exactly the engine's lat_e7/lon_e7 integers
-                + _enc_packed(8, [r["lat_e7"] for r in nodes], zigzag=True, delta=True)
-                + _enc_packed(9, [r["lon_e7"] for r in nodes], zigzag=True, delta=True)
-                + _enc_packed(10, kv)
-            )
-            groups.append(_enc_field(2, 2, dense))
-
-        def info_bytes(r: dict) -> bytes:
-            out = b""
-            if r["version"]:
-                out += _enc_field(1, 0, r["version"])
-            if r["ts"]:
-                out += _enc_field(2, 0, _epoch_ms(r["ts"]) // 1000)
-            if r["changeset"]:
-                out += _enc_field(3, 0, r["changeset"])
-            if r["uid"]:
-                out += _enc_field(4, 0, r["uid"])
-            if r["user"]:
-                out += _enc_field(5, 0, sid(r["user"]))
-            if r["visible"] is not None:
-                out += _enc_field(6, 0, 1 if r["visible"] == "true" else 0)
-            return out
-
-        def tag_fields(r: dict) -> bytes:
-            tags = json.loads(r["tags_json"]) if r["tags_json"] else {}
-            return _enc_packed(2, [sid(k) for k in tags]) + _enc_packed(
-                3, [sid(v) for v in tags.values()]
-            )
-
-        ways = [r for r in chunk if r["kind"] == "way"]
-        if ways:
-            wb = b"".join(
-                _enc_field(
-                    3, 2,
-                    _enc_field(1, 0, r["id"])
-                    + tag_fields(r)
-                    + _enc_field(4, 2, info_bytes(r))
-                    + _enc_packed(8, r["node_refs"] or [], zigzag=True, delta=True),
-                )
-                for r in ways
-            )
-            groups.append(wb)
-        rels = [r for r in chunk if r["kind"] == "relation"]
-        if rels:
-            tcode = {"node": 0, "way": 1, "relation": 2}
-            parts = []
-            for r in rels:
-                members = json.loads(r["members_json"]) if r["members_json"] else []
-                parts.append(
-                    _enc_field(
-                        4, 2,
-                        _enc_field(1, 0, r["id"])
-                        + tag_fields(r)
-                        + _enc_field(4, 2, info_bytes(r))
-                        + _enc_packed(8, [sid(m["role"]) for m in members])
-                        + _enc_packed(9, [m["ref"] for m in members], zigzag=True, delta=True)
-                        + _enc_packed(10, [tcode[m["member_type"]] for m in members]),
-                    )
-                )
-            groups.append(b"".join(parts))
-        # each `groups` element is the CONTENT of one PrimitiveGroup
-        # (dense nodes framed as its field 2; way/relation messages as
-        # repeated fields 3/4); frame each as block field 2. String
-        # table first, in sid order (index 0 = "").
-        st = b"".join(
-            _enc_field(1, 2, s.encode("utf-8"))
-            for s, _ in sorted(strings.items(), key=lambda t: t[1])
-        )
-        block = _enc_field(1, 2, st)
-        for g in groups:
-            block += _enc_field(2, 2, g)
-        return block
-
+    node utility for fixtures; :func:`write_pbf_sharded` is the
+    distributed export."""
     with open(path, "wb") as f:
-        f.write(header_blob())
+        f.write(_header_frame())
         for i in range(0, len(rows), block_elements):
-            chunk = rows[i : i + block_elements]
-            f.write(_frame("OSMData", block_bytes(chunk)))
+            f.write(_data_frame(rows[i : i + block_elements]))

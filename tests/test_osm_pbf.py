@@ -107,6 +107,27 @@ def test_spark_reader_matches_xml_reader(spark, pbf_path):
     got.unpersist()
 
 
+def test_sharded_export_roundtrip(spark, tmp_path):
+    """The distributed sink: 4 partitions → 4 self-contained part
+    files whose glob reads back the identical element frame (export →
+    re-ingest is lossless, the directory IS a valid sharded extract)."""
+    import os
+
+    elements = read_osm_elements(spark, OSM_PATH).repartition(4)
+    out = str(tmp_path / "extract")
+    manifest = P.write_pbf_sharded(elements, out, block_elements=500).collect()
+    assert len(manifest) == 4
+    assert sum(m.n_elements for m in manifest) == 7346
+    parts = [f for f in os.listdir(out) if f.endswith(".osm.pbf")]
+    assert len(parts) == 4
+    back = P.read_osm_pbf(spark, f"file://{out}/part-*.osm.pbf")
+    a = _canon(read_osm_elements(spark, OSM_PATH))
+    b = _canon(back).cache()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    b.unpersist()
+
+
 def test_ensure_pbf_fixture_caches(tmp_path):
     p1 = P.ensure_pbf_fixture(OSM_PATH, cache_dir=str(tmp_path))
     import os
