@@ -35,16 +35,24 @@ def edge_adjacency(
     edges: DataFrame,
     weight: Column | None = None,
     directed: bool = False,
+    edge_id: str | None = None,
 ) -> DataFrame:
-    """(u, v, w) adjacency from the topology's edge table. Undirected
-    by default (osm2pgrouting emits cost + reverse_cost per edge; the
-    fixture's ways carry no oneway handling here — documented
-    simplification)."""
+    """(u, v, w[, edge_id]) adjacency from the topology's edge table.
+    Undirected by default (osm2pgrouting emits cost + reverse_cost per
+    edge; the fixture's ways carry no oneway handling here — documented
+    simplification). Pass ``edge_id`` (e.g. ``"gid"``) to carry the
+    edge identifier for route reconstruction
+    (:func:`shortest_paths_tracked`)."""
     w = (weight if weight is not None else F.lit(1.0)).alias("w")
-    fwd = edges.select(F.col("source").alias("u"), F.col("target").alias("v"), w)
+    ids = [F.col(edge_id).alias("edge_id")] if edge_id else []
+    fwd = edges.select(
+        F.col("source").alias("u"), F.col("target").alias("v"), w, *ids
+    )
     if directed:
         return fwd
-    rev = edges.select(F.col("target").alias("u"), F.col("source").alias("v"), w)
+    rev = edges.select(
+        F.col("target").alias("u"), F.col("source").alias("v"), w, *ids
+    )
     return fwd.unionByName(rev)
 
 
@@ -64,6 +72,214 @@ def cost_adjacency(edges: DataFrame) -> DataFrame:
         F.col("reverse_cost_s").alias("w"),
     )
     return fwd.unionByName(rev)
+
+
+def shortest_path_matrix(
+    adj: DataFrame,
+    source_vertices: list[int],
+    max_iter: int = 50,
+) -> DataFrame:
+    """Per-source shortest paths — the pgr_dijkstraCostMatrix analog
+    (the many-to-many cost table VRP/logistics workloads consume).
+    Unlike :func:`shortest_paths` (which pools sources into one
+    min-dist field), state is keyed on (src, node): each round is one
+    equi-join on the vertex id + one (src, node) min-merge, so K
+    sources ride the SAME join topology with K× state rows — the
+    shuffle key stays the vertex id, and all sources advance in one
+    job per round rather than K sequential runs.
+
+    Returns (src, node_id, dist, hops), one row per reached (source,
+    vertex) pair.
+    """
+    spark = adj.sparkSession
+    seed = spark.createDataFrame(
+        [(int(v), int(v), 0.0, 0) for v in source_vertices],
+        "src long, node_id long, dist double, hops int",
+    ).localCheckpoint(eager=True)
+    rounds = [seed]
+    frontier = seed
+
+    def dist_view() -> DataFrame:
+        out = rounds[0]
+        for r in rounds[1:]:
+            out = out.unionByName(r)
+        return out
+
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(adj, frontier["node_id"] == adj["u"])
+            .select(
+                F.col("src"),
+                F.col("v").alias("node_id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+            .groupBy("src", "node_id")
+            .agg(F.min(F.struct("dist", "hops")).alias("s"))
+            .select(
+                "src", "node_id",
+                F.col("s.dist").alias("dist"), F.col("s.hops").alias("hops"),
+            )
+        )
+        best = dist_view().groupBy("src", "node_id").agg(F.min("dist").alias("old"))
+        improved = (
+            cand.join(best, ["src", "node_id"], "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("src", "node_id", "dist", "hops")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        rounds.append(improved)
+        frontier = improved
+    return (
+        dist_view()
+        .groupBy("src", "node_id")
+        .agg(F.min(F.struct("dist", "hops")).alias("s"))
+        .select(
+            "src", "node_id",
+            F.col("s.dist").alias("dist"), F.col("s.hops").alias("hops"),
+        )
+    )
+
+
+def shortest_paths_tracked(
+    adj: DataFrame,
+    source_vertices: list[int],
+    max_iter: int = 50,
+) -> DataFrame:
+    """Single/multi-source relaxation that RECORDS the argmin
+    predecessor — the state pgr_dijkstra needs to return actual routes,
+    not just costs. ``adj`` must carry (u, v, w, edge_id) (see
+    :func:`edge_adjacency`'s ``edge_id`` parameter).
+
+    Determinism: the per-node merge takes the lexicographic min of
+    (dist, hops, pred_node, pred_edge) — equal-cost paths resolve to
+    the smallest (hops, predecessor) tuple on every engine/partition
+    order, so recorded routes are reproducible.
+
+    Returns (node_id, dist, hops, pred_node, pred_edge); sources have
+    NULL predecessors and dist 0.
+    """
+    spark = adj.sparkSession
+    seed = spark.createDataFrame(
+        [(int(v), 0.0, 0, None, None) for v in source_vertices],
+        "node_id long, dist double, hops int, pred_node long, pred_edge long",
+    ).localCheckpoint(eager=True)
+    rounds = [seed]
+    frontier = seed
+
+    def dist_view() -> DataFrame:
+        out = rounds[0]
+        for r in rounds[1:]:
+            out = out.unionByName(r)
+        return out
+
+    for _ in range(max_iter):
+        cand = (
+            frontier.select(
+                F.col("node_id").alias("p_node"),
+                F.col("dist").alias("p_dist"),
+                F.col("hops").alias("p_hops"),
+            )
+            .join(adj, F.col("p_node") == adj["u"])
+            .select(
+                F.col("v").alias("node_id"),
+                (F.col("p_dist") + F.col("w")).alias("dist"),
+                (F.col("p_hops") + 1).alias("hops"),
+                F.col("p_node").alias("pred_node"),
+                F.col("edge_id").alias("pred_edge"),
+            )
+            .groupBy("node_id")
+            .agg(F.min(F.struct("dist", "hops", "pred_node", "pred_edge")).alias("s"))
+            .select(
+                "node_id",
+                F.col("s.dist").alias("dist"),
+                F.col("s.hops").alias("hops"),
+                F.col("s.pred_node").alias("pred_node"),
+                F.col("s.pred_edge").alias("pred_edge"),
+            )
+        )
+        best = dist_view().groupBy("node_id").agg(F.min("dist").alias("old"))
+        improved = (
+            cand.join(best, "node_id", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node_id", "dist", "hops", "pred_node", "pred_edge")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        rounds.append(improved)
+        frontier = improved
+    return (
+        dist_view()
+        .groupBy("node_id")
+        .agg(F.min(F.struct("dist", "hops", "pred_node", "pred_edge")).alias("s"))
+        .select(
+            "node_id",
+            F.col("s.dist").alias("dist"),
+            F.col("s.hops").alias("hops"),
+            F.col("s.pred_node").alias("pred_node"),
+            F.col("s.pred_edge").alias("pred_edge"),
+        )
+    )
+
+
+def reconstruct_paths(
+    tracked: DataFrame,
+    target_vertices: list[int],
+    max_iter: int = 200,
+) -> DataFrame:
+    """Predecessor table → pgr_dijkstra-shaped route rows for a SET of
+    targets at once: (target, seq, node_id, arrived_by_edge, agg_cost),
+    seq 0 at the source, arrived_by_edge NULL on the source row.
+
+    The backward walk runs ALL targets simultaneously — each round is
+    one broadcast join of the (≤ |targets|)-row cursor frame against
+    the tracked table, so rounds = longest path length, not
+    Σ path lengths, and targets is the parallel batch dimension (the
+    Spark-shaped form of a point query; a single OD lookup belongs in a
+    serving engine, a million of them belong here).
+    """
+    t = tracked.localCheckpoint(eager=True)
+    spark = t.sparkSession
+    targets = spark.createDataFrame(
+        [(int(v),) for v in target_vertices], "target long"
+    )
+    cursor = (
+        t.join(F.broadcast(targets), t["node_id"] == targets["target"])
+        .select("target", "node_id", "dist", "hops", "pred_node", "pred_edge")
+        .localCheckpoint(eager=True)
+    )
+    emitted = []
+    for _ in range(max_iter):
+        if cursor.isEmpty():
+            break
+        emitted.append(
+            cursor.select(
+                "target",
+                F.col("hops").cast("long").alias("seq"),
+                "node_id",
+                F.col("pred_edge").alias("arrived_by_edge"),
+                F.col("dist").alias("agg_cost"),
+            ).localCheckpoint(eager=True)
+        )
+        nxt = cursor.filter(F.col("pred_node").isNotNull()).select(
+            "target", F.col("pred_node").alias("cur")
+        )
+        cursor = (
+            t.join(F.broadcast(nxt), t["node_id"] == nxt["cur"])
+            .select("target", "node_id", "dist", "hops", "pred_node", "pred_edge")
+            .localCheckpoint(eager=True)
+        )
+    if not emitted:
+        return spark.createDataFrame(
+            [], "target long, seq long, node_id long, arrived_by_edge long, agg_cost double"
+        )
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.unionByName(e)
+    return out
 
 
 def arc_table(edges_with_costs: DataFrame) -> DataFrame:

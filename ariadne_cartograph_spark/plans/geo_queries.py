@@ -701,6 +701,52 @@ SELECT CAST(195 AS BIGINT) AS n_reached,
 """
 
 
+# Golden per-source census for the cost-matrix entry: independent
+# plain-Python BFS over the fixture topology, re-derived in
+# tests/test_routing.py::test_cost_matrix_census_literals.
+_ROUTE_MATRIX_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(20827733 AS BIGINT), CAST(129 AS BIGINT), CAST(974 AS BIGINT),
+   CAST(1658784252081 AS BIGINT)),
+  (CAST(29322335 AS BIGINT), CAST(212 AS BIGINT), CAST(1397 AS BIGINT),
+   CAST(2278525630109 AS BIGINT)),
+  (CAST(29322337 AS BIGINT), CAST(185 AS BIGINT), CAST(1226 AS BIGINT),
+   CAST(1898728416385 AS BIGINT))
+) t(src, n_reached, sum_hops, id_hop_checksum)
+ORDER BY src
+"""
+
+
+@register("osm_route_cost_matrix", tags=["S8", "A5"], oracle=_ROUTE_MATRIX_ORACLE)
+def osm_route_cost_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-many reach census (pgr_dijkstraCostMatrix analog): one
+    relaxation drives the 3 smallest fixture vertices simultaneously —
+    per-source state keyed (src, node), vertex-id shuffle key shared
+    across sources (operators/routing.shortest_path_matrix). The VRP/
+    logistics query shape the pgRouting import serves."""
+    from ..operators.routing import edge_adjacency, shortest_path_matrix
+    from ..operators.topology import build_topology, routable_ways
+    from ..sources.osm import read_osm_elements, split_elements
+
+    t = split_elements(read_osm_elements(spark, _OSM_PATH))
+    edges = build_topology(t["nodes"], routable_ways(t["ways"]))["edges"]
+    adj = edge_adjacency(edges)
+    vs = adj.select(F.col("u").alias("v")).distinct()
+    srcs = [r.v for r in vs.orderBy("v").limit(3).collect()]
+    m = shortest_path_matrix(adj, srcs, max_iter=10)
+    return (
+        m.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("hops").cast("bigint").alias("sum_hops"),
+            F.sum(F.col("node_id") * F.col("hops")).cast("bigint").alias(
+                "id_hop_checksum"
+            ),
+        )
+        .orderBy("src")
+    )
+
+
 @register("osm_route_bfs_reach", tags=["S8"], oracle=_ROUTE_ORACLE)
 def osm_route_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed shortest-path reach (pgr_dijkstra analog, unit

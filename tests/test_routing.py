@@ -359,6 +359,116 @@ def test_fixture_restricted_matches_python_linegraph_dijkstra(
         assert got[k] == pytest.approx(v, abs=1e-6), k
 
 
+def test_cost_matrix_matches_per_source_runs(spark, topo_edges):
+    """shortest_path_matrix (pgr_dijkstraCostMatrix analog) must equal
+    K independent shortest_paths runs — per-source state, not the
+    pooled min-dist shortest_paths computes for multi-source seeds."""
+    from ariadne_cartograph_spark.operators.routing import (
+        shortest_path_matrix,
+    )
+
+    adj = edge_adjacency(topo_edges).localCheckpoint(eager=True)
+    srcs = sorted(
+        r.u for r in adj.select(F.min("u").alias("u")).collect()
+    )
+    vs = sorted({r.u for r in adj.select("u").distinct().limit(200).collect()})
+    srcs = [vs[0], vs[50], vs[150]]
+    got = {
+        (r.src, r.node_id): (r.dist, r.hops)
+        for r in shortest_path_matrix(adj, srcs, max_iter=8).collect()
+    }
+    for s in srcs:
+        want = {
+            (s, r.node_id): (r.dist, r.hops)
+            for r in shortest_paths(adj, [s], max_iter=8).collect()
+        }
+        mine = {k: v for k, v in got.items() if k[0] == s}
+        assert mine == want, s
+
+
+def test_cost_matrix_census_literals(spark, edge_list):
+    """Independent re-derivation of the osm_route_cost_matrix golden
+    oracle: plain-Python BFS per source over the fixture topology."""
+    g = defaultdict(list)
+    for a, b, _ in edge_list:
+        g[a].append(b)
+        g[b].append(a)
+    srcs = sorted(set(g))[:3]
+    want = {
+        20827733: (129, 974, 1658784252081),
+        29322335: (212, 1397, 2278525630109),
+        29322337: (185, 1226, 1898728416385),
+    }
+    assert srcs == sorted(want)
+    for s in srcs:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in g[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        b = {k: v for k, v in dist.items() if v <= 10}
+        assert (
+            len(b), sum(b.values()), sum(k * v for k, v in b.items())
+        ) == want[s], s
+
+
+def test_tracked_route_reconstruction(spark, topo_edges):
+    """pgr_dijkstra returns routes, not just costs: the tracked
+    relaxation + batched backward walk must yield connected,
+    cost-consistent paths whose totals equal the untracked dists."""
+    from ariadne_cartograph_spark.operators.routing import (
+        reconstruct_paths,
+        shortest_paths_tracked,
+    )
+    from ariadne_cartograph_spark.operators.topology import edge_costs
+
+    ec = edge_costs(topo_edges).localCheckpoint(eager=True)
+    # directed cost adjacency carrying gid for route output
+    fwd = ec.select(
+        F.col("source").alias("u"), F.col("target").alias("v"),
+        F.col("cost_s").alias("w"), F.col("gid").alias("edge_id"),
+    )
+    rev = ec.filter(F.col("reverse_cost_s") >= 0).select(
+        F.col("target").alias("u"), F.col("source").alias("v"),
+        F.col("reverse_cost_s").alias("w"), F.col("gid").alias("edge_id"),
+    )
+    adj = fwd.unionByName(rev).localCheckpoint(eager=True)
+    rows = ec.select("gid", "source", "target", "cost_s", "reverse_cost_s").collect()
+    src = min(min(r.source, r.target) for r in rows)
+
+    tracked = shortest_paths_tracked(adj, [src], max_iter=40).localCheckpoint(
+        eager=True
+    )
+    t_rows = {r.node_id: r for r in tracked.collect()}
+    # pick 3 reached targets at different depths
+    by_hops = sorted(t_rows.values(), key=lambda r: (r.hops, r.node_id))
+    targets = [by_hops[1].node_id, by_hops[len(by_hops) // 2].node_id,
+               by_hops[-1].node_id]
+    paths = reconstruct_paths(tracked, targets)
+    got = {}
+    for r in paths.collect():
+        got.setdefault(r.target, []).append(r)
+    edge_w = {}
+    for r in rows:
+        edge_w[(r.gid, r.source, r.target)] = r.cost_s
+        if r.reverse_cost_s >= 0:
+            edge_w[(r.gid, r.target, r.source)] = r.reverse_cost_s
+    for tgt in targets:
+        seq = sorted(got[tgt], key=lambda r: r.seq)
+        assert seq[0].node_id == src and seq[0].agg_cost == 0.0
+        assert seq[0].arrived_by_edge is None
+        assert seq[-1].node_id == tgt
+        # agg_cost at the target equals the untracked dist
+        assert seq[-1].agg_cost == pytest.approx(t_rows[tgt].dist, abs=1e-9)
+        for a, b in zip(seq, seq[1:]):
+            assert b.seq == a.seq + 1
+            w = edge_w[(b.arrived_by_edge, a.node_id, b.node_id)]
+            assert b.agg_cost == pytest.approx(a.agg_cost + w, abs=1e-9)
+
+
 def test_pagerank_directed_sinks_get_rank(spark):
     """On a directed chain 1→2→3, vertex 3 has only incoming edges —
     it must still appear with accumulated rank (the r4 advice: a
