@@ -65,45 +65,116 @@ class ParquetMergeTable:
     """A parquet-backed table with upsert + atomic swap — the engine's
     `ways_metadata` sink (`/root/reference/sql/ways_metadata.ddl`).
 
-    Writes go to a fresh directory, then a pointer file flips — readers
-    resolve the pointer first, so a crash mid-write never corrupts the
-    visible table (poor-man's snapshot isolation; Delta/Iceberg replace
-    this wholesale when available).
+    Writes go to a fresh directory, then a versioned pointer file flips
+    — readers resolve the pointer first, so a crash mid-write never
+    corrupts the visible table (snapshot isolation for readers).
+
+    Concurrent writers serialize through optimistic concurrency: a
+    writer that read version n may flip the pointer to n+1 only after
+    winning an O_EXCL commit marker for that exact transition — the
+    same read-version / try-commit / retry-on-conflict protocol Delta
+    Lake's commit file implements. Losers re-read the new current
+    state, RE-MERGE their updates against it, and compete for the next
+    slot, so no upsert is ever silently lost (the failure mode of the
+    plain last-writer-wins flip). A crashed winner's marker is taken
+    over after ``stale_marker_sec`` if the pointer never advanced.
+    Delta/Iceberg replace this wholesale when available.
     """
 
-    def __init__(self, spark: SparkSession, path: str, key: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        stale_marker_sec: float = 60.0,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.stale_marker_sec = stale_marker_sec
         os.makedirs(path, exist_ok=True)
 
     @property
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
 
-    def _current_dir(self) -> str | None:
+    def _current(self) -> tuple[int, str | None]:
+        """(version, data dir) of the visible snapshot; (0, None) when
+        the table is empty."""
         if not os.path.exists(self._pointer):
-            return None
+            return 0, None
         with open(self._pointer) as f:
             name = f.read().strip()
         d = os.path.join(self.path, name)
-        return d if os.path.exists(d) else None
+        if not os.path.exists(d):
+            return 0, None
+        try:
+            version = int(name.split("_")[1])
+        except (IndexError, ValueError):
+            version = 1  # pre-versioning layout: treat as v1
+        return version, d
+
+    def _current_dir(self) -> str | None:
+        return self._current()[1]
 
     def read(self) -> DataFrame | None:
         d = self._current_dir()
         return self.spark.read.parquet(d) if d else None
 
+    def _try_claim(self, version: int) -> bool:
+        """O_EXCL commit marker for the transition into ``version`` —
+        at most one writer per slot. Stale markers (winner crashed
+        between claim and pointer flip) are taken over after
+        ``stale_marker_sec``."""
+        import time
+
+        marker = os.path.join(self.path, f"_COMMIT.v{version:09d}")
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(time.time()).encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(marker)
+                cur_v, _ = self._current()
+                if age > self.stale_marker_sec and cur_v < version:
+                    os.remove(marker)  # crashed winner: free the slot
+            except OSError:
+                pass
+            return False
+
     def upsert(self, updates: DataFrame, update_cols: list[str] | None = None) -> None:
-        merged = merge_into(self.read(), updates, self.key, update_cols)
-        new_dir = f"v_{uuid.uuid4().hex[:12]}"
-        merged.write.mode("overwrite").parquet(os.path.join(self.path, new_dir))
-        old = self._current_dir()
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(new_dir)
-        os.replace(tmp, self._pointer)  # atomic flip
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
+        """Merge ``updates`` in with ON-CONFLICT semantics. Retries the
+        read-merge-commit cycle on writer conflicts until this writer's
+        updates land on top of the then-current snapshot."""
+        import time
+
+        while True:
+            base_version, base_dir = self._current()
+            existing = self.spark.read.parquet(base_dir) if base_dir else None
+            merged = merge_into(existing, updates, self.key, update_cols)
+            new_version = base_version + 1
+            new_dir = f"v_{new_version:09d}_{uuid.uuid4().hex[:12]}"
+            merged.write.mode("overwrite").parquet(os.path.join(self.path, new_dir))
+            if not self._try_claim(new_version):
+                # another writer won this transition: discard our
+                # candidate, wait for their flip, re-merge on top
+                shutil.rmtree(
+                    os.path.join(self.path, new_dir), ignore_errors=True
+                )
+                deadline = time.time() + self.stale_marker_sec + 5.0
+                while self._current()[0] < new_version and time.time() < deadline:
+                    time.sleep(0.05)
+                continue
+            # we own the n→n+1 transition; pointer is still at n
+            tmp = self._pointer + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(new_dir)
+            os.replace(tmp, self._pointer)  # atomic flip
+            if base_dir:
+                shutil.rmtree(base_dir, ignore_errors=True)
+            return
 
 
 def snapshot_diff(
