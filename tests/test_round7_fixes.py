@@ -80,6 +80,66 @@ def test_merge_table_concurrent_writers_lose_no_update(spark, tmp_path):
     assert version == 5  # initial + one committed transition per writer
 
 
+def test_merge_table_time_travel_and_vacuum(spark, tmp_path):
+    """Snapshot retention (the fix for the delete-under-a-running-scan
+    race): commits retain prior versions within the grace window, every
+    retained version is readable via read(version=...), and vacuum
+    removes only versions that are BOTH beyond retain_versions AND past
+    the grace age."""
+    from ariadne_cartograph_spark.operators.merge import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid",
+                          retain_versions=2, vacuum_grace_sec=3600.0)
+    for v in (1, 2, 3):
+        t.upsert(spark.createDataFrame([(1, float(v))], "gid long, val double"))
+    # grace window: nothing vacuumed yet, all three versions readable
+    assert t.history() == [1, 2, 3]
+    assert t.read(1).collect()[0].val == 1.0
+    assert t.read(2).collect()[0].val == 2.0
+    assert t.read().collect()[0].val == 3.0
+    # explicit vacuum past the grace: v1 falls outside retain_versions=2
+    assert t.vacuum(grace_sec=0.0) == [1]
+    assert t.history() == [2, 3]
+    with pytest.raises(ValueError, match="vacuumed or never committed"):
+        t.read(1)
+    # retention floor: current version is never vacuumed
+    assert t.vacuum(retain_versions=1, grace_sec=0.0) == [2]
+    assert t.read().collect()[0].val == 3.0
+
+
+def test_merge_table_txn_idempotent_replay(spark, tmp_path):
+    """Exactly-once streaming sink: a replayed (app, batch_id) — the
+    foreachBatch retry case — must be skipped; a new batch id commits;
+    a second app's txn state is independent; high-water marks survive
+    carry-forward across later commits."""
+    from ariadne_cartograph_spark.operators.merge import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid")
+    sink = t.streaming_sink("appA")
+    sink(spark.createDataFrame([(1, 10.0)], "gid long, val double"), 0)
+    v_after_first, _ = t._current()
+    # replay of batch 0 (sink failure → Structured Streaming re-runs it)
+    sink(spark.createDataFrame([(1, 99.0)], "gid long, val double"), 0)
+    assert t._current()[0] == v_after_first  # no new commit
+    assert t.read().collect()[0].val == 10.0  # replay did not re-apply
+    # next batch commits
+    sink(spark.createDataFrame([(2, 20.0)], "gid long, val double"), 1)
+    assert {r.gid: r.val for r in t.read().collect()} == {1: 10.0, 2: 20.0}
+    # a different app is tracked independently, even at batch id 0
+    assert t.upsert(
+        spark.createDataFrame([(3, 30.0)], "gid long, val double"),
+        txn_app="appB", txn_version=0,
+    )
+    # appA's high-water mark was carried through appB's commit
+    assert not t.upsert(
+        spark.createDataFrame([(1, -1.0)], "gid long, val double"),
+        txn_app="appA", txn_version=1,
+    )
+    assert {r.gid: r.val for r in t.read().collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0
+    }
+
+
 def test_merge_table_stale_marker_takeover(spark, tmp_path):
     """A winner that crashed between claiming the commit marker and
     flipping the pointer must not wedge the table: the marker ages out
