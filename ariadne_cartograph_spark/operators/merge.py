@@ -92,12 +92,28 @@ class ParquetMergeTable:
 
     Streaming exactly-once: ``upsert`` takes Delta-style transaction
     identity (``txn_app``, ``txn_version``). Each snapshot records the
-    high-water batch id per writer app in a ``_txn.json`` carried
+    high-water batch id per writer app in its manifest, carried
     forward across commits; a replayed ``foreachBatch`` batch id
     (micro-batch retry after sink failure) is detected against the
     then-current snapshot inside the OCC loop and skipped, so
     readStream → foreachBatch(:meth:`streaming_sink`) is effectively
     exactly-once end-to-end.
+
+    Layout: a committed snapshot is a JSON **manifest** listing the
+    immutable data directories that make it up — never the directories
+    themselves. With ``n_buckets=None`` (default) each commit writes
+    one whole-table directory, the right plan for dimension-sized
+    tables. With ``n_buckets=N`` the table is hash-bucketed on the key
+    (``pmod(xxhash64(key), N)``) and an upsert is **copy-on-write at
+    bucket granularity**: only buckets that contain updated keys are
+    scanned, merged, and rewritten; every other bucket's files are
+    carried into the new manifest by reference. This is the property
+    that makes MERGE usable at 100 TB — a small batch against a huge
+    table costs O(touched buckets), not O(table), exactly like Delta
+    MERGE rewriting only the files its join touched. The bucket count
+    is fixed at the table's first commit (recorded in the manifest,
+    authoritative thereafter) because the key→bucket map must be
+    stable across the table's lifetime.
     """
 
     def __init__(
@@ -108,6 +124,7 @@ class ParquetMergeTable:
         stale_marker_sec: float = 60.0,
         retain_versions: int = 2,
         vacuum_grace_sec: float = 600.0,
+        n_buckets: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -115,6 +132,7 @@ class ParquetMergeTable:
         self.stale_marker_sec = stale_marker_sec
         self.retain_versions = max(1, retain_versions)
         self.vacuum_grace_sec = vacuum_grace_sec
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
     @property
@@ -132,8 +150,10 @@ class ParquetMergeTable:
         return os.path.join(self.path, "_LOG")
 
     def _current(self) -> tuple[int, str | None]:
-        """(version, data dir) of the visible snapshot; (0, None) when
-        the table is empty."""
+        """(version, manifest path) of the visible snapshot; (0, None)
+        when the table is empty. The pointer target is a manifest JSON
+        (or, for tables written by the pre-manifest layout, a data dir
+        — ``_read_manifest`` adapts either)."""
         if not os.path.exists(self._pointer):
             return 0, None
         with open(self._pointer) as f:
@@ -147,8 +167,57 @@ class ParquetMergeTable:
             version = 1  # pre-versioning layout: treat as v1
         return version, d
 
-    def _current_dir(self) -> str | None:
-        return self._current()[1]
+    def _read_manifest(self, ref: str | None) -> dict:
+        """Normalize a snapshot reference to
+        ``{version, n_buckets, data: [relpaths], buckets: {id: rel},
+        txn: {app: ver}}``. ``ref`` may be a manifest JSON, a legacy
+        single-dir snapshot, or None (empty table)."""
+        import json as _json
+
+        if ref is None:
+            return {
+                "version": 0,
+                "n_buckets": self.n_buckets,
+                "data": [],
+                "buckets": {},
+                "txn": {},
+            }
+        if os.path.isdir(ref):  # pre-manifest layout: one dir = snapshot
+            txn_file = os.path.join(ref, "_txn.json")
+            txn = {}
+            if os.path.exists(txn_file):
+                with open(txn_file) as f:
+                    txn = {k: int(v) for k, v in _json.load(f).items()}
+            name = os.path.basename(ref)
+            try:
+                version = int(name.split("_")[1])
+            except (IndexError, ValueError):
+                version = 1
+            return {
+                "version": version,
+                "n_buckets": None,
+                "data": [name],
+                "buckets": {},
+                "txn": txn,
+            }
+        with open(ref) as f:
+            m = _json.load(f)
+        m.setdefault("buckets", {})
+        m.setdefault("txn", {})
+        return m
+
+    def _read_paths(self, rels: list[str]) -> DataFrame | None:
+        """Scan the given data relpaths as one DataFrame. Multi-path
+        scans merge schemas so buckets written before a column was
+        added read it as NULL (correct: their rows never got that
+        update)."""
+        if not rels:
+            return None
+        paths = [os.path.join(self.path, r) for r in rels]
+        reader = self.spark.read
+        if len(paths) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def _logged(self) -> dict[int, str]:
         """version → dirname for every logged commit whose dir still
@@ -176,29 +245,15 @@ class ParquetMergeTable:
         """Current snapshot, or time-travel to a retained ``version``
         (raises if that version was vacuumed or never committed)."""
         if version is None:
-            d = self._current_dir()
-            return self.spark.read.parquet(d) if d else None
+            return self._read_paths(self._read_manifest(self._current()[1])["data"])
         logged = self._logged()
         if version not in logged:
             raise ValueError(
                 f"version {version} is not readable (retained: "
                 f"{sorted(logged)}) — vacuumed or never committed"
             )
-        return self.spark.read.parquet(os.path.join(self.path, logged[version]))
-
-    def _txn_state(self, data_dir: str | None) -> dict[str, int]:
-        """app-id → high-water txn version recorded in a snapshot
-        (underscore-prefixed file: invisible to parquet scans, like
-        _SUCCESS)."""
-        import json as _json
-
-        if not data_dir:
-            return {}
-        p = os.path.join(data_dir, "_txn.json")
-        if not os.path.exists(p):
-            return {}
-        with open(p) as f:
-            return {k: int(v) for k, v in _json.load(f).items()}
+        ref = os.path.join(self.path, logged[version])
+        return self._read_paths(self._read_manifest(ref)["data"])
 
     def _try_claim(self, version: int) -> bool:
         """O_EXCL commit marker for the transition into ``version`` —
@@ -248,27 +303,69 @@ class ParquetMergeTable:
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version go together")
         while True:
-            base_version, base_dir = self._current()
-            txn = self._txn_state(base_dir)
+            base_version, base_ref = self._current()
+            m = self._read_manifest(base_ref)
+            txn = dict(m["txn"])
             if txn_app is not None:
                 if txn.get(txn_app, -1) >= txn_version:
                     return False  # replayed batch: already committed
-                txn = dict(txn)
                 txn[txn_app] = txn_version
-            existing = self.spark.read.parquet(base_dir) if base_dir else None
-            merged = merge_into(existing, updates, self.key, update_cols)
+            # the manifest's bucket count is authoritative once the
+            # table exists — the key→bucket map must never shift
+            n_b = m["n_buckets"] if base_ref is not None else self.n_buckets
             new_version = base_version + 1
-            new_dir = f"v_{new_version:09d}_{uuid.uuid4().hex[:12]}"
-            merged.write.mode("overwrite").parquet(os.path.join(self.path, new_dir))
-            if txn:
-                with open(os.path.join(self.path, new_dir, "_txn.json"), "w") as f:
-                    _json.dump(txn, f)
+            dname = f"d_{uuid.uuid4().hex[:12]}"
+            if n_b is None:
+                existing = self._read_paths(m["data"])
+                merged = merge_into(existing, updates, self.key, update_cols)
+                merged.write.mode("overwrite").parquet(
+                    os.path.join(self.path, dname)
+                )
+                new_data, new_buckets = [dname], {}
+            else:
+                bexpr = F.pmod(F.xxhash64(self.key), F.lit(n_b)).cast("int")
+                # one column-pruned distinct over the key: ≤ n_b ints
+                affected = sorted(
+                    r[0]
+                    for r in updates.select(bexpr.alias("__b")).distinct().collect()
+                )
+                old_buckets = dict(m["buckets"])
+                # copy-on-write: scan ONLY the buckets that hold updated
+                # keys; everything else is carried forward by reference
+                existing = self._read_paths(
+                    [old_buckets[str(b)] for b in affected if str(b) in old_buckets]
+                )
+                merged = merge_into(existing, updates, self.key, update_cols)
+                (
+                    merged.withColumn("__bucket", bexpr)
+                    .write.mode("overwrite")
+                    .partitionBy("__bucket")
+                    .parquet(os.path.join(self.path, dname))
+                )
+                new_buckets = dict(old_buckets)
+                for b in affected:
+                    new_buckets[str(b)] = f"{dname}/__bucket={b}"
+                new_data = [new_buckets[k] for k in sorted(new_buckets, key=int)]
+            mname = f"m_{new_version:09d}_{uuid.uuid4().hex[:12]}.json"
+            with open(os.path.join(self.path, mname), "w") as f:
+                _json.dump(
+                    {
+                        "version": new_version,
+                        "n_buckets": n_b,
+                        "data": new_data,
+                        "buckets": new_buckets,
+                        "txn": txn,
+                    },
+                    f,
+                )
             if not self._try_claim(new_version):
                 # another writer won this transition: discard our
                 # candidate, wait for their flip, re-merge on top
-                shutil.rmtree(
-                    os.path.join(self.path, new_dir), ignore_errors=True
-                )
+                shutil.rmtree(os.path.join(self.path, dname), ignore_errors=True)
+                try:
+                    os.remove(os.path.join(self.path, mname))
+                except OSError:
+                    pass
                 deadline = time.time() + self.stale_marker_sec + 5.0
                 while self._current()[0] < new_version and time.time() < deadline:
                     time.sleep(0.05)
@@ -276,10 +373,10 @@ class ParquetMergeTable:
             # we own the n→n+1 transition; pointer is still at n
             tmp = self._pointer + f".tmp{os.getpid()}"
             with open(tmp, "w") as f:
-                f.write(new_dir)
+                f.write(mname)
             os.replace(tmp, self._pointer)  # atomic flip
             with open(self._log, "a") as f:
-                f.write(f"{new_version} {new_dir}\n")  # O_APPEND atomic line
+                f.write(f"{new_version} {mname}\n")  # O_APPEND atomic line
             self.vacuum()
             return True
 
@@ -288,52 +385,96 @@ class ParquetMergeTable:
         retain_versions: int | None = None,
         grace_sec: float | None = None,
     ) -> list[int]:
-        """Remove snapshot dirs older than the newest ``retain_versions``
-        AND older than ``grace_sec`` on disk (both conditions — the
-        grace age is what guarantees no running scan, reader or losing
-        writer, has its files deleted underneath it). Also sweeps
-        abandoned candidate dirs from crashed losers (unlogged,
-        unclaimed, past the grace age) and commit markers of vacuumed
-        transitions. Returns the vacuumed versions."""
+        """Retire snapshot versions older than the newest
+        ``retain_versions`` AND older than ``grace_sec`` on disk (both
+        conditions — the grace age is what guarantees no running scan,
+        reader or losing writer, has its files deleted underneath it),
+        then garbage-collect data directories no retained manifest
+        references. Unreferenced data additionally waits out
+        ``max(grace, stale_marker_sec)`` so an in-flight writer's
+        half-written candidate is never swept. In bucketed mode a data
+        leaf shared by several retained versions survives until the
+        LAST manifest referencing it is retired — exactly Delta's
+        file-retention rule. Returns the vacuumed versions."""
         import time
 
         retain = self.retain_versions if retain_versions is None else max(
             1, retain_versions
         )
         grace = self.vacuum_grace_sec if grace_sec is None else grace_sec
-        cur_v, cur_d = self._current()
-        logged = self._logged()
+        cur_v, cur_ref = self._current()
         now = time.time()
         removed: list[int] = []
-        for v, name in logged.items():
-            d = os.path.join(self.path, name)
-            if d == cur_d or v > cur_v - retain:
+        # pass 1: retire manifests (legacy dir snapshots: the dir IS
+        # the manifest — removing it removes the data too)
+        for v, name in self._logged().items():
+            p = os.path.join(self.path, name)
+            if p == cur_ref or v > cur_v - retain:
                 continue
             try:
-                if now - os.path.getmtime(d) <= grace:
+                if now - os.path.getmtime(p) <= grace:
                     continue
             except OSError:
                 continue
-            shutil.rmtree(d, ignore_errors=True)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    continue
             removed.append(v)
             marker = os.path.join(self.path, f"_COMMIT.v{v:09d}")
             if os.path.exists(marker):
                 os.remove(marker)
-        # crashed losers' abandoned candidates: v_* dirs never logged
-        known = {n for n in logged.values()}
+        # pass 2: GC data unreferenced by any surviving manifest. The
+        # age gate covers crashed losers' abandoned candidates too
+        # (their manifests were never logged, their data never
+        # referenced).
+        live_refs = set(self._logged().values())
+        live_data: set[str] = set()
+        for name in live_refs:
+            live_data.update(
+                self._read_manifest(os.path.join(self.path, name))["data"]
+            )
+        min_age = max(grace, self.stale_marker_sec)
         for name in os.listdir(self.path):
-            d = os.path.join(self.path, name)
+            p = os.path.join(self.path, name)
             if (
-                name.startswith("v_")
-                and os.path.isdir(d)
-                and name not in known
-                and d != cur_d
+                name.startswith("m_")
+                and name.endswith(".json")
+                and name not in live_refs
+                and p != cur_ref
             ):
                 try:
-                    if now - os.path.getmtime(d) > max(grace, self.stale_marker_sec):
-                        shutil.rmtree(d, ignore_errors=True)
+                    if now - os.path.getmtime(p) > min_age:
+                        os.remove(p)  # abandoned candidate manifest
                 except OSError:
                     pass
+                continue
+            if not (name.startswith(("d_", "v_")) and os.path.isdir(p)):
+                continue
+            if name in live_data:
+                continue  # whole-dir snapshot still referenced
+            leaves = [e for e in os.listdir(p) if e.startswith("__bucket=")]
+            if not leaves:
+                try:
+                    if now - os.path.getmtime(p) > min_age:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+                continue
+            for leaf in leaves:
+                if f"{name}/{leaf}" in live_data:
+                    continue
+                lp = os.path.join(p, leaf)
+                try:
+                    if now - os.path.getmtime(lp) > min_age:
+                        shutil.rmtree(lp, ignore_errors=True)
+                except OSError:
+                    pass
+            if not any(e.startswith("__bucket=") for e in os.listdir(p)):
+                shutil.rmtree(p, ignore_errors=True)  # only _SUCCESS left
         return sorted(removed)
 
     def streaming_sink(self, app_id: str, update_cols: list[str] | None = None):

@@ -1,0 +1,191 @@
+"""Bucketed copy-on-write MERGE (SURVEY.md §2.1 S4 at 100 TB).
+
+The plain ParquetMergeTable rewrites the whole table per upsert —
+O(table) I/O per batch, unusable against a huge table. With
+``n_buckets=N`` an upsert scans and rewrites ONLY the hash buckets
+containing updated keys; every other bucket's files are carried into
+the new snapshot manifest by reference (Delta MERGE's file-pruning
+model, re-expressed over plain parquet). These tests pin:
+
+- value equivalence with the plain layout (same ON CONFLICT semantics,
+  `/root/reference/update_ways_metadata.py:50-54`),
+- the pruning property itself (untouched buckets are NOT rewritten),
+- time travel / txn replay / vacuum shared-file retention under
+  bucketing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ariadne_cartograph_spark.operators.merge import ParquetMergeTable
+
+
+def _rows(df):
+    return {r.gid: tuple(r)[1:] for r in df.collect()}
+
+
+def test_bucketed_equals_plain(spark, tmp_path):
+    """The same upsert sequence (inserts, full-row updates, per-column
+    updates, a new column) lands identically in both layouts."""
+    plain = ParquetMergeTable(spark, str(tmp_path / "plain"), key="gid")
+    buck = ParquetMergeTable(spark, str(tmp_path / "buck"), key="gid", n_buckets=8)
+    batches = [
+        ([(i, float(i), "a") for i in range(20)], None),
+        ([(5, -5.0, "b"), (21, 21.0, "c")], None),  # update + insert
+        ([(7, 70.0), (8, 80.0)], ["val"]),  # per-column: tag untouched
+    ]
+    for rows, cols in batches[:2]:
+        df = spark.createDataFrame(rows, "gid long, val double, tag string")
+        plain.upsert(df)
+        buck.upsert(df)
+    df = spark.createDataFrame(batches[2][0], "gid long, val double")
+    plain.upsert(df, update_cols=["val"])
+    buck.upsert(df, update_cols=["val"])
+    # schema evolution: a column the table never had
+    df = spark.createDataFrame([(3, 1.5)], "gid long, score double")
+    plain.upsert(df, update_cols=["score"])
+    buck.upsert(df, update_cols=["score"])
+    p = {r.gid: (r.val, r.tag, r.score) for r in plain.read().collect()}
+    b = {r.gid: (r.val, r.tag, r.score) for r in buck.read().collect()}
+    assert p == b
+    assert p[5] == (-5.0, "b", None)
+    assert p[7] == (70.0, "a", None)
+    assert p[3] == (3.0, "a", 1.5)
+
+
+def test_bucketed_rewrites_only_affected_buckets(spark, tmp_path):
+    """The 100 TB property: an upsert touching keys in k buckets
+    produces a manifest whose OTHER bucket entries are byte-identical
+    references to the previous snapshot's files."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid", n_buckets=16)
+    t.upsert(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(200)], "gid long, val double"
+        )
+    )
+    m1 = t._read_manifest(t._current()[1])
+    assert m1["n_buckets"] == 16 and len(m1["buckets"]) > 4
+    t.upsert(spark.createDataFrame([(0, -1.0)], "gid long, val double"))
+    m2 = t._read_manifest(t._current()[1])
+    changed = {
+        b for b in m2["buckets"] if m2["buckets"][b] != m1["buckets"].get(b)
+    }
+    assert len(changed) == 1  # exactly the bucket holding gid=0
+    # carried-over references still resolve to the ORIGINAL files
+    for b, rel in m2["buckets"].items():
+        if b not in changed:
+            assert rel == m1["buckets"][b]
+            assert os.path.exists(os.path.join(t.path, rel))
+    rows = _rows(t.read())
+    assert rows[0] == (-1.0,) and rows[1] == (1.0,) and len(rows) == 200
+
+
+def test_bucketed_time_travel_txn_and_vacuum(spark, tmp_path):
+    """Retention semantics under shared files: a vacuumed version's
+    manifest goes away, but data leaves still referenced by retained
+    versions survive GC; replayed txn versions are skipped."""
+    t = ParquetMergeTable(
+        spark,
+        str(tmp_path / "tbl"),
+        key="gid",
+        n_buckets=4,
+        retain_versions=2,
+        stale_marker_sec=0.0,
+    )
+    sink = t.streaming_sink("app")
+    sink(spark.createDataFrame([(i, 1.0) for i in range(40)], "gid long, val double"), 0)
+    sink(spark.createDataFrame([(0, 2.0)], "gid long, val double"), 1)
+    sink(spark.createDataFrame([(1, 3.0)], "gid long, val double"), 2)
+    # replay of batch 1 is skipped against the current high-water mark
+    sink(spark.createDataFrame([(0, 99.0)], "gid long, val double"), 1)
+    assert t._current()[0] == 3
+    assert _rows(t.read())[0] == (2.0,)
+    assert t.history() == [1, 2, 3]
+    assert _rows(t.read(1))[0] == (1.0,)
+    # vacuum v1; v2/v3 manifests share v1-era leaves for untouched
+    # buckets — those leaves must survive the GC pass
+    assert t.vacuum(grace_sec=0.0) == [1]
+    with pytest.raises(ValueError, match="vacuumed or never committed"):
+        t.read(1)
+    assert _rows(t.read(2))[0] == (2.0,)
+    assert len(_rows(t.read())) == 40
+
+
+def test_bucket_count_fixed_by_manifest(spark, tmp_path):
+    """Reopening with a different n_buckets must not shift the
+    key→bucket map: the first commit's count is authoritative."""
+    t1 = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid", n_buckets=8)
+    t1.upsert(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "gid long, val double"
+        )
+    )
+    t2 = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid", n_buckets=3)
+    t2.upsert(spark.createDataFrame([(0, -1.0)], "gid long, val double"))
+    m = t2._read_manifest(t2._current()[1])
+    assert m["n_buckets"] == 8
+    rows = _rows(t2.read())
+    assert rows[0] == (-1.0,) and len(rows) == 50
+
+
+def test_bucketed_null_key_rows_carried(spark, tmp_path):
+    """NULL keys hash to a stable bucket and never match each other in
+    the full-outer merge (same as the plain layout / SQL semantics)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid", n_buckets=4)
+    t.upsert(spark.createDataFrame([(None, 1.0), (1, 1.0)], "gid long, val double"))
+    t.upsert(spark.createDataFrame([(None, 2.0)], "gid long, val double"))
+    rows = t.read().collect()
+    assert sorted(r.val for r in rows if r.gid is None) == [1.0, 2.0]
+    assert len(rows) == 3
+
+
+def test_bucketed_concurrent_writers(spark, tmp_path):
+    """OCC serialization holds identically under the bucketed layout:
+    racing disjoint-key upserts all land."""
+    import threading
+
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid", n_buckets=4)
+    t.upsert(spark.createDataFrame([(0, 0.0)], "gid long, val double"))
+    errs = []
+
+    def writer(base):
+        try:
+            t.upsert(
+                spark.createDataFrame(
+                    [(base * 10 + i, float(base)) for i in range(3)],
+                    "gid long, val double",
+                )
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    rows = _rows(t.read())
+    assert rows[0] == (0.0,)
+    for b in (1, 2):
+        for i in range(3):
+            assert rows[b * 10 + i] == (float(b),)
+    assert t._current()[0] == 3
+
+
+def test_manifest_files_invisible_to_scan(spark, tmp_path):
+    """Manifests, pointer, log, and markers live beside the data dirs —
+    none of them may leak into a read (the _-prefix / sidecar rule)."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid", n_buckets=4)
+    t.upsert(spark.createDataFrame([(1, 1.0)], "gid long, val double"))
+    t.upsert(spark.createDataFrame([(2, 2.0)], "gid long, val double"))
+    df = t.read()
+    assert set(df.columns) == {"gid", "val"}  # no __bucket leak either
+    assert df.count() == 2
+    names = set(os.listdir(t.path))
+    assert "_CURRENT" in names and "_LOG" in names
+    assert any(n.startswith("m_") for n in names)
