@@ -45,6 +45,7 @@ def cosine_topk(
     query_id_col: str | None = None,
     strategy: str = "auto",
     block_rows: int = 1024,
+    queries_count_hint: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
@@ -55,18 +56,29 @@ def cosine_topk(
     ``strategy``: ``"crossjoin"`` broadcasts the queries and scores
     with column math (best for small pair counts); ``"blocked"`` runs
     the blocked-GEMM kernel (see :func:`_cosine_topk_blocked`);
-    ``"auto"`` (default) measures |corpus|·|queries| with two count
-    aggregates and routes at BLOCKED_TOPK_MIN_PAIRS — both plans are
-    exact and (under the f32 policy) hash-identical, so the choice is
-    physical only. The blocked path needs integral ids; non-integral
-    ids always take the crossjoin path.
+    ``"auto"`` (default) routes at BLOCKED_TOPK_MIN_PAIRS pairs from
+    parquet-footer statistics where they decide, else one memoized
+    count job — both plans are exact and (under the f32 policy)
+    hash-identical, so the choice is physical only. The blocked path
+    needs integral ids; non-integral ids always take the crossjoin
+    path.
+
+    ``queries_count_hint``: caller-asserted |queries| cardinality (the
+    same contract as ``F.broadcast`` — an optimizer hint, not checked).
+    A filtered query side is opaque to footer statistics, so without
+    the hint an ambiguous shape costs one probe job; a caller that
+    knows its query-set size (a point lookup, a fixed probe list)
+    passes it and routing is jobless. A wrong hint can only mis-pick
+    between two exact plans, never change results.
     """
     qid = query_id_col or ("q_" + id_col)
     q_src = query_id_col if query_id_col is not None else id_col
     if strategy == "auto":
         integral = _is_integral_id(corpus, id_col) and _is_integral_id(queries, q_src)
         if integral:
-            strategy = _route_topk(corpus, queries, BLOCKED_TOPK_MIN_PAIRS)
+            strategy = _route_topk(
+                corpus, queries, BLOCKED_TOPK_MIN_PAIRS, q_rows=queries_count_hint
+            )
         else:
             strategy = "crossjoin"
     if strategy == "blocked":
@@ -105,15 +117,39 @@ _ROW_PRESERVING_NODES = {
 }
 
 
+# Footer-statistics memo, same contract as _PAIR_COUNT_CACHE: row
+# counts only pick between two exact plans, so a stale entry can never
+# change results. Saves the per-call footer reads + plan stringification
+# when the same logical plan routes repeatedly.
+_FOOTER_CACHE: dict[int, tuple[int | None, int | None]] = {}
+_FOOTER_CACHE_MAX = 256
+
+
 def _footer_rows(df: DataFrame) -> tuple[int | None, int | None]:
     """(exact, upper) row counts from local parquet footers — the
     ANALYZE-statistics answer, ZERO Spark jobs. Exact when the
     optimized plan is a bare file relation; an upper bound when only
     row-reducing nodes sit on top; (None, None) for any other plan
-    shape, non-parquet or non-local files."""
+    shape, non-parquet or non-local files. Memoized by semantic plan
+    hash."""
     import re
     from urllib.parse import unquote, urlparse
 
+    try:
+        key = df.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _FOOTER_CACHE:
+        return _FOOTER_CACHE[key]
+    out = _footer_rows_uncached(df, re, unquote, urlparse)
+    if key is not None:
+        if len(_FOOTER_CACHE) >= _FOOTER_CACHE_MAX:
+            _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+        _FOOTER_CACHE[key] = out
+    return out
+
+
+def _footer_rows_uncached(df, re, unquote, urlparse):
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         names: set[str] = set()
@@ -140,19 +176,29 @@ def _footer_rows(df: DataFrame) -> tuple[int | None, int | None]:
         return (None, None)
 
 
-def _route_topk(corpus: DataFrame, queries: DataFrame, threshold: int) -> str:
+def _route_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: int,
+    q_rows: int | None = None,
+) -> str:
     """Pick the physical top-k strategy (both are exact and
     hash-identical — this is a plan decision only). Order of cheapness:
-    footer statistics decide with no Spark job (exact counts, or upper
-    bounds that cannot reach the blocked zone); otherwise ONE combined,
-    memoized count job (:func:`_pair_counts`)."""
+    a caller cardinality hint plus footer statistics, footer statistics
+    alone (exact counts, or upper bounds that cannot reach the blocked
+    zone) — both jobless — otherwise ONE combined, memoized count job
+    (:func:`_pair_counts`)."""
     c_exact, c_ub = _footer_rows(corpus)
     q_exact, q_ub = _footer_rows(queries)
+    if q_rows is not None:
+        q_exact = q_ub = q_rows
     if c_exact is not None and q_exact is not None:
         return "blocked" if c_exact * q_exact >= threshold else "crossjoin"
     if c_ub is not None and q_ub is not None and c_ub * q_ub < threshold:
         return "crossjoin"  # even pessimistic bounds can't reach blocked
     n_c, n_q = _pair_counts(corpus, queries)
+    if q_rows is not None:
+        n_q = q_rows
     return "blocked" if n_c * n_q >= threshold else "crossjoin"
 
 

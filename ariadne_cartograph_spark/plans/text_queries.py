@@ -540,7 +540,17 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") == 0)
     return (
-        S.cosine_topk(emb, queries, "vec_id", "embedding", k=10, query_id_col=None)
+        S.cosine_topk(
+            emb,
+            queries,
+            "vec_id",
+            "embedding",
+            k=10,
+            query_id_col=None,
+            # point lookup on the id: cardinality known to the caller,
+            # so routing needs no probe job (F.broadcast-style hint)
+            queries_count_hint=1,
+        )
         .select("vec_id", "cosine", "rank")
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
     )

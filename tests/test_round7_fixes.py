@@ -240,6 +240,35 @@ def test_rolling_fingerprint_md5_matches_python(spark):
         assert got[i] == py_fp(t), i
 
 
+def test_queries_count_hint_jobless_and_exact(spark):
+    """The F.broadcast-style cardinality hint: with queries_count_hint
+    a filtered (footer-opaque) query side routes with ZERO probe jobs,
+    and the result is identical to the explicit-strategy plan. A wrong
+    hint only flips between two exact plans — results still identical."""
+    from ariadne_cartograph_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    S._PAIR_COUNT_CACHE.clear()
+    hinted = S.cosine_topk(
+        emb, q, "vec_id", "embedding", k=5, query_id_col=None,
+        queries_count_hint=1,
+    ).collect()
+    assert len(S._PAIR_COUNT_CACHE) == 0  # no probe job ran
+    explicit = S.cosine_topk(
+        emb, q, "vec_id", "embedding", k=5, query_id_col=None,
+        strategy="crossjoin",
+    ).collect()
+    assert sorted(map(tuple, hinted)) == sorted(map(tuple, explicit))
+    # wrong hint (forces blocked): exact plans stay hash-identical
+    wrong = S.cosine_topk(
+        emb, q, "vec_id", "embedding", k=5, query_id_col=None,
+        queries_count_hint=10**9,
+    ).collect()
+    assert sorted(map(tuple, wrong)) == sorted(map(tuple, explicit))
+    S._PAIR_COUNT_CACHE.clear()
+
+
 def test_auto_route_unchanged_by_memo(spark, emb):
     """The gate still routes exactly as before: below threshold →
     crossjoin result identical to the explicit-strategy run."""
