@@ -81,8 +81,12 @@ WINDOW_ORDER: list[str] = [
     "q6_forecast_revenue",
     # flagship reference dataflow (E1: S1-S3/J2/P4-P7/A1-A3/U1-U2)
     "ways_enrichment_pipeline",
-    # upsert sink + streaming parity (S4/J1/J5, S11/T1-T5)
+    # upsert sink + streaming parity (S4/J1/J5, S11/T1-T5). r7
+    # rotation: the bucketed copy-on-write MERGE materialization joins
+    # its plain twin under the driver hash (embedding_near_dup moved to
+    # the tail — its U4/W6 tags are each covered 6+× in-window).
     "merge_upsert_metadata",
+    "merge_upsert_bucketed",
     "events_stream_batch_parity",
     "events_stream_dedup_parity",
     "events_stream_session_parity",
@@ -121,7 +125,6 @@ WINDOW_ORDER: list[str] = [
     "similarity_topk_cosine",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
-    "embedding_near_dup",
     "embedding_semantic_dedup",
     # multimodal columns (U3)
     "multimodal_image_stats",

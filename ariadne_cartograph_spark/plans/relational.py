@@ -1297,6 +1297,64 @@ def merge_upsert_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert_bucketed",
+    tags=["S4", "J1"],
+    oracle="""
+WITH existing AS (
+  SELECT o_orderkey AS gid,
+         CAST(o_totalprice % 1000 AS DOUBLE) / 1000 AS popularity,
+         CAST(o_custkey % 100 AS DOUBLE) / 100 AS greenery
+  FROM orders WHERE o_orderkey % 2 = 0),
+updates AS (
+  SELECT o_orderkey AS gid,
+         CAST(o_totalprice % 777 AS DOUBLE) / 777 AS popularity
+  FROM orders WHERE o_orderkey % 3 = 0)
+SELECT COALESCE(e.gid, u.gid) AS gid,
+       CAST(COALESCE(u.popularity, e.popularity) AS FLOAT) AS popularity,
+       CAST(e.greenery AS FLOAT) AS greenery
+FROM existing e FULL OUTER JOIN updates u ON e.gid = u.gid
+ORDER BY gid
+""",
+)
+def merge_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ON CONFLICT semantics as merge_upsert_metadata, but
+    MATERIALIZED through the bucketed copy-on-write table
+    (operators/merge.ParquetMergeTable, n_buckets=16): seed commit,
+    then a popularity-only upsert that scans and rewrites ONLY the
+    buckets holding updated gids, then a read back through the snapshot
+    manifest. Hash-identical to the layout-free oracle — the bucketing
+    is purely physical (the 100 TB MERGE posture: O(touched buckets)
+    per batch, not O(table))."""
+    import tempfile
+
+    from ..operators.merge import ParquetMergeTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("gid"),
+        ((F.col("o_totalprice") % 1000) / 1000).alias("popularity"),
+        ((F.col("o_custkey") % 100).cast("double") / 100).alias("greenery"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("gid"),
+        ((F.col("o_totalprice") % 777) / 777).alias("popularity"),
+    )
+    t = ParquetMergeTable(
+        spark,
+        tempfile.mkdtemp(prefix="acs_merge_bucketed_"),
+        key="gid",
+        n_buckets=16,
+    )
+    t.upsert(existing)
+    t.upsert(updates, update_cols=["popularity"])
+    return t.read().select(
+        "gid",
+        F.col("popularity").cast("float").alias("popularity"),
+        F.col("greenery").cast("float").alias("greenery"),
+    ).orderBy("gid")
+
+
+@register(
     "agg_grouping_structures",
     tags=["A5"],
     oracle="""
