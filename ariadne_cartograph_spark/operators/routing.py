@@ -91,6 +91,11 @@ def shortest_path_matrix(
     Returns (src, node_id, dist, hops), one row per reached (source,
     vertex) pair.
     """
+    # Persist the graph once (the GraphX pattern): every round joins
+    # `adj`, and a lazy adjacency would re-run its ENTIRE upstream
+    # lineage (ingest → topology → adjacency) per round — measured
+    # 23.5 s → 5.0 s on the 12-round fixture BFS.
+    adj = adj.localCheckpoint(eager=True)
     spark = adj.sparkSession
     seed = spark.createDataFrame(
         [(int(v), int(v), 0.0, 0) for v in source_vertices],
@@ -161,6 +166,7 @@ def shortest_paths_tracked(
     Returns (node_id, dist, hops, pred_node, pred_edge); sources have
     NULL predecessors and dist 0.
     """
+    adj = adj.localCheckpoint(eager=True)  # persist the graph once
     spark = adj.sparkSession
     seed = spark.createDataFrame(
         [(int(v), 0.0, 0, None, None) for v in source_vertices],
@@ -348,6 +354,7 @@ def restricted_shortest_paths(
     Returns (node_id, dist, hops): per-vertex minimum over arriving
     arc states, sources at 0.
     """
+    arcs = arcs.localCheckpoint(eager=True)  # persist the graph once
     spark = arcs.sparkSession
     r = restrictions.filter(
         F.col("from_way").isNotNull()
@@ -504,6 +511,11 @@ def shortest_paths(
     `dist`; with real weights it is Bellman-Ford (non-negative weights
     assumed, as in road networks).
     """
+    # Persist the graph once (the GraphX pattern): every round joins
+    # `adj`, and a lazy adjacency re-runs its ENTIRE upstream lineage
+    # (ingest → topology → adjacency) per round — measured 23.5 s →
+    # 5.0 s on the 12-round fixture BFS.
+    adj = adj.localCheckpoint(eager=True)
     spark = adj.sparkSession
     seed = spark.createDataFrame(
         [(int(v), 0.0, 0) for v in source_vertices], "node_id long, dist double, hops int"
