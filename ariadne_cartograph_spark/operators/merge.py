@@ -297,6 +297,116 @@ class ParquetMergeTable:
         holds even when this writer loses races. Returns True if a
         commit happened, False if skipped as a replay.
         """
+
+        def snapshot(m: dict, n_b: int | None, dname: str):
+            if n_b is None:
+                existing = self._read_paths(m["data"])
+                merged = merge_into(existing, updates, self.key, update_cols)
+                merged.write.mode("overwrite").parquet(
+                    os.path.join(self.path, dname)
+                )
+                return [dname], {}, True
+            bexpr = F.pmod(F.xxhash64(self.key), F.lit(n_b)).cast("int")
+            # one column-pruned distinct over the key: ≤ n_b ints
+            affected = sorted(
+                r[0]
+                for r in updates.select(bexpr.alias("__b")).distinct().collect()
+            )
+            old_buckets = dict(m["buckets"])
+            # copy-on-write: scan ONLY the buckets that hold updated
+            # keys; everything else is carried forward by reference
+            existing = self._read_paths(
+                [old_buckets[str(b)] for b in affected if str(b) in old_buckets]
+            )
+            merged = merge_into(existing, updates, self.key, update_cols)
+            (
+                merged.withColumn("__bucket", bexpr)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(os.path.join(self.path, dname))
+            )
+            new_buckets = dict(old_buckets)
+            for b in affected:
+                new_buckets[str(b)] = f"{dname}/__bucket={b}"
+            return (
+                [new_buckets[k] for k in sorted(new_buckets, key=int)],
+                new_buckets,
+                True,
+            )
+
+        return self._commit_loop(snapshot, txn_app, txn_version)
+
+    def delete(
+        self,
+        keys: DataFrame,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> bool:
+        """Delete every row whose key appears in ``keys`` (a frame
+        carrying the table's key column) — the GDPR right-to-be-
+        forgotten write, the canonical copy-on-write workload: in
+        bucketed mode only the buckets containing the keys are scanned
+        and rewritten (anti-join), everything else is carried forward
+        by reference, and a bucket emptied by the delete drops out of
+        the manifest. Same OCC retry and txn-replay contract as
+        :meth:`upsert`; deleting absent keys still commits a version
+        (the txn high-water mark must advance for exactly-once
+        streaming deletes). NULL keys are never matched (SQL anti-join
+        semantics). Returns True unless skipped as a txn replay."""
+
+        def snapshot(m: dict, n_b: int | None, dname: str):
+            k = keys.select(self.key).distinct()
+            if n_b is None:
+                existing = self._read_paths(m["data"])
+                if existing is None:
+                    return list(m["data"]), dict(m["buckets"]), False
+                remaining = existing.join(k, self.key, "left_anti")
+                remaining.write.mode("overwrite").parquet(
+                    os.path.join(self.path, dname)
+                )
+                return [dname], {}, True
+            bexpr = F.pmod(F.xxhash64(self.key), F.lit(n_b)).cast("int")
+            old_buckets = dict(m["buckets"])
+            affected = sorted(
+                b
+                for (b,) in k.select(bexpr.alias("__b")).distinct().collect()
+                if str(b) in old_buckets  # data-less buckets: no-op
+            )
+            if not affected:
+                return list(m["data"]), old_buckets, False
+            existing = self._read_paths([old_buckets[str(b)] for b in affected])
+            remaining = existing.join(k, self.key, "left_anti")
+            (
+                remaining.withColumn("__bucket", bexpr)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(os.path.join(self.path, dname))
+            )
+            # a fully-emptied bucket writes no partition dir: drop it
+            present = {
+                int(e.split("=", 1)[1])
+                for e in os.listdir(os.path.join(self.path, dname))
+                if e.startswith("__bucket=")
+            }
+            new_buckets = {
+                b: rel for b, rel in old_buckets.items() if int(b) not in affected
+            }
+            for b in affected:
+                if b in present:
+                    new_buckets[str(b)] = f"{dname}/__bucket={b}"
+            return (
+                [new_buckets[x] for x in sorted(new_buckets, key=int)],
+                new_buckets,
+                True,
+            )
+
+        return self._commit_loop(snapshot, txn_app, txn_version)
+
+    def _commit_loop(self, snapshot, txn_app, txn_version) -> bool:
+        """Shared OCC read-compute-commit cycle. ``snapshot(manifest,
+        n_buckets, dname) -> (data, buckets, wrote)`` produces the new
+        snapshot contents on top of the then-current state; it is
+        re-invoked from scratch whenever this writer loses a race."""
         import json as _json
         import time
 
@@ -315,37 +425,7 @@ class ParquetMergeTable:
             n_b = m["n_buckets"] if base_ref is not None else self.n_buckets
             new_version = base_version + 1
             dname = f"d_{uuid.uuid4().hex[:12]}"
-            if n_b is None:
-                existing = self._read_paths(m["data"])
-                merged = merge_into(existing, updates, self.key, update_cols)
-                merged.write.mode("overwrite").parquet(
-                    os.path.join(self.path, dname)
-                )
-                new_data, new_buckets = [dname], {}
-            else:
-                bexpr = F.pmod(F.xxhash64(self.key), F.lit(n_b)).cast("int")
-                # one column-pruned distinct over the key: ≤ n_b ints
-                affected = sorted(
-                    r[0]
-                    for r in updates.select(bexpr.alias("__b")).distinct().collect()
-                )
-                old_buckets = dict(m["buckets"])
-                # copy-on-write: scan ONLY the buckets that hold updated
-                # keys; everything else is carried forward by reference
-                existing = self._read_paths(
-                    [old_buckets[str(b)] for b in affected if str(b) in old_buckets]
-                )
-                merged = merge_into(existing, updates, self.key, update_cols)
-                (
-                    merged.withColumn("__bucket", bexpr)
-                    .write.mode("overwrite")
-                    .partitionBy("__bucket")
-                    .parquet(os.path.join(self.path, dname))
-                )
-                new_buckets = dict(old_buckets)
-                for b in affected:
-                    new_buckets[str(b)] = f"{dname}/__bucket={b}"
-                new_data = [new_buckets[k] for k in sorted(new_buckets, key=int)]
+            new_data, new_buckets, wrote = snapshot(m, n_b, dname)
             mname = f"m_{new_version:09d}_{uuid.uuid4().hex[:12]}.json"
             with open(os.path.join(self.path, mname), "w") as f:
                 _json.dump(
@@ -360,8 +440,11 @@ class ParquetMergeTable:
                 )
             if not self._try_claim(new_version):
                 # another writer won this transition: discard our
-                # candidate, wait for their flip, re-merge on top
-                shutil.rmtree(os.path.join(self.path, dname), ignore_errors=True)
+                # candidate, wait for their flip, re-compute on top
+                if wrote:
+                    shutil.rmtree(
+                        os.path.join(self.path, dname), ignore_errors=True
+                    )
                 try:
                     os.remove(os.path.join(self.path, mname))
                 except OSError:

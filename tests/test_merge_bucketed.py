@@ -177,6 +177,72 @@ def test_bucketed_concurrent_writers(spark, tmp_path):
     assert t._current()[0] == 3
 
 
+def test_delete_rewrites_only_affected_buckets(spark, tmp_path):
+    """GDPR-style key delete under copy-on-write: rows gone, untouched
+    buckets carried by reference, a fully-emptied bucket drops out of
+    the manifest, absent-key deletes still advance the version (txn
+    high-water must move), and pre-delete versions stay readable."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid", n_buckets=16)
+    t.upsert(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(200)], "gid long, val double"
+        )
+    )
+    m1 = t._read_manifest(t._current()[1])
+    # find one bucket's full key set so the delete empties it
+    import pyspark.sql.functions as F
+
+    bexpr = F.pmod(F.xxhash64("gid"), F.lit(16)).cast("int")
+    by_bucket = {}
+    for r in t.read().select("gid", bexpr.alias("b")).collect():
+        by_bucket.setdefault(r.b, []).append(r.gid)
+    victim_bucket, victims = min(by_bucket.items(), key=lambda kv: len(kv[1]))
+    assert t.delete(
+        spark.createDataFrame([(g,) for g in victims], "gid long")
+    )
+    m2 = t._read_manifest(t._current()[1])
+    assert str(victim_bucket) not in m2["buckets"]  # emptied → dropped
+    for b, rel in m2["buckets"].items():
+        assert rel == m1["buckets"][b]  # every surviving bucket reused
+    rows = _rows(t.read())
+    assert len(rows) == 200 - len(victims)
+    assert not set(victims) & set(rows)
+    # pre-delete version still readable (time travel)
+    assert len(_rows(t.read(1))) == 200
+    # absent keys: commits (version advances), carries everything
+    v = t._current()[0]
+    assert t.delete(spark.createDataFrame([(10**9,)], "gid long"))
+    assert t._current()[0] == v + 1
+    assert len(_rows(t.read())) == 200 - len(victims)
+
+
+def test_delete_plain_mode_and_txn_replay(spark, tmp_path):
+    """Plain-layout delete plus exactly-once delete semantics: a
+    replayed (app, batch) delete is skipped."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid")
+    t.upsert(
+        spark.createDataFrame([(i, float(i)) for i in range(10)],
+                              "gid long, val double")
+    )
+    assert t.delete(
+        spark.createDataFrame([(3,), (7,)], "gid long"),
+        txn_app="gdpr", txn_version=0,
+    )
+    assert sorted(_rows(t.read())) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # replay of the same delete batch: skipped, no new version
+    v = t._current()[0]
+    assert not t.delete(
+        spark.createDataFrame([(5,)], "gid long"),
+        txn_app="gdpr", txn_version=0,
+    )
+    assert t._current()[0] == v
+    assert 5 in _rows(t.read())
+    # delete on an empty table is a clean no-op commit
+    t2 = ParquetMergeTable(spark, str(tmp_path / "tbl2"), key="gid")
+    assert t2.delete(spark.createDataFrame([(1,)], "gid long"))
+    assert t2.read() is None
+
+
 def test_manifest_files_invisible_to_scan(spark, tmp_path):
     """Manifests, pointer, log, and markers live beside the data dirs —
     none of them may leak into a read (the _-prefix / sidecar rule)."""
