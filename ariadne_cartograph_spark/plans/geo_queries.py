@@ -531,8 +531,36 @@ def osm_turn_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_turn_restrictions(t["relations"]).orderBy("relation_id")
 
 
-@register("osm_ways_enrichment_fixture", tags=["E1"])
+_ENRICH_FIXTURE_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(29 AS BIGINT), CAST(5583235790 AS BIGINT), CAST(13833684 AS BIGINT), CAST(29 AS BIGINT)),
+  (1, 25, 4560941205, 7724759, 25),
+  (2, 38, 8054378776, 18253182, 38),
+  (3, 28, 4003115514, 11226489, 28),
+  (4, 30, 5481811700, 14000000, 30),
+  (5, 26, 5083986590, 13783116, 26),
+  (6, 33, 6279965328, 11163194, 33),
+  (7, 26, 6049698052, 12203470, 26),
+  (8, 29, 6729707892, 14298528, 29),
+  (9, 29, 5969940971, 15376459, 29)
+) t(g, n_ways, sum_gid, q_greenery, nn_greenery)
+ORDER BY g
+"""
+
+
+@register("osm_ways_enrichment_fixture", tags=["E1"], oracle=_ENRICH_FIXTURE_ORACLE)
 def osm_ways_enrichment_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship dataflow run end-to-end on ITS OWN
+    fixture (`/root/reference/osm/example.osm` + deterministic
+    synthetic tiles; `update_ways_metadata.py:122-133` greenery pass):
+    highway-way assembly → tile lookup → 21×21 greenery sampling →
+    per-way median → global-max normalize. The full pipeline is
+    deterministic (integer pixels, exact median, one global divisor),
+    so its output is pinned as a golden gid-decile census with the
+    metadata quantized at 1e-6 (integer sums — associative, partition-
+    order independent); the oracle is that census transcribed literally
+    (previously this entry was rows-only). Any change to the Mercator
+    math, sampling window, median, or normalization flips the hash."""
     from ..operators.enrich import GMAPS_GREENERY_PROVIDER, enrich_ways
     from ..sources.osm import assemble_way_geometries, read_osm_elements, split_elements
 
@@ -541,7 +569,19 @@ def osm_ways_enrichment_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ways = geo.filter(F.col("tags").getItem("highway").isNotNull()).select(
         F.col("id").alias("gid"), "geom"
     )
-    return enrich_ways(spark, ways, GMAPS_GREENERY_PROVIDER).orderBy("gid")
+    enriched = enrich_ways(spark, ways, GMAPS_GREENERY_PROVIDER)
+    return (
+        enriched.groupBy((F.col("gid") % 10).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ways"),
+            F.sum("gid").alias("sum_gid"),
+            F.sum(F.round(F.col("gmaps_greenery") * 1e6).cast("bigint")).alias(
+                "q_greenery"
+            ),
+            F.count("gmaps_greenery").alias("nn_greenery"),
+        )
+        .orderBy("g")
+    )
 
 
 @register(
