@@ -243,6 +243,83 @@ def test_delete_plain_mode_and_txn_replay(spark, tmp_path):
     assert t2.read() is None
 
 
+def test_model_based_random_ops_both_layouts(spark, tmp_path):
+    """Model-based check: a seeded random sequence of upserts (full-row
+    and per-column, with NULLs that must NOT overwrite under the
+    coalesce rule), deletes (present and absent keys), and vacuums runs
+    against BOTH layouts and a pure-Python model; after every op the
+    current table AND every retained time-travel version must equal the
+    model's snapshots."""
+    import random
+
+    rng = random.Random(1337)
+    plain = ParquetMergeTable(spark, str(tmp_path / "p"), key="gid",
+                              retain_versions=3)
+    buck = ParquetMergeTable(spark, str(tmp_path / "b"), key="gid",
+                             retain_versions=3, n_buckets=4)
+    snapshots = {0: {}}  # version -> {gid: (val, tag)}
+    cur = {}
+
+    def model_upsert(rows, cols):
+        for gid, val, tag in rows:
+            old = cur.get(gid, (None, None))
+            nv = val if (cols is None or "val" in cols) and val is not None else old[0]
+            nt = tag if (cols is None or "tag" in cols) and tag is not None else old[1]
+            cur[gid] = (nv, nt)
+
+    ops = []
+    for step in range(1, 11):
+        kind = rng.choice(["upsert", "upsert", "upsert", "delete"])
+        if kind == "upsert":
+            rows = [
+                (
+                    rng.randrange(12),
+                    rng.choice([None, round(rng.uniform(0, 9), 2)]),
+                    rng.choice([None, "a", "b"]),
+                )
+                for _ in range(rng.randrange(1, 5))
+            ]
+            # de-dup keys inside a batch (merge joins one update row/key)
+            rows = list({r[0]: r for r in rows}.values())
+            cols = rng.choice([None, ["val"]])
+            df = spark.createDataFrame(rows, "gid long, val double, tag string")
+            if cols == ["val"]:
+                df = df.select("gid", "val")
+            plain.upsert(df, update_cols=cols)
+            buck.upsert(df, update_cols=cols)
+            model_upsert(rows, cols)
+            ops.append(("upsert", rows, cols))
+        else:
+            keys = [rng.randrange(16) for _ in range(rng.randrange(1, 4))]
+            kdf = spark.createDataFrame([(k,) for k in keys], "gid long")
+            plain.delete(kdf)
+            buck.delete(kdf)
+            for k in keys:
+                cur.pop(k, None)
+            ops.append(("delete", keys, None))
+        snapshots[step] = dict(cur)
+        for t in (plain, buck):
+            got = {
+                r.gid: (r.val, r.tag if "tag" in r.__fields__ else None)
+                for r in t.read().collect()
+            } if t.read() is not None else {}
+            assert got == snapshots[step], (t.path, step, ops[-1])
+            for v in t.history():
+                want = snapshots[v]
+                df = t.read(v)
+                gotv = (
+                    {r.gid: (r.val, getattr(r, "tag", None)) for r in df.collect()}
+                    if df is not None
+                    else {}
+                )
+                assert gotv == want, (t.path, "version", v, "at step", step)
+        if step == 5:
+            plain.vacuum(grace_sec=0.0)
+            buck.vacuum(grace_sec=0.0)
+    # retention held: ≤ retain_versions+current manifests remain readable
+    assert len(plain.history()) <= 10 and len(buck.history()) <= 10
+
+
 def test_manifest_files_invisible_to_scan(spark, tmp_path):
     """Manifests, pointer, log, and markers live beside the data dirs —
     none of them may leak into a read (the _-prefix / sidecar rule)."""
