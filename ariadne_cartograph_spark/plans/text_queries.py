@@ -2248,8 +2248,61 @@ def text_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 20
 
 
-@register("text_bpe_merge_train", tags=["U5", "A5"])
+def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
+    """DuckDB twin of the FULL iterative BPE training loop, unrolled
+    one CTE-triple per merge round (the _logreg_oracle device applied
+    to symbol sequences). Words are carried as fully-space-delimited
+    symbol strings — ``' c  a  t  </w> '`` — legal because tokens are
+    ``\\s+``-split so symbols can never contain whitespace; applying a
+    merge is then a literal ``replace(' a  b ' → ' ab ')``, whose
+    left-to-right non-overlapping semantics are exactly the engine's
+    left-greedy fold (operators/bpe._apply_merge). Pair counting
+    re-lists the symbols and zips adjacent positions (overlap-counting,
+    like _adjacent_pairs); the per-round argmax uses the same
+    (count DESC, left ASC, right ASC) binary-collation tie-break. A
+    round with no pair ≥ min_pair_count yields an empty best CTE —
+    words pass through unchanged and no merge row is emitted, which is
+    value-identical to the engine's early break (a no-op round can
+    never un-stall). CTEs are MATERIALIZED: w{t} is referenced twice
+    per round, and inlining would re-expand the corpus scan 2^rounds
+    times."""
+    ctes = ["""w1 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(word, ''), '  ') || '  </w> ' AS s,
+         count(*) AS n
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY 1)"""]
+    for t in range(1, n_merges + 1):
+        ctes.append(f"""p{t} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(n) AS c
+  FROM (SELECT n, list_filter(string_split(s, ' '), x -> x <> '') AS syms FROM w{t}),
+       LATERAL unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2)""")
+        ctes.append(f"""best{t} AS (
+  SELECT a, b, c FROM p{t} WHERE c >= {min_pair_count}
+  ORDER BY c DESC, a, b LIMIT 1)""")
+        if t < n_merges:
+            ctes.append(f"""w{t + 1} AS MATERIALIZED (
+  SELECT CASE WHEN best.a IS NULL THEN w.s
+         ELSE replace(w.s, ' ' || best.a || '  ' || best.b || ' ',
+                           ' ' || best.a || best.b || ' ') END AS s,
+         w.n
+  FROM w{t} w LEFT JOIN best{t} best ON TRUE)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({t} AS INT) AS step, a AS "left", b AS "right",'
+        f" a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM best{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union + "\nORDER BY step"
+
+
+@register("text_bpe_merge_train", tags=["U5", "A5"], oracle=_bpe_oracle(20))
 def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE merge training (operators/bpe.train_bpe_merges:
+    one corpus-scale word-frequency scan, then vocabulary-sized rounds
+    of count-pairs → argmax → apply), previously rows-only — now
+    value-hash checked against the fully unrolled DuckDB replay of the
+    training loop (:func:`_bpe_oracle`)."""
     from ..operators.bpe import train_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
