@@ -144,12 +144,14 @@ WINDOW_ORDER: list[str] = [
     "osm_turn_restrictions",
     "trajectory_jaccard_pairs",
     "trajectory_topk_similar",
-    # relational operator evidence (A5 skew-salted, W5, P3/P14; the
-    # approx-distinct probe and the J6 semi/anti/outer/range + subquery
-    # + grouping-structure probes sit in the tail — their tags are
+    # relational operator evidence (W5, P3/P14; the approx-distinct
+    # probe and the J6 semi/anti/outer/range + subquery +
+    # grouping-structure probes sit in the tail — their tags are
     # already window-covered by q3/q5/q10, the joins above, and the A5
-    # aggregates)
-    "agg_salted_revenue",
+    # aggregates). r7 rotation 2: the newly fully-oracled BPE merge
+    # training ("trained models in-engine" family) replaces
+    # agg_salted_revenue (A5, covered by q1 and the aggregates above).
+    "text_bpe_merge_train",
     "scalar_json_extract",
     "set_union_all_counts",
     # r4 marquee addition: the FAISS-style IVF-PQ composite (coarse
