@@ -182,25 +182,68 @@ def typed_elements(parsed: DataFrame) -> DataFrame:
     )
 
 
-def read_osm_elements(spark: SparkSession, path: str) -> DataFrame:
+CORRUPT_KIND = "_corrupt_file"
+
+
+def _corrupt_row(uri: str, exc: Exception) -> dict:
+    row = {c: None for c in _PARSED_COLUMNS}
+    row["kind"] = CORRUPT_KIND
+    row["tags_json"] = json.dumps(
+        {"path": str(uri), "error": f"{type(exc).__name__}: {exc}"[:500]},
+        sort_keys=True,
+    )
+    return row
+
+
+def corrupt_files(elements: DataFrame) -> DataFrame:
+    """(path, error) frame of files a permissive read could not fully
+    parse — the quarantine channel a 100 TB ingest reviews instead of
+    losing the whole job."""
+    return elements.filter(F.col("kind") == CORRUPT_KIND).select(
+        F.col("tags").getItem("path").alias("path"),
+        F.col("tags").getItem("error").alias("error"),
+    )
+
+
+def read_osm_elements(
+    spark: SparkSession, path: str, mode: str = "failfast"
+) -> DataFrame:
     """Parse OSM XML file(s) at ``path`` (glob ok) into the unified
     element DataFrame with typed columns. Streaming: the Spark scan
     carries only file *paths*; each task opens its file and iterparses
-    it in PARSE_BATCH_ROWS-row batches (constant memory per file)."""
+    it in PARSE_BATCH_ROWS-row batches (constant memory per file).
+
+    ``mode``: ``"failfast"`` (default) propagates any parse error and
+    fails the job — right for a curated fixture. ``"permissive"``
+    mirrors Spark's JSON/CSV PERMISSIVE contract at file granularity —
+    the unit of XML corruption, since a malformed byte poisons the rest
+    of its document: a file that fails mid-parse contributes the rows
+    parsed before the error plus one ``CORRUPT_KIND`` marker row
+    carrying (path, error) (read back via :func:`corrupt_files`;
+    ``split_elements`` naturally excludes markers). At planet scale one
+    truncated shard must quarantine, not kill the thousand-task job.
+    """
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
     files = spark.read.format("binaryFile").load(path).select("path")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for uri in pdf["path"]:
-                with _open_uri(uri) as f:
-                    buf: list[dict] = []
-                    for row in _iter_osm_rows(f):
-                        buf.append(row)
-                        if len(buf) >= PARSE_BATCH_ROWS:
-                            yield pd.DataFrame(buf, columns=_PARSED_COLUMNS)
-                            buf = []
-                    if buf:
-                        yield pd.DataFrame(buf, columns=_PARSED_COLUMNS)
+                buf: list[dict] = []
+                try:
+                    with _open_uri(uri) as f:
+                        for row in _iter_osm_rows(f):
+                            buf.append(row)
+                            if len(buf) >= PARSE_BATCH_ROWS:
+                                yield pd.DataFrame(buf, columns=_PARSED_COLUMNS)
+                                buf = []
+                except Exception as exc:
+                    if mode != "permissive":
+                        raise
+                    buf.append(_corrupt_row(uri, exc))
+                if buf:
+                    yield pd.DataFrame(buf, columns=_PARSED_COLUMNS)
 
     return typed_elements(files.mapInPandas(parse, schema=_PARSED_SCHEMA))
 

@@ -348,23 +348,52 @@ def decode_primitive_block(block: bytes) -> Iterator[dict]:
 # ---------------------------------------------------------------------------
 
 
-def read_osm_pbf(spark: SparkSession, path: str) -> DataFrame:
+def read_osm_pbf(
+    spark: SparkSession, path: str, mode: str = "failfast"
+) -> DataFrame:
     """PBF file(s) at ``path`` (glob ok) → the unified typed element
     frame (same schema/semantics as :func:`osm.read_osm_elements`).
     Splittable: stage 1 indexes blob offsets (header seeks only),
     stage 2 hash-repartitions the index so ONE file's blocks decode
-    across all tasks."""
+    across all tasks.
+
+    ``mode="permissive"`` quarantines instead of failing, at the
+    format's natural corruption unit — the independently-compressed
+    BLOB: a blob that fails to inflate/decode yields one corrupt-marker
+    row (path#offset, error; read via :func:`osm.corrupt_files`), every
+    other blob of the file still decodes. A file whose header chain
+    cannot even be indexed quarantines whole. Default ``failfast``
+    propagates (fixture correctness)."""
+    from .osm import _corrupt_row
+
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
     files = spark.read.format("binaryFile").load(path).select("path")
 
     def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for uri in pdf["path"]:
-                with _open_uri(uri) as f:
-                    local = f.name
-                for btype, off, size in scan_blob_index(local):
-                    if btype == "OSMData":
-                        rows.append({"path": local, "offset": off, "size": size})
+                try:
+                    with _open_uri(uri) as f:
+                        local = f.name
+                    for btype, off, size in scan_blob_index(local):
+                        if btype == "OSMData":
+                            rows.append(
+                                {"path": local, "offset": off, "size": size}
+                            )
+                except Exception as exc:
+                    if mode != "permissive":
+                        raise
+                    # offset -1 = unindexable file: decode stage emits
+                    # the marker (keeps this stage's 3-column schema)
+                    rows.append(
+                        {
+                            "path": f"{uri}\x00{type(exc).__name__}: {exc}"[:900],
+                            "offset": -1,
+                            "size": 0,
+                        }
+                    )
             if rows:
                 yield pd.DataFrame(rows)
 
@@ -374,11 +403,27 @@ def read_osm_pbf(spark: SparkSession, path: str) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path_v, grp in pdf.groupby("path"):
+                if "\x00" in str(path_v):  # unindexable-file marker
+                    p, err = str(path_v).split("\x00", 1)
+                    yield pd.DataFrame(
+                        [_corrupt_row(p, RuntimeError(err))],
+                        columns=_PARSED_COLUMNS,
+                    )
+                    continue
                 with open(path_v, "rb") as f:
                     for _, r in grp.iterrows():
-                        f.seek(int(r["offset"]))
-                        block = _blob_payload(f.read(int(r["size"])))
-                        rows = list(decode_primitive_block(block))
+                        try:
+                            f.seek(int(r["offset"]))
+                            block = _blob_payload(f.read(int(r["size"])))
+                            rows = list(decode_primitive_block(block))
+                        except Exception as exc:
+                            if mode != "permissive":
+                                raise
+                            rows = [
+                                _corrupt_row(
+                                    f"{path_v}#{int(r['offset'])}", exc
+                                )
+                            ]
                         if rows:
                             yield pd.DataFrame(rows, columns=_PARSED_COLUMNS)
 

@@ -535,3 +535,35 @@ def test_route_members_golden(tables):
     }
     assert "forward" in roles and "backward" in roles
     rm.unpersist()
+
+
+def test_permissive_mode_quarantines_corrupt_file(spark, tmp_path):
+    """The 100 TB ingest contract (Spark JSON/CSV PERMISSIVE applied at
+    the XML corruption unit, the file): a truncated shard contributes
+    its parsed prefix plus ONE quarantine marker; intact shards parse
+    fully; failfast still raises."""
+    import shutil
+
+    from ariadne_cartograph_spark.sources.osm import corrupt_files
+
+    shutil.copy(OSM_PATH, tmp_path / "good.osm")
+    data = open(OSM_PATH, "rb").read()
+    with open(tmp_path / "bad.osm", "wb") as f:
+        f.write(data[: len(data) // 2])  # truncated mid-document
+
+    el = read_osm_elements(spark, f"file://{tmp_path}/*.osm", mode="permissive")
+    bad = corrupt_files(el).collect()
+    assert len(bad) == 1
+    assert bad[0].path.endswith("bad.osm") and "ParseError" in bad[0].error
+    # the intact file parsed fully (7346 elements), the truncated one
+    # contributed a prefix — and split_elements never sees the marker
+    t = split_elements(el)
+    n_nodes = t["nodes"].count()
+    assert 6223 < n_nodes < 2 * 6223
+    good_only = split_elements(
+        read_osm_elements(spark, f"file://{tmp_path}/good.osm")
+    )
+    assert good_only["nodes"].count() == 6223
+
+    with pytest.raises(Exception):
+        read_osm_elements(spark, f"file://{tmp_path}/*.osm").count()  # failfast

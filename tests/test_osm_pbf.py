@@ -135,3 +135,39 @@ def test_ensure_pbf_fixture_caches(tmp_path):
     mtime = os.path.getmtime(p1)
     p2 = P.ensure_pbf_fixture(OSM_PATH, cache_dir=str(tmp_path))
     assert p1 == p2 and os.path.getmtime(p2) == mtime  # no re-encode
+
+
+def test_pbf_permissive_quarantines_blob_and_file(spark, pbf_path, tmp_path):
+    """Blob-granular quarantine: zeroing one OSMData blob's payload
+    loses only that blob's elements (one marker row `path#offset`);
+    a file that isn't PBF at all quarantines whole; failfast raises."""
+    import shutil
+
+    from ariadne_cartograph_spark.sources.osm import corrupt_files
+
+    good = P.read_osm_pbf(spark, pbf_path).count()
+    blobs = [b for b in P.scan_blob_index(pbf_path) if b[0] == "OSMData"]
+    assert len(blobs) >= 3
+    corrupted = tmp_path / "corrupt.osm.pbf"
+    shutil.copy(pbf_path, corrupted)
+    _, off, size = blobs[1]
+    with open(corrupted, "r+b") as f:
+        f.seek(off + 8)
+        f.write(b"\x00" * min(64, size - 8))  # destroy the zlib stream
+    garbage = tmp_path / "garbage.osm.pbf"
+    garbage.write_bytes(b"this is not a pbf file at all" * 10)
+
+    el = P.read_osm_pbf(
+        spark, f"file://{tmp_path}/*.osm.pbf", mode="permissive"
+    )
+    bad = {r.path: r.error for r in corrupt_files(el).collect()}
+    assert len(bad) == 2
+    assert any(p.endswith(f"corrupt.osm.pbf#{off}") for p in bad)
+    assert any(p.endswith("garbage.osm.pbf") for p in bad)
+    from pyspark.sql import functions as F
+
+    n_ok = el.filter(F.col("kind").isin("node", "way", "relation")).count()
+    assert 0 < n_ok < good  # exactly the poisoned blob's elements lost
+
+    with pytest.raises(Exception):
+        P.read_osm_pbf(spark, f"file://{tmp_path}/corrupt.osm.pbf").count()
