@@ -561,6 +561,12 @@ def _centroid_score_array(vec: str | F.Column, cents: list[list[float]]) -> F.Co
 # data moves, while the broadcast-matrix plan is O(1) nodes at any k.
 LITERAL_MODEL_MAX = 10_000
 
+# Power-of-two fixed-point scale for the k-means centroid update (see
+# kmeans_centroids): scaling by 2^31 keeps float32-origin components
+# exact, and the resulting integer sums are associative — the property
+# that makes trained centroids reproducible across partitionings.
+KMEANS_UPDATE_SCALE = float(1 << 31)
+
 
 def _with_centroid_scores(
     df: DataFrame,
@@ -729,12 +735,33 @@ def kmeans_centroids(
             _with_centroid_scores(vecs, "v", cents)
             .select(_argmax_cell(F.col("__cs")).alias("cell"), "v")
             .groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"d{i}") for i in range(dim)])
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                # Quantized-integer centroid update instead of float
+                # avg: v[i]*2^31 is EXACT for float32-origin data
+                # (power-of-two scaling), and integer sums are
+                # ASSOCIATIVE — so the trained centroids are
+                # bit-identical across partitionings, task orders, and
+                # engines (float summation order made them run-shaky).
+                # Quantization error ≤ 2^-32 per component, far below
+                # the f32 data resolution. Overflow headroom: |v|·2^31
+                # per row → safe to ~2^31/max|v| rows per cell; shrink
+                # the scale for corpora beyond ~10^9 rows per cell.
+                *[
+                    F.sum(
+                        F.round(F.col("v")[i] * KMEANS_UPDATE_SCALE).cast("long")
+                    ).alias(f"d{i}")
+                    for i in range(dim)
+                ],
+            )
             .collect()
         )
         new_cents = list(cents)  # empty cells keep their old centroid
         for r in upd:
-            new_cents[r["cell"]] = [float(r[f"d{i}"]) for i in range(dim)]
+            n = float(r["__n"])
+            new_cents[r["cell"]] = [
+                float(r[f"d{i}"]) / n / KMEANS_UPDATE_SCALE for i in range(dim)
+            ]
         cents = new_cents
     return cents
 
@@ -749,20 +776,24 @@ def ann_ivf_topk_kmeans(
     n_probe: int = 4,
     n_iter: int = 5,
     path: str | None = None,
+    init: str = "hash",
 ) -> DataFrame:
     """IVF search over a TRAINED coarse quantizer: Lloyd k-means
     centroids instead of sampled rows. Cells adapt to the data
     distribution, so cell populations even out and recall-per-probe
     beats the sampled-centroid variant on clustered corpora.
 
-    No DuckDB oracle on purpose: k-means assignment is chaotically
-    sensitive (a last-ulp flip on one assignment cascades through every
-    later centroid), so cross-engine hash-equality is not a meaningful
-    contract; quality is pinned in tests/test_dedup_similarity.py as
-    recall against brute force instead. The sampled-centroid variant
-    (ann_ivf_topk, centroids="first") is the oracle-checked twin.
+    Since the quantized-integer centroid update (kmeans_centroids),
+    training is fully deterministic — bit-identical across
+    partitionings AND engines — so with an SQL-expressible ``init``
+    (``"first"``) the whole train→search pipeline value-hash checks
+    against a DuckDB replay of the Lloyd rounds
+    (plans/text_queries._ann_ivf_trained_oracle). Recall vs brute
+    force stays pinned in tests/test_dedup_similarity.py.
     """
-    cents = kmeans_centroids(corpus, vec_col, n_centroids, n_iter, id_col=id_col)
+    cents = kmeans_centroids(
+        corpus, vec_col, n_centroids, n_iter, id_col=id_col, init=init
+    )
     return _ivf_search(corpus, queries, cents, id_col, vec_col, k, n_probe, path=path)
 
 

@@ -677,23 +677,102 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ann_ivf_trained", tags=["U4"])
+def _ann_ivf_trained_oracle(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 6, n_iter: int = 3,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the FULL trained-IVF pipeline: the Lloyd
+    rounds unrolled (one assign/update/carry CTE-triple per round) on
+    top of the sampled-IVF search oracle. Possible at all because the
+    engine's centroid update is quantized-integer (associative sums →
+    bit-identical across engines, operators/similarity.
+    KMEANS_UPDATE_SCALE) and ``init="first"`` is SQL-expressible; the
+    assign-side cosine is the same expression the sampled oracle
+    already proves bit-compatible. Empty cells carry their previous
+    centroid (COALESCE) exactly like the engine."""
+    S = "2147483648.0"  # KMEANS_UPDATE_SCALE (2^31)
+    ctes = [
+        """e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""",
+        f"""c1 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM e ORDER BY vec_id LIMIT {n_centroids})""",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN c{t} c) WHERE rn = 1)""")
+        ctes.append(f"""u{t} AS MATERIALIZED (
+  SELECT cell, list(CAST(q AS DOUBLE) / CAST(n AS DOUBLE) / {S} ORDER BY i) AS cv
+  FROM (
+    SELECT cell, i,
+           sum(CAST(round(v[i] * {S}) AS BIGINT)) AS q,
+           count(*) AS n
+    FROM a{t}, LATERAL unnest(range(1, {dim + 1})) AS u(i)
+    GROUP BY cell, i)
+  GROUP BY cell)""")
+        ctes.append(f"""c{t + 1} AS MATERIALIZED (
+  SELECT c.cell, COALESCE(u.cv, c.cv) AS cv
+  FROM c{t} c LEFT JOIN u{t} u USING (cell))""")
+    cent = f"c{n_iter + 1}"
+    return "WITH " + ",\n".join(ctes) + f""",
+scored_cells AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS s
+  FROM e CROSS JOIN {cent} cent),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM scored_cells) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM scored_cells WHERE vec_id < 4) WHERE rn <= {n_probe}),
+cand AS (
+  SELECT qprobe.q_id, assign.vec_id, qprobe.qv, assign.v AS cv
+  FROM assign JOIN qprobe ON assign.cell = qprobe.cell
+  WHERE assign.vec_id <> qprobe.q_id),
+scored AS (
+  SELECT q_id, vec_id,
+         CAST(list_dot_product(cv, qv)
+              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+           AS FLOAT) AS cosine
+  FROM cand),
+ranked AS (
+  SELECT q_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
+@register(
+    "similarity_ann_ivf_trained", tags=["U4"], oracle=_ann_ivf_trained_oracle()
+)
 def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over a TRAINED coarse quantizer (distributed Lloyd k-means,
-    operators/similarity.kmeans_centroids). Rows-only by design:
-    k-means is an iterative algorithm whose assignments are chaotically
-    sensitive to last-ulp float differences, so a cross-engine value
-    hash is not a meaningful contract — determinism within the engine
-    and recall vs brute force are pinned in
-    tests/test_dedup_similarity.py::test_ann_ivf_kmeans_recall_and_determinism
-    instead. The sampled-centroid twin (similarity_ann_ivf) carries the
-    full DuckDB oracle for the shared search path."""
+    operators/similarity.kmeans_centroids) — previously rows-only
+    because float-avg centroid updates were summation-order shaky; the
+    quantized-integer update made training bit-deterministic, so the
+    WHOLE train → search pipeline is now value-hash checked against a
+    DuckDB replay of the Lloyd rounds (:func:`_ann_ivf_trained_oracle`).
+    Recall vs brute force stays pinned in
+    tests/test_dedup_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4)
     return (
         S.ann_ivf_topk_kmeans(
             emb, queries, "vec_id", "embedding",
-            k=5, n_centroids=16, n_probe=6, n_iter=3,
+            k=5, n_centroids=16, n_probe=6, n_iter=3, init="first",
         )
         .select("q_id", "vec_id", "cosine", "rank")
         .orderBy("q_id", "rank")

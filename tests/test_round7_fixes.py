@@ -203,6 +203,24 @@ def test_route_topk_footer_fast_paths(spark):
     S._PAIR_COUNT_CACHE.clear()
 
 
+def test_kmeans_centroids_partition_independent(spark):
+    """The quantized-integer centroid update: trained centroids must be
+    BIT-identical across partitionings (associative integer sums) —
+    the property that lets the trained-IVF entry carry a full DuckDB
+    replay oracle."""
+    from ariadne_cartograph_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = S.kmeans_centroids(emb, "embedding", n_centroids=8, n_iter=3, init="first")
+    c7 = S.kmeans_centroids(
+        emb.repartition(7), "embedding", n_centroids=8, n_iter=3, init="first"
+    )
+    cs = S.kmeans_centroids(
+        emb.repartition(1), "embedding", n_centroids=8, n_iter=3, init="first"
+    )
+    assert c1 == c7 == cs  # exact float equality, not approx
+
+
 def test_rolling_fingerprint_md5_matches_python(spark):
     """Independent plain-Python oracle for the md5 winnowing twin
     (min-of-md5 over word 8-shingles; md5-of-text fallback below 8
