@@ -402,7 +402,50 @@ class ParquetMergeTable:
 
         return self._commit_loop(snapshot, txn_app, txn_version)
 
-    def _commit_loop(self, snapshot, txn_app, txn_version) -> bool:
+    def rebucket(self, n_buckets: int | None) -> bool:
+        """Rewrite the table into a different bucket count (or back to
+        the plain single-dir layout with ``None``) — the maintenance
+        operation that CAN change the key→bucket map, because it
+        rewrites every row under the new hash in one job (Delta/Iceberg
+        repartition-rewrite). Ordinary upserts stay pinned to the
+        manifest's count; concurrent writers serialize through the same
+        OCC loop, so an upsert racing a rebucket lands before or after
+        it, never across the layout change."""
+
+        def snapshot(m: dict, _old_n_b, dname: str):
+            existing = self._read_paths(m["data"])
+            if existing is None:
+                return [], {}, False  # empty table: layout flip only
+            if n_buckets is None:
+                existing.write.mode("overwrite").parquet(
+                    os.path.join(self.path, dname)
+                )
+                return [dname], {}, True
+            bexpr = F.pmod(F.xxhash64(self.key), F.lit(n_buckets)).cast("int")
+            (
+                existing.withColumn("__bucket", bexpr)
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(os.path.join(self.path, dname))
+            )
+            buckets = {
+                e.split("=", 1)[1]: f"{dname}/{e}"
+                for e in os.listdir(os.path.join(self.path, dname))
+                if e.startswith("__bucket=")
+            }
+            return (
+                [buckets[k] for k in sorted(buckets, key=int)],
+                buckets,
+                True,
+            )
+
+        return self._commit_loop(snapshot, None, None, n_b_override=n_buckets)
+
+    _KEEP_N_BUCKETS = object()  # sentinel: no override
+
+    def _commit_loop(
+        self, snapshot, txn_app, txn_version, n_b_override=_KEEP_N_BUCKETS
+    ) -> bool:
         """Shared OCC read-compute-commit cycle. ``snapshot(manifest,
         n_buckets, dname) -> (data, buckets, wrote)`` produces the new
         snapshot contents on top of the then-current state; it is
@@ -422,7 +465,11 @@ class ParquetMergeTable:
                 txn[txn_app] = txn_version
             # the manifest's bucket count is authoritative once the
             # table exists — the key→bucket map must never shift
-            n_b = m["n_buckets"] if base_ref is not None else self.n_buckets
+            # (except through rebucket's full rewrite, which overrides)
+            if n_b_override is not ParquetMergeTable._KEEP_N_BUCKETS:
+                n_b = n_b_override
+            else:
+                n_b = m["n_buckets"] if base_ref is not None else self.n_buckets
             new_version = base_version + 1
             dname = f"d_{uuid.uuid4().hex[:12]}"
             new_data, new_buckets, wrote = snapshot(m, n_b, dname)

@@ -243,6 +243,41 @@ def test_delete_plain_mode_and_txn_replay(spark, tmp_path):
     assert t2.read() is None
 
 
+def test_rebucket_changes_layout_preserving_data(spark, tmp_path):
+    """rebucket() is the one operation allowed to change the key→bucket
+    map (a full rewrite): data survives bit-for-bit, the new manifest
+    records the new count, subsequent upserts prune under the NEW map,
+    and rebucket(None) returns to the plain layout."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid", n_buckets=4)
+    t.upsert(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "gid long, val double"
+        )
+    )
+    before = _rows(t.read())
+    assert t.rebucket(16)
+    m = t._read_manifest(t._current()[1])
+    assert m["n_buckets"] == 16 and len(m["buckets"]) > 4
+    assert _rows(t.read()) == before
+    # single-key upsert now rewrites one of SIXTEEN buckets
+    t.upsert(spark.createDataFrame([(0, -1.0)], "gid long, val double"))
+    m2 = t._read_manifest(t._current()[1])
+    changed = {b for b in m2["buckets"] if m2["buckets"][b] != m["buckets"].get(b)}
+    assert len(changed) == 1
+    # back to plain: one whole-table dir, still identical data
+    assert t.rebucket(None)
+    m3 = t._read_manifest(t._current()[1])
+    assert m3["n_buckets"] is None and len(m3["data"]) == 1
+    got = _rows(t.read())
+    assert got == {**before, 0: (-1.0,)}
+    # an empty table just flips the recorded layout
+    t2 = ParquetMergeTable(spark, str(tmp_path / "t2"), key="gid")
+    assert t2.rebucket(8)
+    assert t2._read_manifest(t2._current()[1])["n_buckets"] == 8
+    t2.upsert(spark.createDataFrame([(1, 1.0)], "gid long, val double"))
+    assert t2._read_manifest(t2._current()[1])["n_buckets"] == 8
+
+
 def test_model_based_random_ops_both_layouts(spark, tmp_path):
     """Model-based check: a seeded random sequence of upserts (full-row
     and per-column, with NULLs that must NOT overwrite under the
