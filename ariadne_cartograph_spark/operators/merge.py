@@ -624,6 +624,20 @@ class ParquetMergeTable:
 
         return _sink
 
+    def streaming_delete_sink(self, app_id: str):
+        """``foreachBatch`` target applying each micro-batch as KEY
+        DELETES (a CDC delete feed / GDPR stream) with the same
+        exactly-once replay guard as :meth:`streaming_sink` — replayed
+        batch ids are skipped against the snapshot's per-app high-water
+        mark. Use a distinct ``app_id`` from any upsert sink on the
+        same table: the mark is per-app, and one app must apply its
+        batches in order."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.delete(batch_df, txn_app=app_id, txn_version=int(batch_id))
+
+        return _sink
+
 
 def snapshot_diff(
     old: DataFrame,

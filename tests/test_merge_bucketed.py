@@ -243,6 +243,25 @@ def test_delete_plain_mode_and_txn_replay(spark, tmp_path):
     assert t2.read() is None
 
 
+def test_streaming_delete_sink_exactly_once(spark, tmp_path):
+    """A CDC delete feed through foreachBatch: batches apply as key
+    deletes, a replayed batch id is skipped, and an upsert app's
+    high-water marks stay independent of the delete app's."""
+    t = ParquetMergeTable(spark, str(tmp_path / "tbl"), key="gid", n_buckets=4)
+    up, dl = t.streaming_sink("ing"), t.streaming_delete_sink("gdpr")
+    up(spark.createDataFrame([(i, float(i)) for i in range(10)],
+                             "gid long, val double"), 0)
+    dl(spark.createDataFrame([(3,), (7,)], "gid long"), 0)
+    assert sorted(_rows(t.read())) == [0, 1, 2, 4, 5, 6, 8, 9]
+    v = t._current()[0]
+    dl(spark.createDataFrame([(5,)], "gid long"), 0)  # replay: skipped
+    assert t._current()[0] == v and 5 in _rows(t.read())
+    up(spark.createDataFrame([(3, 30.0)], "gid long, val double"), 1)
+    dl(spark.createDataFrame([(0,)], "gid long"), 1)
+    assert sorted(_rows(t.read())) == [1, 2, 3, 4, 5, 6, 8, 9]
+    assert _rows(t.read())[3] == (30.0,)
+
+
 def test_rebucket_changes_layout_preserving_data(spark, tmp_path):
     """rebucket() is the one operation allowed to change the key→bucket
     map (a full rewrite): data survives bit-for-bit, the new manifest
