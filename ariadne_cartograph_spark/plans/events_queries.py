@@ -638,3 +638,36 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-guided EXACT distributed quantiles (operators/quantile.py):
+# mergeable per-partition (value, gap) summaries bracket each target
+# rank, then one band-limited, map-side-combinable aggregate selects
+# the exact order statistic. DuckDB quantile_disc semantics (rank =
+# max(1, ceil(q*n))), so the result is an element of the input and the
+# hash oracle is exact at EVERY scale — no approximation anywhere.
+# Scale: pass 1 shuffles only sketch rows; pass 2 shuffles one row per
+# DISTINCT band value (duplicates collapse map-side — skew-proof).
+# --------------------------------------------------------------------------
+
+_QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@register(
+    "events_exact_quantiles",
+    tags=["A1", "A5", "U3"],
+    oracle="""
+SELECT event_type,
+       CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q,
+       unnest(quantile_disc(value, [0.25, 0.5, 0.75, 0.9, 0.99])) AS qv
+FROM events GROUP BY event_type ORDER BY event_type, q
+""",
+)
+def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantile import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles(
+        ev, "value", _QUANTILES, group_cols=["event_type"], capacity=1024
+    ).orderBy("event_type", "q")
