@@ -125,6 +125,7 @@ class ParquetMergeTable:
         retain_versions: int = 2,
         vacuum_grace_sec: float = 600.0,
         n_buckets: int | None = None,
+        stats_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -133,6 +134,15 @@ class ParquetMergeTable:
         self.retain_versions = max(1, retain_versions)
         self.vacuum_grace_sec = vacuum_grace_sec
         self.n_buckets = n_buckets
+        # Delta/Iceberg-style file statistics: when set, every commit
+        # records per-data-file (min, max, nulls, rows) for these
+        # columns in the manifest, computed by scanning ONLY the files
+        # that commit wrote (carried-forward buckets keep their stats
+        # entries by reference, like the data itself). `read_pruned`
+        # then skips files a predicate provably cannot match — the scan
+        # side of the O(touched buckets) story: an incremental consumer
+        # (`updated_at > T`) reads only buckets written since T.
+        self.stats_cols = list(stats_cols) if stats_cols else []
         os.makedirs(path, exist_ok=True)
 
     @property
@@ -181,6 +191,7 @@ class ParquetMergeTable:
                 "data": [],
                 "buckets": {},
                 "txn": {},
+                "stats": {},
             }
         if os.path.isdir(ref):  # pre-manifest layout: one dir = snapshot
             txn_file = os.path.join(ref, "_txn.json")
@@ -199,11 +210,13 @@ class ParquetMergeTable:
                 "data": [name],
                 "buckets": {},
                 "txn": txn,
+                "stats": {},
             }
         with open(ref) as f:
             m = _json.load(f)
         m.setdefault("buckets", {})
         m.setdefault("txn", {})
+        m.setdefault("stats", {})
         return m
 
     def _read_paths(self, rels: list[str]) -> DataFrame | None:
@@ -218,6 +231,66 @@ class ParquetMergeTable:
         if len(paths) > 1:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
+
+    _JSON_SCALARS = (int, float, str, bool)
+
+    def _manifest_stats(
+        self, old_m: dict, new_data: list[str], dname: str, wrote: bool
+    ) -> dict:
+        """Per-data-file column stats for the manifest being committed.
+        Surviving rels carry their old stats entry by reference; rels
+        the commit just wrote (everything under ``dname``) are scanned
+        back — a read of ONLY the new files, never a recompute of the
+        merge join — and aggregated in one job (≤ n_buckets result
+        rows; model-sized collect). Min/max values that don't survive
+        JSON (timestamps as objects, decimals, binaries) are stored as
+        None with the true null count, which the pruner reads as
+        'unknown: keep' — stats can only widen to safety, never lie.
+        """
+        old = old_m.get("stats", {})
+        out = {
+            r: old[r]
+            for r in new_data
+            if r in old and not r.startswith(f"{dname}/") and r != dname
+        }
+        fresh = [r for r in new_data if r.startswith(f"{dname}/") or r == dname]
+        if not wrote or not fresh or not self.stats_cols:
+            return out
+        try:
+            df = self.spark.read.parquet(os.path.join(self.path, dname))
+        except Exception:
+            return out  # schema-less empty write (e.g. delete-all): no stats
+        cols = [c for c in self.stats_cols if c in df.columns]
+        if not cols:
+            return out
+        bucketed = any("/__bucket=" in r for r in fresh)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            ]
+        if bucketed:
+            rows = df.groupBy("__bucket").agg(*aggs).collect()
+        else:
+            rows = [df.agg(*aggs).collect()[0]]
+        for r in rows:
+            rel = f"{dname}/__bucket={r['__bucket']}" if bucketed else dname
+            ent: dict = {}
+            for c in cols:
+                lo, hi = r[f"__min_{c}"], r[f"__max_{c}"]
+                ok = isinstance(lo, self._JSON_SCALARS) and isinstance(
+                    hi, self._JSON_SCALARS
+                )
+                ent[c] = {
+                    "min": lo if ok else None,
+                    "max": hi if ok else None,
+                    "nulls": int(r[f"__nulls_{c}"]),
+                    "rows": int(r["__rows"]),
+                }
+            out[rel] = ent
+        return out
 
     def _logged(self) -> dict[int, str]:
         """version → dirname for every logged commit whose dir still
@@ -241,19 +314,164 @@ class ParquetMergeTable:
         """Readable (retained) versions, oldest first."""
         return sorted(self._logged())
 
-    def read(self, version: int | None = None) -> DataFrame | None:
-        """Current snapshot, or time-travel to a retained ``version``
-        (raises if that version was vacuumed or never committed)."""
+    def _manifest_for(self, version: int | None) -> dict:
+        """Resolve ``version`` (None = current) to its manifest dict,
+        raising for vacuumed / never-committed versions."""
         if version is None:
-            return self._read_paths(self._read_manifest(self._current()[1])["data"])
+            return self._read_manifest(self._current()[1])
         logged = self._logged()
         if version not in logged:
             raise ValueError(
                 f"version {version} is not readable (retained: "
                 f"{sorted(logged)}) — vacuumed or never committed"
             )
-        ref = os.path.join(self.path, logged[version])
-        return self._read_paths(self._read_manifest(ref)["data"])
+        return self._read_manifest(os.path.join(self.path, logged[version]))
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current snapshot, or time-travel to a retained ``version``
+        (raises if that version was vacuumed or never committed)."""
+        return self._read_paths(self._manifest_for(version)["data"])
+
+    _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
+
+    @staticmethod
+    def _stat_maybe_matches(stat: dict, op: str, val) -> bool:
+        """Can ANY row of a file with these column stats satisfy the
+        predicate? False only on proof of impossibility — unknown
+        ranges (None min/max with non-null rows) and cross-type
+        comparisons answer True. SQL NULL semantics: comparison ops
+        never match NULL rows, so an all-null file is skippable."""
+        lo, hi = stat["min"], stat["max"]
+        nonnull = stat["rows"] - stat["nulls"]
+        if op == "is_null":
+            return stat["nulls"] > 0
+        if op == "is_not_null":
+            return nonnull > 0
+        if nonnull == 0:
+            return False
+        if lo is None or hi is None:
+            return True  # range unknown (non-JSON-able type): keep
+        try:
+            if op == "=":
+                return lo <= val <= hi
+            if op == "in":
+                return any(lo <= v <= hi for v in val)
+            if op == "<":
+                return lo < val
+            if op == "<=":
+                return lo <= val
+            if op == ">":
+                return hi > val
+            if op == ">=":
+                return hi >= val
+        except TypeError:
+            return True  # incomparable literal type: keep
+        return True
+
+    def _check_predicates(self, predicates) -> None:
+        for p in predicates:
+            if len(p) not in (2, 3) or p[1] not in self._PRUNE_OPS:
+                raise ValueError(
+                    f"predicate {p!r}: want (col, op[, value]) with op in "
+                    f"{self._PRUNE_OPS}"
+                )
+
+    def prune_report(
+        self, predicates, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(kept, skipped) data relpaths for a conjunction of simple
+        predicates ``(col, op, value)`` — op in :data:`_PRUNE_OPS`,
+        ``is_null``/``is_not_null`` take no value — evaluated against
+        the manifest's file stats. Driver-side metadata only: no Spark
+        job, no file I/O. Files without stats for a referenced column
+        are always kept."""
+        self._check_predicates(predicates)
+        m = self._manifest_for(version)
+        stats = m.get("stats", {})
+        kept, skipped = [], []
+        for rel in m["data"]:
+            ent = stats.get(rel, {})
+            drop = any(
+                p[0] in ent
+                and not self._stat_maybe_matches(
+                    ent[p[0]], p[1], p[2] if len(p) == 3 else None
+                )
+                for p in predicates
+            )
+            (skipped if drop else kept).append(rel)
+        return kept, skipped
+
+    @staticmethod
+    def _pred_expr(col: str, op: str, val) -> F.Column:
+        c = F.col(col)
+        if op == "=":
+            return c == F.lit(val)
+        if op == "in":
+            return c.isin(list(val))
+        if op == "<":
+            return c < F.lit(val)
+        if op == "<=":
+            return c <= F.lit(val)
+        if op == ">":
+            return c > F.lit(val)
+        if op == ">=":
+            return c >= F.lit(val)
+        if op == "is_null":
+            return c.isNull()
+        return c.isNotNull()
+
+    def read_pruned(
+        self, predicates, version: int | None = None
+    ) -> DataFrame | None:
+        """Filtered snapshot scan with manifest-stats file skipping:
+        identical rows to ``read().where(AND(predicates))``, but files
+        the stats prove irrelevant are never listed in the scan. This
+        is what makes the incremental-consumer read O(touched buckets):
+        with ``updated_at`` in ``stats_cols``, ``read_pruned([(
+        "updated_at", ">", T)])`` skips every bucket carried forward
+        unchanged since T, exactly mirroring the write side's
+        copy-on-write cost. The full predicate is still applied to the
+        surviving files, so results are exact whether or not any file
+        was skipped. Returns None for an empty table."""
+        self._check_predicates(predicates)
+        m = self._manifest_for(version)
+        if not m["data"]:
+            return None
+        kept, _ = self.prune_report(predicates, version)
+        if kept:
+            df = self._read_paths(kept)
+        else:  # everything pruned: empty frame with the table's schema
+            df = self._read_paths(m["data"]).where(F.lit(False))
+        for p in predicates:
+            df = df.where(self._pred_expr(p[0], p[1], p[2] if len(p) == 3 else None))
+        return df
+
+    def read_key(self, value, version: int | None = None) -> DataFrame | None:
+        """Point lookup ``key = value`` reading exactly ONE bucket —
+        the manifest's key→bucket map answers which file can hold the
+        key, so a single-row probe against a 100 TB table scans one
+        bucket's worth of data (plus one 1-row local job to evaluate
+        ``pmod(xxhash64(value), n_buckets)`` with the key column's real
+        Spark type — hash values are type-sensitive, so the literal
+        must be cast before hashing, never guessed driver-side).
+        Falls back to a filtered full scan for unbucketed layouts."""
+        m = self._manifest_for(version)
+        if not m["data"]:
+            return None
+        n_b = m["n_buckets"]
+        if n_b is None or not m["buckets"]:
+            return self.read(version).where(F.col(self.key) == F.lit(value))
+        dtype = self._read_paths([m["data"][0]]).schema[self.key].dataType
+        lit = F.lit(value).cast(dtype)
+        b = (
+            self.spark.range(1)
+            .select(F.pmod(F.xxhash64(lit), F.lit(n_b)).cast("int").alias("b"))
+            .collect()[0]["b"]
+        )
+        rel = m["buckets"].get(str(b))
+        if rel is None:  # that bucket holds no rows: provably absent
+            return self._read_paths(m["data"]).where(F.lit(False))
+        return self._read_paths([rel]).where(F.col(self.key) == lit)
 
     def _try_claim(self, version: int) -> bool:
         """O_EXCL commit marker for the transition into ``version`` —
@@ -473,6 +691,7 @@ class ParquetMergeTable:
             new_version = base_version + 1
             dname = f"d_{uuid.uuid4().hex[:12]}"
             new_data, new_buckets, wrote = snapshot(m, n_b, dname)
+            new_stats = self._manifest_stats(m, new_data, dname, wrote)
             mname = f"m_{new_version:09d}_{uuid.uuid4().hex[:12]}.json"
             with open(os.path.join(self.path, mname), "w") as f:
                 _json.dump(
@@ -482,6 +701,7 @@ class ParquetMergeTable:
                         "data": new_data,
                         "buckets": new_buckets,
                         "txn": txn,
+                        "stats": new_stats,
                     },
                     f,
                 )

@@ -1,0 +1,187 @@
+"""Manifest file-statistics and data-skipping scans (SURVEY.md §2.1 S4
+at 100 TB — the READ side of copy-on-write).
+
+The bucketed MERGE table already writes O(touched buckets) per commit;
+these tests pin the symmetric scan property: with ``stats_cols`` set,
+every commit records per-data-file (min, max, nulls, rows) in the
+manifest — computed by scanning back ONLY the files it wrote, carried
+by reference for untouched buckets — and ``read_pruned`` skips files a
+predicate provably cannot match (Delta/Iceberg file skipping over
+plain parquet). The headline property: an incremental consumer
+(``updated_at > T``) reads only the buckets written since T. The
+reference's pipeline re-scans its whole ways table per run
+(`/root/reference/update_ways_metadata.py:19-23`); at 100 TB the
+incremental read must be metadata-pruned, not a full scan.
+
+Pruning is advisory, correctness is not: ``read_pruned`` re-applies
+the full predicate to surviving files, so every test also checks exact
+equality against an unpruned ``read().where(...)``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ariadne_cartograph_spark.operators.merge import ParquetMergeTable
+
+
+def _mk(spark, path, **kw):
+    return ParquetMergeTable(
+        spark,
+        str(path),
+        "gid",
+        stale_marker_sec=2.0,
+        retain_versions=10,
+        vacuum_grace_sec=600.0,
+        **kw,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "gid bigint, val bigint, updated_at bigint")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def seeded(spark, tmp_path):
+    """8-bucket table: 64 keys at updated_at=1, then 3 keys touched at
+    updated_at=2 (the incremental batch)."""
+    t = _mk(
+        spark,
+        tmp_path / "t",
+        n_buckets=8,
+        stats_cols=["val", "updated_at"],
+    )
+    t.upsert(_df(spark, [(g, g * 10, 1) for g in range(64)]))
+    t.upsert(_df(spark, [(g, g * 10 + 1, 2) for g in (3, 17, 42)]))
+    return t
+
+
+def test_stats_recorded_for_every_file_and_carried(spark, seeded):
+    m = seeded._manifest_for(None)
+    assert set(m["stats"]) == set(m["data"])
+    for ent in m["stats"].values():
+        assert set(ent) == {"val", "updated_at"}
+        for s in ent.values():
+            assert s["rows"] > 0 and s["nulls"] == 0
+            assert s["min"] is not None and s["min"] <= s["max"]
+    # carried buckets kept their v1 stats entry verbatim (same rel)
+    m1 = seeded._manifest_for(1)
+    carried = set(m["data"]) & set(m1["data"])
+    assert carried  # 8 buckets, 3 keys touched: most carry forward
+    for rel in carried:
+        assert m["stats"][rel] == m1["stats"][rel]
+
+
+def test_incremental_read_skips_carried_buckets(spark, seeded):
+    kept, skipped = seeded.prune_report([("updated_at", ">", 1)])
+    # only the buckets rewritten by the updated_at=2 batch survive
+    m = seeded._manifest_for(None)
+    m1 = seeded._manifest_for(1)
+    rewritten = set(m["data"]) - set(m1["data"])
+    assert set(kept) == rewritten and len(kept) <= 3
+    got = _sorted_rows(seeded.read_pruned([("updated_at", ">", 1)]))
+    want = _sorted_rows(seeded.read().where(F.col("updated_at") > 1))
+    assert got == want
+    assert {r[0] for r in got} == {3, 17, 42}
+
+
+@pytest.mark.parametrize(
+    "preds",
+    [
+        [("val", "=", 171)],
+        [("val", "in", (171, 421, 999999))],
+        [("val", "<=", 50), ("updated_at", "=", 1)],
+        [("val", ">", 500)],
+        [("updated_at", ">=", 2), ("val", "<", 400)],
+    ],
+)
+def test_pruned_scan_exact_vs_unpruned(spark, seeded, preds):
+    got = _sorted_rows(seeded.read_pruned(preds))
+    ref = seeded.read()
+    for c, op, v in preds:
+        ref = ref.where(ParquetMergeTable._pred_expr(c, op, v))
+    assert got == _sorted_rows(ref)
+
+
+def test_impossible_predicate_prunes_everything(spark, seeded):
+    kept, skipped = seeded.prune_report([("val", "=", 10**9)])
+    assert kept == [] and len(skipped) == len(seeded._manifest_for(None)["data"])
+    df = seeded.read_pruned([("val", "=", 10**9)])
+    assert df.count() == 0
+    assert set(df.columns) >= {"gid", "val", "updated_at"}
+
+
+def test_null_stats_and_is_null_pruning(spark, seeded):
+    # no nulls anywhere: is_null prunes every file, exactly
+    kept, _ = seeded.prune_report([("val", "is_null")])
+    assert kept == []
+    assert seeded.read_pruned([("val", "is_null")]).count() == 0
+    # insert a NEW key with NULL val (upsert is NULL-no-overwrite for
+    # existing keys); only its bucket should survive the prune
+    seeded.upsert(
+        spark.createDataFrame(
+            [(1000, None, 3)], "gid bigint, val bigint, updated_at bigint"
+        )
+    )
+    kept, _ = seeded.prune_report([("val", "is_null")])
+    assert len(kept) == 1
+    got = _sorted_rows(seeded.read_pruned([("val", "is_null")]))
+    assert got == _sorted_rows(seeded.read().where(F.col("val").isNull()))
+    assert len(got) == 1 and got[0][0] == 1000
+    # comparison predicates never match NULL rows (SQL semantics): the
+    # pruned result must equal the unpruned .where on the same table
+    got = _sorted_rows(seeded.read_pruned([("val", ">", -1)]))
+    assert got == _sorted_rows(seeded.read().where(F.col("val") > -1))
+    assert all(r[1] is not None for r in got)
+
+
+def test_delete_refreshes_stats(spark, seeded):
+    m_before = seeded._manifest_for(None)
+    seeded.delete(spark.createDataFrame([(42,)], "gid bigint"))
+    m = seeded._manifest_for(None)
+    assert set(m["stats"]) == set(m["data"])
+    # the rewritten bucket's stats changed rel (fresh dir), carried ones didn't
+    assert set(m["data"]) != set(m_before["data"])
+    got = _sorted_rows(seeded.read_pruned([("updated_at", ">", 1)]))
+    assert {r[0] for r in got} == {3, 17}
+
+
+def test_point_lookup_reads_single_bucket(spark, seeded):
+    df = seeded.read_key(17)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].val == 171
+    files = df.inputFiles()
+    assert files and len({f.split("__bucket=")[1].split("/")[0] for f in files}) == 1
+    # provably-absent key in a populated bucket: empty, still 1 bucket
+    assert seeded.read_key(10**9).count() == 0
+    # time travel: the pre-incremental version sees the old value
+    assert seeded.read_key(17, version=1).collect()[0].val == 170
+
+
+def test_point_lookup_unbucketed_fallback(spark, tmp_path):
+    t = _mk(spark, tmp_path / "plain", stats_cols=["val"])
+    t.upsert(_df(spark, [(g, g, 1) for g in range(10)]))
+    assert t.read_key(7).collect()[0].val == 7
+    assert t.read_key(99).count() == 0
+
+
+def test_no_stats_cols_keeps_everything_and_stays_exact(spark, tmp_path):
+    t = _mk(spark, tmp_path / "nostats", n_buckets=4)
+    t.upsert(_df(spark, [(g, g, 1) for g in range(20)]))
+    kept, skipped = t.prune_report([("val", "=", 5)])
+    assert skipped == [] and len(kept) > 0
+    got = _sorted_rows(t.read_pruned([("val", "=", 5)]))
+    assert got == [(5, 5, 1)]
+
+
+def test_bad_predicates_rejected(spark, seeded):
+    with pytest.raises(ValueError):
+        seeded.prune_report([("val", "between", 1, 2)])
+    with pytest.raises(ValueError):
+        seeded.read_pruned([("val", "~", 1)])
