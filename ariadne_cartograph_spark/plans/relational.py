@@ -2075,3 +2075,330 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion set (q2/q9/q11/q16/q20): the five shapes that need a
+# part↔supplier relation. The corpus has no partsupp table, so lineitem
+# IS that relation — each query keeps its standard plan shape (the part
+# it exists to exercise) with the supply attributes derived from
+# lineitem facts. Thresholds that TPC-H states as absolute constants
+# (q11's value fraction, q20's availqty bound) become scale-invariant
+# comparisons against the group average, computed in exact integer
+# cents so the boundary is bit-identical across engines at every SF.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    tags=["J6", "A5", "W1", "W4"],
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+), cand AS (
+  SELECT p_partkey, p_brand, s_acctbal, s_name, n_name, supplycost
+  FROM part
+  JOIN supply   ON partkey = p_partkey
+  JOIN supplier ON s_suppkey = suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost
+FROM cand
+WHERE supplycost = (SELECT min(supplycost) FROM cand c2
+                    WHERE c2.p_partkey = cand.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (min-cost supplier per part, correlated-min
+    subquery): supplycost = the lowest extended price this supplier
+    ever shipped the part at (raw double MIN — pure selection, no
+    arithmetic, so the correlated equality is exact cross-engine).
+
+    Plan: lineitem aggregates once to the (part, supplier) supply
+    relation (map-side combinable); the region-filtered supplier dim
+    joins un-hinted (AQE broadcasts at bench scale; at 100 TB supplier
+    is huge and the filter still prunes 4/5 of it before the shuffle);
+    the correlated min is a per-part window over the already-joined
+    candidates — one extra shuffle on p_partkey, no second lineitem
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    eur_supp = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    cand = (
+        supply.join(part, supply.l_partkey == part.p_partkey)
+        .join(eur_supp, supply.l_suppkey == eur_supp.s_suppkey)
+        .select("p_partkey", "p_brand", "s_acctbal", "s_name", "n_name", "supplycost")
+    )
+    pmin = F.min("supplycost").over(W.partitionBy("p_partkey"))
+    return (
+        cand.withColumn("__pmin", pmin)
+        .filter(F.col("supplycost") == F.col("__pmin"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    tags=["J6", "A5", "P14"],
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      - p_retailprice * l_quantity * 0.1
+                      AS DECIMAL(27,4))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape (product-type profit by nation and year — the
+    5-way join + reaggregation). No partsupp ⇒ unit cost is modeled as
+    10% of p_retailprice; profit = revenue − cost·qty, summed in exact
+    decimal (scale 4 captures the double product exactly enough that
+    both engines round the same total). The profit expression is
+    written with identical association order on both sides so the
+    IEEE-double intermediate is bit-identical before the decimal cast.
+
+    Plan: lineitem joins the two SF-scaling dims (part filtered on
+    name, supplier) un-hinted — AQE broadcasts them at bench scale,
+    shuffle-joins at 100 TB; nation (25 rows) broadcasts; orders joins
+    on the natural l_orderkey key. Group-by is a 2-level key (25
+    nations × 7 years) — partial agg collapses it map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(money_sum(profit, scale=4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    tags=["A5", "J6"],
+    oracle="""
+WITH partval AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1
+), tot AS (
+  SELECT count(*) AS c, CAST(sum(val) * 100 AS BIGINT) AS t_cents FROM partval
+)
+SELECT partkey, CAST(val AS DOUBLE) AS value
+FROM partval, tot
+WHERE CAST(val * 100 AS BIGINT) * c * 2 > t_cents * 3
+ORDER BY value DESC, partkey
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape (important stock: per-part value filtered
+    against a scalar aggregate of the same frame). TPC-H's absolute
+    fraction constant becomes scale-invariant: keep parts whose ASIA
+    supply value exceeds 1.5× the per-part average, compared as
+    2·count·value_cents > 3·total_cents in exact BIGINT cents — the
+    boundary cannot flip with partitioning or engine rounding. (At
+    extreme corpus sizes the cents·count product nears int64 range;
+    the production variant would compare against the decimal average
+    directly — noted, not needed below ~10^14 cents.)
+
+    Plan: the region-filtered supplier side prunes before the lineitem
+    join; partval is one hash agg; the scalar total is a 1-row
+    broadcast crossJoin back onto partval — partval itself is computed
+    once (Spark reuses the exchange under AQE), never rescanning
+    lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_suppliers = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    partval = (
+        li.join(asia_suppliers, li.l_suppkey == asia_suppliers.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(money("l_extendedprice")).alias("val"))
+    )
+    tot = partval.agg(
+        F.count(F.lit(1)).alias("__c"),
+        (F.sum("val") * 100).cast("bigint").alias("__t_cents"),
+    )
+    return (
+        partval.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("val") * 100).cast("bigint") * F.col("__c") * 2
+            > F.col("__t_cents") * 3
+        )
+        .select("partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    tags=["A5", "J6"],
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape (distinct-supplier count per part attribute
+    triple, excluding a blacklist via NOT IN): the blacklist predicate
+    ("complaints" in standard TPC-H) becomes negative account balance.
+
+    Plan: the part-side conjuncts (brand/type/size-set) prune the part
+    scan; the blacklist anti-join is against a filtered supplier
+    projection (un-hinted — AQE broadcasts it; it stays small relative
+    to supplier at any SF); countDistinct plans as the standard
+    two-phase expand+agg, partially aggregated map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    tags=["J6", "A5"],
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey AS suppkey,
+         sum(CAST(l_quantity AS DECIMAL(27,2))) AS qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+), tot AS (
+  SELECT count(*) AS c, CAST(sum(qty) * 100 AS BIGINT) AS t_cents FROM shipped
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'MIDDLE EAST'
+  AND s_suppkey IN (
+    SELECT suppkey FROM shipped, tot
+    WHERE CAST(qty * 100 AS BIGINT) * c * 2 > t_cents * 3)
+ORDER BY s_name
+""",
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (the nested-IN semi-join chain: parts by name
+    prefix → per-(supplier, part) shipped volume in one year → the
+    suppliers moving outsized volume, restricted to one region).
+    TPC-H's `availqty > 0.5 × shipped` bound (availqty doesn't exist
+    here) becomes: the (supplier, part) pair shipped more than 1.5×
+    the average pair volume — same exact-cents comparison as q11.
+
+    Plan: the part name-filter semi-join prunes lineitem before its
+    aggregation (with the date filter pushed to the scan); the heavy
+    set is id-only; the outer supplier⋈nation⋈region is dimension-
+    sized per region and semi-joins the heavy ids — every exchange in
+    the chain carries keys or small aggregates, never lineitem rows
+    past the first groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "MIDDLE EAST"
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(red_parts, li.l_partkey == red_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(money("l_quantity")).alias("qty"))
+        .select(F.col("l_suppkey").alias("suppkey"), "qty")
+    )
+    tot = shipped.agg(
+        F.count(F.lit(1)).alias("__c"),
+        (F.sum("qty") * 100).cast("bigint").alias("__t_cents"),
+    )
+    heavy = (
+        shipped.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("qty") * 100).cast("bigint") * F.col("__c") * 2
+            > F.col("__t_cents") * 3
+        )
+        .select("suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(heavy, supp.s_suppkey == heavy.suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
