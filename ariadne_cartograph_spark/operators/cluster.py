@@ -120,3 +120,53 @@ def dedup_clusters(
             "members",
         )
     )
+
+
+def keep_best_per_cluster(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware canonical selection: per duplicate cluster keep
+    the member with the HIGHEST quality score (ties broken by min id —
+    fully deterministic). Production dedup keeps the best member of a
+    near-dup cluster, not an arbitrary one: near-duplicates differ in
+    truncation, boilerplate, and OCR noise, and min-id throws that
+    signal away.
+
+    ``scores`` must carry a score for every id that appears in
+    ``pairs`` (an inner join drops unscored members — score the corpus
+    first). Returns (cluster_id, keep_id, keep_score, n_members,
+    members).
+
+    Scale: one label-propagation pass (see connected_components), one
+    keyed join to attach scores, one hash aggregate. The argmax is a
+    single ``max(struct(score, -id))`` — partial-aggregable map-side,
+    no per-cluster window sort, so a cluster with a million members
+    costs the same shuffle as any other groupBy key (AQE handles the
+    hot key)."""
+    comp = connected_components(pairs, src, dst)
+    scored = comp.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("__score")),
+        "id",
+    )
+    return (
+        scored.groupBy("comp")
+        .agg(
+            F.max(
+                F.struct(F.col("__score").alias("s"), (-F.col("id")).alias("negid"))
+            ).alias("__best"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_sort(F.collect_list("id")).alias("members"),
+        )
+        .select(
+            F.col("comp").alias("cluster_id"),
+            (-F.col("__best.negid")).alias("keep_id"),
+            F.col("__best.s").alias("keep_score"),
+            "n_members",
+            "members",
+        )
+    )

@@ -325,6 +325,98 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Quality-aware canonical selection — production near-dup pipelines
+# keep the BEST member of each duplicate cluster, not an arbitrary one
+# (near-dups differ by truncation/boilerplate/noise). Quality here =
+# distinct 3-gram shingle count (information content, already the
+# pipeline's working representation); ties break to min id. The oracle
+# replays components via the recursive CTE and picks the argmax with an
+# explicit (n_sh DESC, id) row_number — deterministic on both engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_best_quality",
+    tags=["W6", "U4", "A5"],
+    oracle=rf"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+        >= {_JACCARD_THRESHOLD}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(id, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+ranked AS (
+  SELECT comp, id, n_sh,
+         row_number() OVER (PARTITION BY comp ORDER BY n_sh DESC, id) AS rn
+  FROM comps JOIN sizes ON doc_id = id),
+membership AS (
+  SELECT comp, count(*) AS n_members,
+         string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+  FROM comps GROUP BY comp)
+SELECT r.comp AS cluster_id, r.id AS keep_id,
+       CAST(r.n_sh AS BIGINT) AS keep_score,
+       m.n_members, m.members
+FROM ranked r JOIN membership m ON m.comp = r.comp
+WHERE r.rn = 1
+ORDER BY cluster_id
+""",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hashed_word_shingles
+    from ..operators.cluster import keep_best_per_cluster
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs_auto(
+        docs, "doc_id", "text", shingle_size=3, threshold=_JACCARD_THRESHOLD
+    )
+    # Distinct-shingle count as the quality score: counts distinct gram
+    # HASHES where the oracle counts distinct gram STRINGS — bijective
+    # modulo negligible 64-bit collisions (same equivalence the whole
+    # near-dup family's parity rests on).
+    scores = docs.select(
+        "doc_id",
+        F.size(hashed_word_shingles("text", n=3)).cast("bigint").alias("n_shingles"),
+    )
+    return (
+        keep_best_per_cluster(
+            pairs, scores, id_col="doc_id", score_col="n_shingles"
+        )
+        .select(
+            "cluster_id",
+            "keep_id",
+            F.col("keep_score").cast("bigint").alias("keep_score"),
+            "n_members",
+            F.array_join(
+                F.transform("members", lambda x: x.cast("string")), ","
+            ).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash-LSH — the VERIFIED output of the pipeline (exact Jaccard on
 # LSH candidates) is oracle-checkable: every emitted pair carries its
 # exact Jaccard ≥ t, and the oracle computes the full exact-Jaccard

@@ -92,3 +92,27 @@ def test_cluster_resolution_consistent_with_pairs(spark):
         assert label[a] == label[b]
     assert set(label) == {x for p in plist for x in p}
     D.release_caches()
+
+
+def test_keep_best_per_cluster_argmax_and_tiebreak(spark):
+    from ariadne_cartograph_spark.operators.cluster import keep_best_per_cluster
+
+    pairs = spark.createDataFrame(PAIRS, ["id_a", "id_b"])
+    # chain cluster {1,2,3,4}: unique max at 3; triangle {10,11,12}:
+    # tie between 11 and 12 -> min id 11 wins; pair {20,21}: tie at
+    # equal scores -> 20.
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 7), (3, 9), (4, 7),
+         (10, 1), (11, 8), (12, 8),
+         (20, 4), (21, 4)],
+        ["id", "score"],
+    )
+    out = {
+        r["cluster_id"]: (r["keep_id"], r["keep_score"], r["n_members"], r["members"])
+        for r in keep_best_per_cluster(pairs, scores).collect()
+    }
+    assert out == {
+        1: (3, 9, 4, [1, 2, 3, 4]),
+        10: (11, 8, 3, [10, 11, 12]),
+        20: (20, 4, 2, [20, 21]),
+    }

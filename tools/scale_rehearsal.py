@@ -35,6 +35,7 @@ ORACLE_QUADRATIC = {
     "minhash_lsh_near_dup",
     "simhash_near_dup",
     "dedup_cluster_resolution",       # recursive CTE over the 100x pair graph
+    "dedup_keep_best_quality",        # same recursive-CTE components oracle
     "corpus_leakage_safe_split",      # same recursive-CTE-over-pairs oracle shape
     "docs_incremental_dedup_parity",  # exhaustive offline near-dup oracle
     "decontamination_overlap",
