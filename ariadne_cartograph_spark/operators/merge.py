@@ -263,7 +263,13 @@ class ParquetMergeTable:
         cols = [c for c in self.stats_cols if c in df.columns]
         if not cols:
             return out
-        bucketed = any("/__bucket=" in r for r in fresh)
+        # Sub-rel partition column: __bucket (hash COW layout) or
+        # __cluster (optimize()'s range-clustered rewrite) — either
+        # way, one stats entry per sub-directory rel.
+        part_col = next(
+            (pc for pc in ("__bucket", "__cluster") if any(f"/{pc}=" in r for r in fresh)),
+            None,
+        )
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
             aggs += [
@@ -271,12 +277,12 @@ class ParquetMergeTable:
                 F.max(c).alias(f"__max_{c}"),
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
             ]
-        if bucketed:
-            rows = df.groupBy("__bucket").agg(*aggs).collect()
+        if part_col:
+            rows = df.groupBy(part_col).agg(*aggs).collect()
         else:
             rows = [df.agg(*aggs).collect()[0]]
         for r in rows:
-            rel = f"{dname}/__bucket={r['__bucket']}" if bucketed else dname
+            rel = f"{dname}/{part_col}={r[part_col]}" if part_col else dname
             ent: dict = {}
             for c in cols:
                 lo, hi = r[f"__min_{c}"], r[f"__max_{c}"]
@@ -658,6 +664,64 @@ class ParquetMergeTable:
             )
 
         return self._commit_loop(snapshot, None, None, n_b_override=n_buckets)
+
+    def optimize(self, cluster_cols: list, n_files: int = 32) -> bool:
+        """Range-clustered maintenance rewrite — the Delta ``OPTIMIZE
+        ... ZORDER BY`` analog for the plain layout: rewrite the
+        current snapshot ``repartitionByRange`` + sorted on
+        ``cluster_cols`` into up to ``n_files`` sub-directories, one
+        per contiguous cluster-key range. Each sub-dir gets its own
+        manifest stats entry (see ``_manifest_stats``), and because the
+        ranges are disjoint, ``read_pruned`` on a cluster-column
+        predicate then reads only the few files whose range overlaps —
+        the scan goes from O(table) to O(selectivity). Multi-dimension
+        clustering: pass a computed interleave key (e.g.
+        ``sources.layout.morton_key(x, y)``) plus the raw columns; the
+        z-order sort tightens BOTH raw columns' per-file ranges, so
+        either prunes.
+
+        Plain layout only: a hash-bucketed table's files are pinned to
+        the key→bucket map (its pruning story is ``read_key``'s O(1)
+        bucket lookup); ``rebucket(None)`` first to convert. Like
+        Delta's OPTIMIZE, the clustering is maintenance state, not an
+        invariant — the next upsert writes its snapshot unclustered
+        and a periodic re-optimize restores it. Serializes through the
+        same OCC loop as every writer: racing upserts land before or
+        after the rewrite, never across it.
+
+        Scale: one range-shuffle job over the table (the rewrite IS the
+        cost — schedule it like any compaction); ``n_files`` sizes the
+        range partitions, so pick table_bytes / target_file_bytes.
+        """
+        cols = [F.col(c) if isinstance(c, str) else c for c in cluster_cols]
+        if not cols:
+            raise ValueError("optimize() needs at least one cluster column")
+
+        def snapshot(m: dict, n_b, dname: str):
+            if n_b is not None:
+                raise ValueError(
+                    "optimize() requires the plain layout; this table is "
+                    f"hash-bucketed (n_buckets={n_b}) — rebucket(None) first"
+                )
+            existing = self._read_paths(m["data"])
+            if existing is None:
+                return [], {}, False  # empty table: nothing to cluster
+            (
+                existing.repartitionByRange(n_files, *cols)
+                .sortWithinPartitions(*cols)
+                .withColumn("__cluster", F.spark_partition_id())
+                .write.mode("overwrite")
+                .partitionBy("__cluster")
+                .parquet(os.path.join(self.path, dname))
+            )
+            clusters = {
+                e.split("=", 1)[1]: f"{dname}/{e}"
+                for e in os.listdir(os.path.join(self.path, dname))
+                if e.startswith("__cluster=")
+            }
+            return [clusters[k] for k in sorted(clusters, key=int)], {}, True
+
+        return self._commit_loop(snapshot, None, None)
 
     _KEEP_N_BUCKETS = object()  # sentinel: no override
 

@@ -1355,6 +1355,61 @@ def merge_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_optimize_pruned_scan",
+    tags=["S4", "S10", "A5"],
+    oracle="""
+SELECT date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS o_day,
+       count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(27,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+WHERE date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) >= 2750
+  AND date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) <  2780
+GROUP BY 1 ORDER BY 1
+""",
+)
+def merge_optimize_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE + data-skipping end-to-end under the driver hash: seed
+    a plain MERGE table from orders (insert order uncorrelated with
+    date), ``optimize()`` range-clusters it on the integer day key into
+    16 stats-tracked files with disjoint day ranges, then a narrow
+    30-day ``read_pruned`` window aggregates — reading only the files
+    whose range overlaps (pruning effectiveness itself is pinned in
+    tests/test_merge_stats.py; correctness vs a plain SQL filter is
+    pinned here). Clustering keys are integers on purpose: manifest
+    stats persist JSON scalars, so a timestamp clusters via its epoch-
+    day derivation — the standard lakehouse date-partition-key move."""
+    import tempfile
+
+    from ..operators.merge import ParquetMergeTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    seed = orders.select(
+        F.col("o_orderkey").alias("gid"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        ).alias("o_day"),
+        F.col("o_totalprice"),
+    )
+    t = ParquetMergeTable(
+        spark,
+        tempfile.mkdtemp(prefix="acs_merge_optimize_"),
+        key="gid",
+        stats_cols=["o_day"],
+    )
+    t.upsert(seed)
+    t.optimize(["o_day"], n_files=16)
+    return (
+        t.read_pruned([("o_day", ">=", 2750), ("o_day", "<", 2780)])
+        .groupBy("o_day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_day")
+    )
+
+
+@register(
     "agg_grouping_structures",
     tags=["A5"],
     oracle="""

@@ -185,3 +185,71 @@ def test_bad_predicates_rejected(spark, seeded):
         seeded.prune_report([("val", "between", 1, 2)])
     with pytest.raises(ValueError):
         seeded.read_pruned([("val", "~", 1)])
+
+
+# ---------------------------------------------------------------------------
+# optimize(): range-clustered rewrite (Delta OPTIMIZE ZORDER analog)
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_clusters_tighten_pruning(spark, tmp_path):
+    """Before optimize: one plain data dir -> every scan reads it.
+    After optimize(cluster by val, 8 files): a narrow val range prunes
+    to a small fraction of the rels, and content is bit-identical."""
+    t = _mk(spark, tmp_path / "t", stats_cols=["val", "updated_at"])
+    # val deliberately uncorrelated with insert order
+    t.upsert(_df(spark, [(g, (g * 37) % 512, 1) for g in range(512)]))
+    before = _sorted_rows(t.read())
+
+    assert t.optimize(["val"], n_files=8)
+    assert _sorted_rows(t.read()) == before  # rewrite preserves content
+
+    kept, skipped = t.prune_report([("val", ">=", 100), ("val", "<", 120)])
+    assert len(kept) + len(skipped) >= 6  # clustered into several rels
+    assert len(kept) <= 2  # disjoint ranges: narrow predicate -> few rels
+    pruned = t.read_pruned([("val", ">=", 100), ("val", "<", 120)])
+    expect = t.read().where((F.col("val") >= 100) & (F.col("val") < 120))
+    assert _sorted_rows(pruned) == _sorted_rows(expect)
+
+
+def test_optimize_zorder_two_dims(spark, tmp_path):
+    """Morton-interleave clustering tightens BOTH raw dimensions: a
+    predicate on either column alone prunes after optimize()."""
+    from ariadne_cartograph_spark.sources.layout import morton_key
+
+    t = ParquetMergeTable(
+        spark, str(tmp_path / "t"), "gid",
+        stale_marker_sec=2.0, retain_versions=10, vacuum_grace_sec=600.0,
+        stats_cols=["x", "y"],
+    )
+    rows = [(g, g % 64, (g * 29) % 64) for g in range(1024)]
+    t.upsert(spark.createDataFrame(rows, "gid bigint, x bigint, y bigint"))
+    assert t.optimize([morton_key("x", "y", bits=8), "x", "y"], n_files=16)
+
+    for col in ("x", "y"):
+        kept, skipped = t.prune_report([(col, ">=", 0), (col, "<", 8)])
+        assert skipped, f"no pruning on {col}"
+        pruned = t.read_pruned([(col, ">=", 0), (col, "<", 8)])
+        expect = t.read().where((F.col(col) >= 0) & (F.col(col) < 8))
+        assert _sorted_rows(pruned.select("gid", "x", "y")) == _sorted_rows(
+            expect.select("gid", "x", "y")
+        )
+
+
+def test_optimize_rejects_bucketed_layout(spark, seeded):
+    with pytest.raises(ValueError, match="plain layout"):
+        seeded.optimize(["val"])
+
+
+def test_optimize_then_upsert_stays_correct(spark, tmp_path):
+    """A post-optimize upsert (plain layout: full rewrite) replaces the
+    clustered snapshot wholesale and stays readable + time-travelable."""
+    t = _mk(spark, tmp_path / "t", stats_cols=["val"])
+    t.upsert(_df(spark, [(g, g, 1) for g in range(100)]))
+    t.optimize(["val"], n_files=4)
+    v_clustered = t.history()[-1]
+    t.upsert(_df(spark, [(5, 999, 2)]))
+    got = {r["gid"]: r["val"] for r in t.read().collect()}
+    assert got[5] == 999 and got[6] == 6 and len(got) == 100
+    old = {r["gid"]: r["val"] for r in t.read(version=v_clustered).collect()}
+    assert old[5] == 5  # the clustered snapshot is still intact
