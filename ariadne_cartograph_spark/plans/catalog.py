@@ -113,7 +113,11 @@ WINDOW_ORDER: list[str] = [
     "corpus_curation_funnel",
     "text_fingerprint_exact_dedup",
     "dedup_cluster_resolution",
-    "ngram_jaccard_near_dup",
+    # r7 continuation rotation: quality-aware canonical selection joins
+    # its min-id sibling under the driver hash; ngram_jaccard_near_dup
+    # moved to the tail (its W6/U4 tags are covered 10+× in-window and
+    # its marquee auto-routed twin ngram_jaccard_skewed_corpus stays).
+    "dedup_keep_best_quality",
     "ngram_jaccard_skewed_corpus",
     "minhash_lsh_near_dup",
     "simhash_near_dup",
@@ -121,9 +125,12 @@ WINDOW_ORDER: list[str] = [
     # T6 evidence in-window: the incremental crawl-ingest dedup filter
     # (winnowing moved to the tail — U5 is covered 8× inside the window)
     "docs_incremental_dedup_parity",
-    # similarity search over embeddings (U4)
+    # similarity search over embeddings (U4). r7 continuation rotation:
+    # similarity_ann_lsh to the tail (U4 covered 13× in-window; the
+    # IVF + IVF-PQ + exact-topk ANN evidence stays) for the OPTIMIZE →
+    # stats-pruned scan pipeline (S4/S10 read side under the hash).
     "similarity_topk_cosine",
-    "similarity_ann_lsh",
+    "merge_optimize_pruned_scan",
     "similarity_ann_ivf",
     "embedding_semantic_dedup",
     # multimodal columns (U3)
