@@ -723,6 +723,29 @@ class ParquetMergeTable:
 
         return self._commit_loop(snapshot, None, None)
 
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Delta CHANGE-DATA-FEED analog between two retained versions:
+        every key classified as insert / delete / update / unchanged,
+        with old_/new_ values for ``compare_cols`` (default: every
+        non-key column of the newer snapshot). ``to_version=None`` =
+        current. Built on time travel + :func:`snapshot_diff` — one
+        full-outer join on the key, both sides manifest-resolved scans;
+        with the bucketed layout both snapshots share the key→bucket
+        map, so the join is co-located. Raises (via ``read``) when
+        either version was vacuumed — the CDF window is exactly the
+        retention window, like Delta's."""
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        if old is None or new is None:
+            raise ValueError("changes(): both versions must be non-empty snapshots")
+        cols = compare_cols or [c for c in new.columns if c != self.key]
+        return snapshot_diff(old, new, self.key, cols)
+
     _KEEP_N_BUCKETS = object()  # sentinel: no override
 
     def _commit_loop(

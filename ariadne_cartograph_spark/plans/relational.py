@@ -1410,6 +1410,90 @@ def merge_optimize_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_change_feed",
+    tags=["S4", "J1", "J6"],
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey AS gid, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 2 = 0),
+batch AS (
+  SELECT o_orderkey AS gid, o_totalprice + 100.0 AS price
+  FROM orders WHERE o_orderkey % 3 = 0),
+v2 AS (
+  SELECT COALESCE(b.gid, v1.gid) AS gid,
+         COALESCE(b.price, v1.price) AS price
+  FROM v1 FULL OUTER JOIN batch b ON v1.gid = b.gid),
+v3 AS (SELECT * FROM v2 WHERE gid % 7 <> 0),
+d AS (
+  SELECT COALESCE(v1.gid, v3.gid) AS gid,
+         CASE WHEN v1.gid IS NULL THEN 'insert'
+              WHEN v3.gid IS NULL THEN 'delete'
+              WHEN v1.price = v3.price THEN 'unchanged'
+              ELSE 'update' END AS change,
+         v1.price AS old_p, v3.price AS new_p
+  FROM v1 FULL OUTER JOIN v3 ON v1.gid = v3.gid)
+SELECT change,
+       count(*) AS n,
+       CAST(sum(gid) AS BIGINT) AS key_checksum,
+       CAST(round(sum(CAST(COALESCE(new_p, 0) - COALESCE(old_p, 0)
+                           AS DECIMAL(27,2))), 2) AS DOUBLE) AS price_delta
+FROM d GROUP BY change ORDER BY change
+""",
+)
+def merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED through the real table (ParquetMergeTable.
+    changes): seed commit (even keys) → upsert batch (+100.00 price on
+    %3 keys: updates where they overlap the seed, inserts where they
+    don't) → delete commit (%7 keys) → ``changes(1)`` classifies every
+    key across [v1, current] via the retained-version time travel +
+    one full-outer snapshot diff. The oracle replays the same three
+    derivations relationally. Additive price edit on purpose (the
+    snapshot_change_feed precedent): multiplicative rounding lands on
+    half-cent double boundaries where engines disagree. Summary keyed
+    by change type with an exact key checksum pinning membership."""
+    import tempfile
+
+    from ..operators.merge import ParquetMergeTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = ParquetMergeTable(
+        spark,
+        tempfile.mkdtemp(prefix="acs_merge_cdf_"),
+        key="gid",
+        retain_versions=5,
+    )
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("gid"), F.col("o_totalprice").alias("price")
+        )
+    )
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("gid"),
+            (F.col("o_totalprice") + 100.0).alias("price"),
+        )
+    )
+    t.delete(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            F.col("o_orderkey").alias("gid")
+        )
+    )
+    return (
+        t.changes(1)
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gid").cast("bigint").alias("key_checksum"),
+            money_sum(
+                F.coalesce(F.col("new_price"), F.lit(0.0))
+                - F.coalesce(F.col("old_price"), F.lit(0.0))
+            ).alias("price_delta"),
+        )
+        .orderBy("change")
+    )
+
+
+@register(
     "agg_grouping_structures",
     tags=["A5"],
     oracle="""

@@ -253,3 +253,30 @@ def test_optimize_then_upsert_stays_correct(spark, tmp_path):
     assert got[5] == 999 and got[6] == 6 and len(got) == 100
     old = {r["gid"]: r["val"] for r in t.read(version=v_clustered).collect()}
     assert old[5] == 5  # the clustered snapshot is still intact
+
+
+# ---------------------------------------------------------------------------
+# changes(): CHANGE DATA FEED between retained versions
+# ---------------------------------------------------------------------------
+
+
+def test_change_feed_classifies_all_four(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n_buckets=4)
+    t.upsert(_df(spark, [(1, 10, 1), (2, 20, 1), (3, 30, 1)]))      # v1
+    t.upsert(_df(spark, [(2, 99, 2), (4, 40, 2)]))                  # v2: update 2, insert 4
+    t.delete(spark.createDataFrame([(3,)], "gid bigint"))           # v3: delete 3
+    got = {
+        r["gid"]: (r["change"], r["old_val"], r["new_val"])
+        for r in t.changes(1, compare_cols=["val"]).collect()
+    }
+    assert got == {
+        1: ("unchanged", 10, 10),
+        2: ("update", 20, 99),
+        3: ("delete", 30, None),
+        4: ("insert", None, 40),
+    }
+    # narrower window: v2 -> v3 sees only the delete
+    got23 = {r["gid"]: r["change"] for r in t.changes(2, 3, ["val"]).collect()}
+    assert got23 == {1: "unchanged", 2: "unchanged", 4: "unchanged", 3: "delete"}
+    with pytest.raises(ValueError):
+        t.changes(99)  # never-committed version
