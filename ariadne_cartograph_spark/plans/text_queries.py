@@ -2425,7 +2425,9 @@ def text_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 20
 
 
-def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
+def _bpe_oracle(
+    n_merges: int, min_pair_count: int = 2, final_vocab: bool = False
+) -> str:
     """DuckDB twin of the FULL iterative BPE training loop, unrolled
     one CTE-triple per merge round (the _logreg_oracle device applied
     to symbol sequences). Words are carried as fully-space-delimited
@@ -2458,7 +2460,7 @@ def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
         ctes.append(f"""best{t} AS (
   SELECT a, b, c FROM p{t} WHERE c >= {min_pair_count}
   ORDER BY c DESC, a, b LIMIT 1)""")
-        if t < n_merges:
+        if t < n_merges or final_vocab:
             ctes.append(f"""w{t + 1} AS MATERIALIZED (
   SELECT CASE WHEN best.a IS NULL THEN w.s
          ELSE replace(w.s, ' ' || best.a || '  ' || best.b || ' ',
@@ -2471,6 +2473,27 @@ def _bpe_oracle(n_merges: int, min_pair_count: int = 2) -> str:
         for t in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + union + "\nORDER BY step"
+
+
+def _bpe_encode_oracle(n_merges: int, top_k: int, min_pair_count: int = 2) -> str:
+    """Oracle for train → ENCODE → count: the same unrolled training
+    chain, but with the final round's merge also APPLIED (final_vocab),
+    then the post-training symbol inventory counted corpus-weighted —
+    each vocabulary word's subword sequence times its corpus frequency.
+    The w{T} strings ARE the segmentation, so encoding costs no extra
+    machinery beyond one more replace round."""
+    train = _bpe_oracle(n_merges, min_pair_count, final_vocab=True)
+    chain = train[: train.rindex("\nSELECT CAST(1 AS INT)")]  # drop the merge UNION
+    assert chain.startswith("WITH ")
+    return f"""{chain}
+SELECT sym AS token, CAST(sum(n) AS BIGINT) AS corpus_count
+FROM (SELECT n, list_filter(string_split(s, ' '), x -> x <> '') AS syms
+      FROM w{n_merges + 1}),
+     LATERAL unnest(syms) AS u(sym)
+GROUP BY 1
+ORDER BY corpus_count DESC, token
+LIMIT {top_k}
+"""
 
 
 @register("text_bpe_merge_train", tags=["U5", "A5"], oracle=_bpe_oracle(20))
@@ -2491,3 +2514,37 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "step int, left string, right string, merged string, pair_count long",
     ).orderBy("step")
+
+
+@register(
+    "text_bpe_corpus_encode",
+    tags=["U5", "A5"],
+    oracle=_bpe_encode_oracle(_BPE_MERGES, top_k=50),
+)
+def text_bpe_corpus_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED — train merges in-engine, segment
+    the word vocabulary with them (operators/bpe.bpe_segment_words:
+    |merges| row-local folds over the vocab frame, never the corpus),
+    and report the top-50 subword tokens by corpus-weighted count —
+    the token-budget accounting a training pipeline runs after
+    tokenizer training. Corpus cost: ONE word-frequency scan shared by
+    train and encode; everything after is vocabulary-sized. The oracle
+    replays training with the final merge also applied and counts the
+    same segmentation."""
+    from ..operators.bpe import (
+        bpe_segment_words,
+        train_bpe_merges,
+        word_freq_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = word_freq_table(docs, "text").localCheckpoint(eager=True)
+    merges = train_bpe_merges(docs, "text", n_merges=_BPE_MERGES)
+    seg = bpe_segment_words(words, "word", merges)
+    return (
+        seg.select(F.explode("sym").alias("token"), "n")
+        .groupBy("token")
+        .agg(F.sum("n").cast("bigint").alias("corpus_count"))
+        .orderBy(F.desc("corpus_count"), "token")
+        .limit(50)
+    )
