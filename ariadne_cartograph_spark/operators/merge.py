@@ -723,6 +723,46 @@ class ParquetMergeTable:
 
         return self._commit_loop(snapshot, None, None)
 
+    def stats_summary(
+        self, cols: list[str] | None = None, version: int | None = None
+    ) -> dict | None:
+        """Metadata-only table statistics — the Delta "answer count(*)
+        from the log" analog: exact row count and per-column (min, max,
+        nulls) folded from the manifest's per-file stats entries,
+        touching ZERO data files (a driver-side dict fold over the JSON
+        manifest). Returns ``{"rows": N, "cols": {c: {min, max,
+        nulls}}}``, or None when any data rel lacks a stats entry or a
+        requested column is missing from one (a pre-stats snapshot, a
+        JSON-unrepresentable min/max, or a column added mid-history) —
+        the caller falls back to a real scan; metadata can decline,
+        never lie. At 100 TB this is the difference between a catalog
+        lookup and a cluster job for every "how big is it" question."""
+        m = self._manifest_for(version)
+        stats = m.get("stats", {})
+        if not m["data"]:
+            return {"rows": 0, "cols": {}}
+        if any(r not in stats for r in m["data"]):
+            return None
+        want = cols if cols is not None else self.stats_cols
+        ents = [stats[r] for r in m["data"]]
+        first_col = next(iter(ents[0]), None)
+        if first_col is None:
+            return None
+        out_cols: dict = {}
+        for c in want:
+            if any(
+                c not in e or e[c]["min"] is None or e[c]["max"] is None
+                for e in ents
+            ):
+                return None
+            out_cols[c] = {
+                "min": min(e[c]["min"] for e in ents),
+                "max": max(e[c]["max"] for e in ents),
+                "nulls": sum(e[c]["nulls"] for e in ents),
+            }
+        rows = sum(e[first_col]["rows"] for e in ents)
+        return {"rows": rows, "cols": out_cols}
+
     def changes(
         self,
         from_version: int,

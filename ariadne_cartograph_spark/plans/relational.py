@@ -1410,6 +1410,72 @@ def merge_optimize_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_stats_metadata_only",
+    tags=["S4", "A5"],
+    oracle="""
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS gid FROM orders
+  WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0),
+v AS (
+  SELECT k.gid,
+         date_diff('day', DATE '1990-01-01',
+                   CAST(o.o_orderdate AS DATE)) AS o_day
+  FROM keys k JOIN orders o ON o.o_orderkey = k.gid)
+SELECT count(*) AS n_rows,
+       min(o_day) AS min_day,
+       max(o_day) AS max_day,
+       CAST(0 AS BIGINT) AS n_nulls
+FROM v
+""",
+)
+def merge_stats_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only table statistics under the driver hash: two
+    bucketed commits (seed + incremental batch, so the manifest mixes
+    carried and fresh stats entries), then ``stats_summary`` answers
+    exact count / min / max / nulls by folding the manifest JSON —
+    zero data files read — and the result is hash-checked against the
+    oracle computing the same statistics relationally from the
+    derivation. The 100 TB story: "how many rows, what date range" is
+    a catalog lookup, not a cluster job."""
+    import tempfile
+
+    from ..operators.merge import ParquetMergeTable
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def batch(pred):
+        return orders.filter(pred).select(
+            F.col("o_orderkey").alias("gid"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+            ).alias("o_day"),
+        )
+
+    t = ParquetMergeTable(
+        spark,
+        tempfile.mkdtemp(prefix="acs_merge_statsonly_"),
+        key="gid",
+        n_buckets=8,
+        stats_cols=["o_day"],
+    )
+    t.upsert(batch(F.col("o_orderkey") % 2 == 0))
+    t.upsert(batch(F.col("o_orderkey") % 3 == 0))
+    s = t.stats_summary(["o_day"])
+    assert s is not None, "stats_summary declined on a fully-stats'd table"
+    return spark.createDataFrame(
+        [
+            (
+                s["rows"],
+                int(s["cols"]["o_day"]["min"]),
+                int(s["cols"]["o_day"]["max"]),
+                s["cols"]["o_day"]["nulls"],
+            )
+        ],
+        "n_rows bigint, min_day int, max_day int, n_nulls bigint",
+    )
+
+
+@register(
     "merge_change_feed",
     tags=["S4", "J1", "J6"],
     oracle="""

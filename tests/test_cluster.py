@@ -116,3 +116,48 @@ def test_keep_best_per_cluster_argmax_and_tiebreak(spark):
         10: (11, 8, 3, [10, 11, 12]),
         20: (20, 4, 2, [20, 21]),
     }
+
+
+def test_keep_best_matches_python_oracle_random_graphs(spark):
+    """Property vs a pure-python union-find + argmax oracle over a
+    bank of seeded random graphs (one Spark job per graph is slow, so
+    the graphs are unioned into one frame with a graph-id offset —
+    partition-independence comes free from the offset disjointness)."""
+    import random
+
+    from ariadne_cartograph_spark.operators.cluster import keep_best_per_cluster
+
+    all_pairs, all_scores, want = [], {}, {}
+    for g in range(8):
+        rng = random.Random(1000 + g)
+        base = g * 10_000
+        n = rng.randint(2, 30)
+        ids = [base + i for i in range(n)]
+        pairs = [
+            (rng.choice(ids), rng.choice(ids)) for _ in range(rng.randint(1, 40))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            pairs = [(ids[0], ids[1])]
+        scores = {i: rng.randint(0, 5) for i in ids}  # small range: many ties
+        all_pairs += pairs
+        all_scores.update(scores)
+        # python oracle
+        label = _union_find(pairs)
+        comp_min = {}
+        for x, r in label.items():
+            comp_min[r] = min(comp_min.get(r, x), x)
+        by_comp = {}
+        for x, r in label.items():
+            by_comp.setdefault(comp_min[r], []).append(x)
+        for cid, members in by_comp.items():
+            best = max(members, key=lambda i: (scores[i], -i))
+            want[cid] = (best, scores[best], len(members), sorted(members))
+
+    pairs_df = spark.createDataFrame(all_pairs, ["id_a", "id_b"])
+    scores_df = spark.createDataFrame(list(all_scores.items()), ["id", "score"])
+    got = {
+        r["cluster_id"]: (r["keep_id"], r["keep_score"], r["n_members"], r["members"])
+        for r in keep_best_per_cluster(pairs_df, scores_df).collect()
+    }
+    assert got == want

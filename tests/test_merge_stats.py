@@ -280,3 +280,42 @@ def test_change_feed_classifies_all_four(spark, tmp_path):
     assert got23 == {1: "unchanged", 2: "unchanged", 4: "unchanged", 3: "delete"}
     with pytest.raises(ValueError):
         t.changes(99)  # never-committed version
+
+
+# ---------------------------------------------------------------------------
+# stats_summary(): metadata-only count/min/max/nulls
+# ---------------------------------------------------------------------------
+
+
+def test_stats_summary_metadata_only(spark, seeded):
+    s = seeded.stats_summary(["val", "updated_at"])
+    real = seeded.read().agg(
+        F.count(F.lit(1)), F.min("val"), F.max("val"),
+        F.sum(F.col("val").isNull().cast("long")),
+    ).collect()[0]
+    assert s["rows"] == real[0]
+    assert s["cols"]["val"] == {"min": real[1], "max": real[2], "nulls": real[3]}
+    # time travel: the pre-incremental version's summary differs
+    s1 = seeded.stats_summary(["updated_at"], version=1)
+    assert s1["cols"]["updated_at"]["max"] == 1
+    assert seeded.stats_summary(["updated_at"])["cols"]["updated_at"]["max"] == 2
+
+
+def test_stats_summary_declines_honestly(spark, tmp_path):
+    # no stats_cols configured -> no stats entries -> decline
+    t = _mk(spark, tmp_path / "nostats", n_buckets=2)
+    t.upsert(_df(spark, [(1, 1, 1)]))
+    assert t.stats_summary(["val"]) is None
+    # unknown column -> decline
+    t2 = _mk(spark, tmp_path / "s", stats_cols=["val"])
+    t2.upsert(_df(spark, [(1, 1, 1)]))
+    assert t2.stats_summary(["nope"]) is None
+    # all-NULL column in a file -> min/max unrepresentable -> decline
+    t3 = _mk(spark, tmp_path / "nulls", stats_cols=["val"])
+    t3.upsert(
+        spark.createDataFrame([(1, None, 1)], "gid bigint, val bigint, updated_at bigint")
+    )
+    assert t3.stats_summary(["val"]) is None
+    # empty table: zero rows, no cols
+    t4 = _mk(spark, tmp_path / "empty", stats_cols=["val"])
+    assert t4.stats_summary(["val"]) == {"rows": 0, "cols": {}}
