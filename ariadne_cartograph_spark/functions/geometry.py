@@ -108,3 +108,48 @@ def bbox(geom: Column | str) -> Column:
         F.array_max(lngs).alias("max_lng"),
         F.array_max(lats).alias("max_lat"),
     )
+
+
+def point_in_ring(plng: Column, plat: Column, ring: Column) -> Column:
+    """Even-odd ray-crossing containment test against one closed ring
+    (first point == last) — pure column math over the vertex array
+    (whole-stage codegen, no UDF): count edges whose y-span straddles
+    the point's latitude and whose crossing x lies right of the point;
+    odd count = inside. Boundary points (exactly on an edge/vertex)
+    follow raw crossing semantics and may classify either way — callers
+    with boundary-sensitive data snap/buffer upstream. The same formula
+    as the multipolygon hole-attachment test (sources/osm.py pip), here
+    as a reusable vectorized expression."""
+    edges = F.zip_with(
+        F.slice(ring, 1, F.size(ring) - 1),
+        F.slice(ring, 2, F.size(ring) - 1),
+        lambda a, b: F.struct(
+            a["lng"].alias("x1"),
+            a["lat"].alias("y1"),
+            b["lng"].alias("x2"),
+            b["lat"].alias("y2"),
+        ),
+    )
+    crossing = F.filter(
+        edges,
+        lambda e: ((e["y1"] > plat) != (e["y2"] > plat))
+        & (
+            plng
+            < e["x1"] + (plat - e["y1"]) * (e["x2"] - e["x1"]) / (e["y2"] - e["y1"])
+        ),
+    )
+    return F.size(crossing) % 2 == 1
+
+
+def point_in_polygon(
+    plng: Column, plat: Column, geom: Column, holes: Column | None = None
+) -> Column:
+    """Containment in a polygon-with-holes (ST_Contains analog for the
+    planet_osm_polygon rows): inside the outer ring and not inside any
+    hole ring. With non-overlapping rings this equals the even-odd rule
+    over all rings together — the form the SQL oracle uses."""
+    inside = point_in_ring(plng, plat, geom)
+    if holes is None:
+        return inside
+    in_hole = F.exists(holes, lambda h: point_in_ring(plng, plat, h))
+    return inside & ~F.coalesce(in_hole, F.lit(False))

@@ -139,3 +139,47 @@ def assign_pois_to_edges(
         .join(best, poi_id, "left")
         .withColumn("too_far", F.col("gid").isNull())
     )
+
+
+def points_in_polygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "pid",
+    lng: str = "lng",
+    lat: str = "lat",
+    poly_id: str = "poly_id",
+) -> DataFrame:
+    """Spatial containment join (PostGIS ``ST_Contains`` analog over
+    the planet_osm_polygon shape): one row per (point, containing
+    polygon). ``polygons`` carries (poly_id, geom = outer ring,
+    holes = array of hole rings, nullable).
+
+    Plan: broadcast the polygon side (zone/region tables are
+    dimension-sized; for a billion-polygon side, swap the broadcast for
+    the grid-cell bucketing of :func:`assign_pois_to_edges` — same
+    candidate structure, PIP instead of distance). A bbox prefilter
+    runs BEFORE the exact ray-crossing test so the per-pair cost for
+    the overwhelmingly-common miss is four comparisons, not an edge
+    scan; both stages are pure column math inside whole-stage codegen."""
+    from ..functions.geometry import bbox, point_in_polygon
+
+    polys = F.broadcast(
+        polygons.select(
+            F.col(poly_id),
+            F.col("geom").alias("__geom"),
+            F.col("holes").alias("__holes"),
+            bbox("geom").alias("__bb"),
+        )
+    )
+    plng, plat = F.col(lng), F.col(lat)
+    return (
+        points.crossJoin(polys)
+        .filter(
+            (plng >= F.col("__bb.min_lng"))
+            & (plng <= F.col("__bb.max_lng"))
+            & (plat >= F.col("__bb.min_lat"))
+            & (plat <= F.col("__bb.max_lat"))
+        )
+        .filter(point_in_polygon(plng, plat, F.col("__geom"), F.col("__holes")))
+        .drop("__geom", "__holes", "__bb")
+    )

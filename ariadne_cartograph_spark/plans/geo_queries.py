@@ -851,3 +851,114 @@ def osm_tag_key_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tag_key"))
         .limit(12)
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-polygon containment join (PostGIS ST_Contains analog, J4) —
+# event points classified against literal zone polygons: an axis square
+# WITH A HOLE, a concave L-shape, and a triangle. One source of truth
+# (_PIP_POLYGONS) generates both the Spark polygon frame and the SQL
+# edge VALUES; the oracle applies the even-odd rule over ALL rings of a
+# polygon at once (outer + holes), which equals outer-and-not-hole for
+# non-overlapping rings. Vertices sit at .005 offsets while the derived
+# coordinates live on a .01 grid, so no point can fall exactly on an
+# edge (the crossing test's only ambiguous case).
+# --------------------------------------------------------------------------
+
+_PIP_POLYGONS: list[tuple[int, list[tuple[float, float]], list[list[tuple[float, float]]]]] = [
+    (
+        1,  # square with a hole
+        [(-50.005, -20.005), (10.005, -20.005), (10.005, 30.005),
+         (-50.005, 30.005), (-50.005, -20.005)],
+        [[(-20.005, -0.005), (0.005, -0.005), (0.005, 10.005),
+          (-20.005, 10.005), (-20.005, -0.005)]],
+    ),
+    (
+        2,  # concave L-shape
+        [(-150.005, -60.005), (-100.005, -60.005), (-100.005, -10.005),
+         (-125.005, -10.005), (-125.005, -35.005), (-150.005, -35.005),
+         (-150.005, -60.005)],
+        [],
+    ),
+    (
+        3,  # triangle (non-axis-aligned edges)
+        [(-10.005, 40.005), (15.005, 40.005), (2.505, 75.005),
+         (-10.005, 40.005)],
+        [],
+    ),
+]
+
+
+def _pip_edges_sql() -> str:
+    rows = []
+    for pid, outer, holes in _PIP_POLYGONS:
+        for ring in [outer, *holes]:
+            for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+                rows.append(f"  ({pid}, {x1}, {y1}, {x2}, {y2})")
+    return ",\n".join(rows)
+
+
+@register(
+    "geo_point_in_polygon",
+    tags=["J4", "A5", "P14"],
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, value,
+         (value % 360.0) - 180.0 AS lng,
+         ((event_id % 1600) / 10.0) - 80.0 AS lat
+  FROM events),
+edges(poly_id, x1, y1, x2, y2) AS (VALUES
+{_pip_edges_sql()}),
+parity AS (
+  SELECT p.event_id, p.value, e.poly_id, count(*) AS c
+  FROM pts p JOIN edges e
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lng < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+  GROUP BY 1, 2, 3)
+SELECT poly_id, count(*) AS n_points,
+       CAST(round(sum(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_value
+FROM parity WHERE c % 2 = 1
+GROUP BY poly_id ORDER BY poly_id
+""",
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join via operators/spatial.points_in_polygons
+    (broadcast polygons + bbox prefilter + codegen'd ray-crossing —
+    no UDF), aggregated per zone. The oracle classifies the same
+    points by even-odd edge-crossing parity over each polygon's full
+    ring set — an independent formulation of the same geometry (join
+    + GROUP BY parity vs per-row array fold), so a hash match checks
+    the math, not the implementation."""
+    from ..operators.spatial import points_in_polygons
+
+    pt = "struct<lng:double,lat:double>"
+    polys = spark.createDataFrame(
+        [
+            (
+                pid,
+                [{"lng": x, "lat": y} for x, y in outer],
+                [[{"lng": x, "lat": y} for x, y in h] for h in holes],
+            )
+            for pid, outer, holes in _PIP_POLYGONS
+        ],
+        f"poly_id int, geom array<{pt}>, holes array<array<{pt}>>",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # 2-D spread on purpose: lng from value, lat from event_id — the
+    # shared _EV_* derivation puts both on one curve (lat a function of
+    # lng), which would leave most zones empty at every SF.
+    pts = ev.select(
+        F.col("event_id"),
+        "value",
+        F.expr("(value % 360.0) - 180.0").alias("lng"),
+        F.expr("((event_id % 1600) / 10.0) - 80.0").alias("lat"),
+    )
+    return (
+        points_in_polygons(pts, polys, point_id="event_id")
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            money_sum("value").alias("total_value"),
+        )
+        .orderBy("poly_id")
+    )

@@ -162,3 +162,98 @@ def test_poi_assignment_fixture_scale(spark, topo):
     got = assign_pois_to_edges(pois, topo["edges"])
     assert got.filter(F.col("too_far")).count() == 0
     assert got.filter(F.col("dist_m") > 50).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# point_in_ring / point_in_polygon / points_in_polygons (ST_Contains)
+# ---------------------------------------------------------------------------
+
+
+def test_point_in_polygon_cases(spark):
+    from pyspark.sql import functions as F
+
+    from ariadne_cartograph_spark.functions.geometry import point_in_polygon
+
+    pt = "struct<lng:double,lat:double>"
+    square = [{"lng": float(x), "lat": float(y)}
+              for x, y in [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]]
+    hole = [[{"lng": float(x), "lat": float(y)}
+             for x, y in [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]]]
+    lshape = [{"lng": float(x), "lat": float(y)}
+              for x, y in [(0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10), (0, 0)]]
+    cases = [
+        # (lng, lat, geom, holes, expect)
+        (5.0, 1.0, square, hole, True),    # inside, below the hole
+        (5.0, 5.0, square, hole, False),   # inside the hole
+        (5.0, 5.0, square, [], True),      # same point, no hole
+        (-1.0, 5.0, square, [], False),    # outside west
+        (11.0, 5.0, square, [], False),    # outside east
+        (2.0, 2.0, lshape, [], True),      # in the L's thick corner
+        (8.0, 2.0, lshape, [], True),      # in the L's bottom arm
+        (8.0, 8.0, lshape, [], False),     # in the L's notch
+        (2.0, 8.0, lshape, [], True),      # in the L's left arm
+    ]
+    df = spark.createDataFrame(
+        [(i, lng, lat, g, h) for i, (lng, lat, g, h, _) in enumerate(cases)],
+        f"i int, lng double, lat double, geom array<{pt}>, holes array<array<{pt}>>",
+    )
+    got = {
+        r["i"]: r["inside"]
+        for r in df.select(
+            "i",
+            point_in_polygon(
+                F.col("lng"), F.col("lat"), F.col("geom"), F.col("holes")
+            ).alias("inside"),
+        ).collect()
+    }
+    for i, (_, _, _, _, expect) in enumerate(cases):
+        assert got[i] == expect, f"case {i}"
+
+
+def test_points_in_polygons_join_matches_python(spark):
+    """Random points vs a python ray-crossing oracle over the same
+    polygons (bbox prefilter must never change the answer)."""
+    import random
+
+    from ariadne_cartograph_spark.operators.spatial import points_in_polygons
+
+    polys_py = {
+        1: ([(0.005, 0.005), (10.005, 0.005), (10.005, 10.005),
+             (0.005, 10.005), (0.005, 0.005)],
+            [[(4.005, 4.005), (6.005, 4.005), (6.005, 6.005),
+              (4.005, 6.005), (4.005, 4.005)]]),
+        2: ([(-8.005, -8.005), (-1.005, -8.005), (-1.005, -1.005),
+             (-8.005, -1.005), (-8.005, -8.005)], []),
+    }
+
+    def pip(x, y, ring):
+        inside = False
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+            if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                inside = not inside
+        return inside
+
+    rng = random.Random(7)
+    pts = [(i, round(rng.uniform(-12, 12), 1), round(rng.uniform(-12, 12), 1))
+           for i in range(300)]
+    want = {
+        (i, pid)
+        for i, x, y in pts
+        for pid, (outer, holes) in polys_py.items()
+        if pip(x, y, outer) and not any(pip(x, y, h) for h in holes)
+    }
+    pt = "struct<lng:double,lat:double>"
+    polys = spark.createDataFrame(
+        [
+            (pid, [{"lng": x, "lat": y} for x, y in outer],
+             [[{"lng": x, "lat": y} for x, y in h] for h in holes])
+            for pid, (outer, holes) in polys_py.items()
+        ],
+        f"poly_id int, geom array<{pt}>, holes array<array<{pt}>>",
+    )
+    pts_df = spark.createDataFrame(pts, "pid int, lng double, lat double")
+    got = {
+        (r["pid"], r["poly_id"])
+        for r in points_in_polygons(pts_df, polys).collect()
+    }
+    assert got == want and len(want) > 30
