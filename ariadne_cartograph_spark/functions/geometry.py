@@ -153,3 +153,45 @@ def point_in_polygon(
         return inside
     in_hole = F.exists(holes, lambda h: point_in_ring(plng, plat, h))
     return inside & ~F.coalesce(in_hole, F.lit(False))
+
+
+_MERC_R = 6378137.0  # EPSG:3857 sphere radius
+
+
+def ring_area_m2(ring: Column) -> Column:
+    """Shoelace area of one closed ring in EPSG:3857 square meters —
+    osm2pgsql's ``way_area`` semantics (Mercator-plane area, inflated
+    by ~1/cos²(lat) away from the equator, exactly as the reference's
+    rendering tables store it — NOT geodesic area). Pure column math:
+    project each vertex (x = R·λ, y = R·ln tan(π/4 + φ/2)), then
+    |Σ xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ| / 2 over consecutive vertex pairs."""
+    import math
+
+    proj = F.transform(
+        ring,
+        lambda p: F.struct(
+            (p["lng"] * (math.pi * _MERC_R / 180.0)).alias("x"),
+            (F.log(F.tan(math.pi / 4.0 + p["lat"] * (math.pi / 360.0))) * _MERC_R).alias("y"),
+        ),
+    )
+    cross = F.zip_with(
+        F.slice(proj, 1, F.size(proj) - 1),
+        F.slice(proj, 2, F.size(proj) - 1),
+        lambda a, b: a["x"] * b["y"] - b["x"] * a["y"],
+    )
+    return F.abs(F.aggregate(cross, F.lit(0.0), lambda acc, x: acc + x)) / 2.0
+
+
+def polygon_area_m2(geom: Column, holes: Column | None = None) -> Column:
+    """Polygon-with-holes area (way_area): outer ring minus hole rings
+    (osm2pgsql subtracts holes)."""
+    outer = ring_area_m2(geom)
+    if holes is None:
+        return outer
+    empty = F.array().cast("array<array<struct<lng:double,lat:double>>>")
+    hole_sum = F.aggregate(
+        F.coalesce(holes, empty),
+        F.lit(0.0),
+        lambda acc, h: acc + ring_area_m2(h),
+    )
+    return outer - hole_sum

@@ -962,3 +962,49 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("poly_id")
     )
+
+
+@register(
+    "osm_polygon_way_area",
+    tags=["P13", "S6"],
+    oracle="""
+SELECT id, CAST(way_area AS DOUBLE) AS way_area FROM (VALUES
+  (236027362, 4443008.5),
+  (-2700722, 2445333.2),
+  (29111188, 747149.3),
+  (29111275, 316946.0),
+  (205868796, 132329.4),
+  (29111127, 84098.6),
+  (222593213, 60452.3),
+  (196125681, 54395.9),
+  (205868795, 41026.5),
+  (30794534, 27040.7)
+) t(id, way_area)
+ORDER BY 2 DESC, 1
+""",
+)
+def osm_polygon_way_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osm2pgsql's ``way_area`` column on the polygon feature table
+    (Mercator-plane shoelace, holes subtracted —
+    functions/geometry.polygon_area_m2): top-10 fixture polygons by
+    area, pinned as a golden census (the fixture is deterministic; the
+    pure-math engine area was independently replayed in python to 1e-9
+    relative in tests/test_topology_spatial.py). The #2 polygon is a
+    multipolygon RELATION (osm_id −2700722, holes subtracted), so the
+    census covers the relation-assembly path too."""
+    from ..sources.osm import (
+        assemble_way_geometries,
+        derive_feature_tables,
+        read_osm_elements,
+        split_elements,
+    )
+
+    t = split_elements(read_osm_elements(spark, _OSM_PATH))
+    geo = assemble_way_geometries(t["nodes"], t["ways"])
+    tables = derive_feature_tables(t["nodes"], geo, relations=t["relations"])
+    return (
+        tables["polygon"]
+        .select("id", F.round("way_area", 1).alias("way_area"))
+        .orderBy(F.desc("way_area"), "id")
+        .limit(10)
+    )

@@ -603,6 +603,8 @@ def derive_feature_tables(
         polygon = promote_tags(closed, style).withColumn(
             "holes", F.array().cast("array<array<struct<lng:double,lat:double>>>")
         )
+    from ..functions.geometry import polygon_area_m2
+
     if relations is not None:
         rel_rings = assemble_multipolygons(relations, ways_with_geom)
         rel_tagged = rel_rings.join(
@@ -619,6 +621,11 @@ def derive_feature_tables(
             else promote_tags(rel_tagged, style)
         )
         polygon = polygon.unionByName(rel_poly, allowMissingColumns=True)
+    # osm2pgsql's way_area: Mercator-plane polygon area, holes
+    # subtracted (the column every rendering query filters/sorts by)
+    polygon = polygon.withColumn(
+        "way_area", polygon_area_m2(F.col("geom"), F.col("holes"))
+    )
     # a custom style may not promote highway/railway at all — treat a
     # missing column as null (empty roads subset for that predicate)
     def _col_or_null(name: str) -> F.Column:

@@ -257,3 +257,50 @@ def test_points_in_polygons_join_matches_python(spark):
         for r in points_in_polygons(pts_df, polys).collect()
     }
     assert got == want and len(want) > 30
+
+
+def test_polygon_area_mercator_shoelace(spark):
+    """Engine area vs an independent python replay of the same
+    Mercator shoelace, plus a closed-form check: a Mercator-plane
+    'rectangle' in projected coords has area exactly dx*dy there."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ariadne_cartograph_spark.functions.geometry import polygon_area_m2
+
+    R = 6378137.0
+
+    def proj(lng, lat):
+        return (lng * math.pi * R / 180.0,
+                R * math.log(math.tan(math.pi / 4.0 + lat * math.pi / 360.0)))
+
+    def py_ring_area(ring):
+        pts = [proj(x, y) for x, y in ring]
+        s = sum(x1 * y2 - x2 * y1 for (x1, y1), (x2, y2) in zip(pts, pts[1:]))
+        return abs(s) / 2.0
+
+    sq = [(10.0, 45.0), (10.1, 45.0), (10.1, 45.1), (10.0, 45.1), (10.0, 45.0)]
+    hole = [(10.02, 45.02), (10.04, 45.02), (10.04, 45.04), (10.02, 45.04), (10.02, 45.02)]
+    tri = [(-5.0, -5.0), (5.0, -5.0), (0.0, 8.0), (-5.0, -5.0)]
+    pt = "struct<lng:double,lat:double>"
+    df = spark.createDataFrame(
+        [
+            (1, [{"lng": x, "lat": y} for x, y in sq],
+             [[{"lng": x, "lat": y} for x, y in hole]]),
+            (2, [{"lng": x, "lat": y} for x, y in tri], []),
+        ],
+        f"i int, geom array<{pt}>, holes array<array<{pt}>>",
+    )
+    got = {
+        r["i"]: r["a"]
+        for r in df.select(
+            "i", polygon_area_m2(F.col("geom"), F.col("holes")).alias("a")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(py_ring_area(sq) - py_ring_area(hole), rel=1e-9)
+    assert got[2] == pytest.approx(py_ring_area(tri), rel=1e-9)
+    # closed-form: axis-aligned in lnglat => rectangle in Mercator plane
+    x0, y0 = proj(10.0, 45.0)
+    x1, y1 = proj(10.1, 45.1)
+    assert py_ring_area(sq) == pytest.approx((x1 - x0) * (y1 - y0), rel=1e-9)
