@@ -389,6 +389,62 @@ def events_stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_enrich_parity",
+    tags=["T1", "T5", "S11", "J6"],
+    oracle="""
+SELECT CAST(CASE WHEN user_id % 3 = 0 THEN -1
+            ELSE user_id % 5 END AS INT) AS tier,
+       event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY tier, event_type
+""",
+)
+def events_stream_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join under the driver hash
+    (streaming/events.enrich_with_dimension): the event stream joins a
+    PARTIAL user-tier dimension (user_id % 3 == 0 users deliberately
+    absent) broadcast per micro-batch — no state store, the
+    zero-shuffle streaming enrichment path — then aggregates per
+    (tier, type) in complete mode. Missing members surface as NULL
+    tier → coalesced to −1, so the left-join presence semantics are
+    load-bearing in the hash: an inner-join regression would drop the
+    −1 group entirely, a wrong broadcast would mis-tier every user."""
+    import uuid
+
+    from pyspark.sql import functions as SF
+
+    from ..streaming.events import enrich_with_dimension, run_to_memory
+
+    stream = _staged_stream(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .filter(SF.col("user_id") % 3 != 0)
+        .withColumn("tier", (SF.col("user_id") % 5).cast("int"))
+    )
+    enriched = enrich_with_dimension(stream, dim, "user_id", "user_id", ["tier"])
+    agg = (
+        enriched.groupBy(
+            SF.coalesce(SF.col("tier"), SF.lit(-1)).cast("int").alias("tier"),
+            "event_type",
+        )
+        .agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.round(SF.sum(SF.col("value").cast("decimal(27,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("tier", "event_type")
+
+
+@register(
     "events_stream_session_parity",
     headline=True,
     tags=["T2", "T3", "T5", "S11"],
