@@ -386,3 +386,54 @@ def test_manifest_files_invisible_to_scan(spark, tmp_path):
     names = set(os.listdir(t.path))
     assert "_CURRENT" in names and "_LOG" in names
     assert any(n.startswith("m_") for n in names)
+
+
+def test_model_random_ops_with_optimize(spark, tmp_path):
+    """optimize() interleaved with upserts and deletes on the plain
+    layout: the rewrite is a no-op on CONTENT (model unchanged) but a
+    real commit (new version), stats stay per-rel correct (checked via
+    a pruned scan after every op), and time travel across mixed
+    upsert/optimize history stays consistent. Versions are keyed by
+    the table's reported version, not the step index, because
+    optimize adds commits the model doesn't count."""
+    import random
+
+    rng = random.Random(4242)
+    t = ParquetMergeTable(
+        spark, str(tmp_path / "opt"), key="gid",
+        retain_versions=4, stats_cols=["val"],
+    )
+    cur: dict = {}
+    by_version = {}
+    for step in range(12):
+        kind = rng.choice(["upsert", "upsert", "delete", "optimize"])
+        if kind == "upsert":
+            rows = list({
+                (g := rng.randrange(20)): (g, round(rng.uniform(0, 99), 2))
+                for _ in range(rng.randrange(1, 6))
+            }.values())
+            t.upsert(spark.createDataFrame(rows, "gid long, val double"))
+            cur.update({g: v for g, v in rows})
+        elif kind == "delete":
+            keys = [rng.randrange(24) for _ in range(rng.randrange(1, 4))]
+            t.delete(spark.createDataFrame([(k,) for k in keys], "gid long"))
+            for k in keys:
+                cur.pop(k, None)
+        else:
+            t.optimize(["val"], n_files=rng.choice([2, 4]))
+        by_version[t._current()[0]] = dict(cur)
+        df = t.read()
+        got = {r.gid: r.val for r in df.collect()} if df is not None else {}
+        assert got == cur, (step, kind)
+        # pruned scan equals model filter regardless of layout state
+        lo = rng.uniform(0, 99)
+        pruned = t.read_pruned([("val", ">=", lo)])
+        gotp = (
+            {r.gid: r.val for r in pruned.collect()} if pruned is not None else {}
+        )
+        assert gotp == {g: v for g, v in cur.items() if v >= lo}, (step, kind, lo)
+        for v in t.history():
+            if v in by_version:
+                dfv = t.read(v)
+                gv = {r.gid: r.val for r in dfv.collect()} if dfv is not None else {}
+                assert gv == by_version[v], ("version", v, "step", step)
