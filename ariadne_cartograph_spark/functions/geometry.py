@@ -195,3 +195,29 @@ def polygon_area_m2(geom: Column, holes: Column | None = None) -> Column:
         lambda acc, h: acc + ring_area_m2(h),
     )
     return outer - hole_sum
+
+
+def simplify_radial_m(geom: Column, eps_m: float) -> Column:
+    """Radial-distance line simplification (the sequential-fold member
+    of the ST_Simplify family PostGIS rendering pipelines run before
+    drawing low zooms): keep the first vertex, then every vertex at
+    least ``eps_m`` (haversine) from the LAST KEPT vertex, and always
+    the final vertex (endpoints preserved). One array fold — codegen,
+    no UDF, and no recursion stack (unlike Douglas-Peucker), so it
+    vectorizes per-row at any scale. Lines with ≤ 2 vertices pass
+    through unchanged; NULL stays NULL."""
+    from .geo import haversine_m
+
+    g = geom
+
+    def step(acc: Column, v: Column) -> Column:
+        last = F.element_at(acc, -1)
+        return F.when(
+            haversine_m(last["lng"], last["lat"], v["lng"], v["lat"]) >= eps_m,
+            F.concat(acc, F.array(v)),
+        ).otherwise(acc)
+
+    middle = F.slice(g, 2, F.greatest(F.size(g) - 2, F.lit(0)))
+    kept = F.aggregate(middle, F.slice(g, 1, 1), step)
+    with_last = F.concat(kept, F.slice(g, F.size(g), 1))
+    return F.when(F.size(g) <= 2, g).otherwise(with_last)

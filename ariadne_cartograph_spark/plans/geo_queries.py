@@ -1008,3 +1008,66 @@ def osm_polygon_way_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("way_area"), "id")
         .limit(10)
     )
+
+
+@register(
+    "geo_line_simplify",
+    tags=["P14", "P2"],
+    oracle=f"""
+WITH RECURSIVE pts AS (
+  SELECT l_orderkey AS gid, l_linenumber AS pos,
+         {_LI_LNG} AS lng, {_LI_LAT} AS lat
+  FROM lineitem),
+ordered AS (
+  SELECT gid, lng, lat,
+         row_number() OVER (PARTITION BY gid ORDER BY pos, lng, lat) AS rn,
+         count(*) OVER (PARTITION BY gid) AS n
+  FROM pts),
+walk(gid, rn, n, klng, klat, kept, d) AS (
+  SELECT gid, rn, n, lng, lat, TRUE, CAST(0.0 AS DOUBLE) FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.gid, o.rn, o.n,
+         CASE WHEN k.keep THEN o.lng ELSE w.klng END,
+         CASE WHEN k.keep THEN o.lat ELSE w.klat END,
+         k.keep,
+         CASE WHEN k.keep THEN dd.dist ELSE 0.0 END
+  FROM walk w
+  JOIN ordered o ON o.gid = w.gid AND o.rn = w.rn + 1,
+  LATERAL (SELECT 2 * 6371008.8 * asin(sqrt(
+             sin((o.lat - w.klat) * pi() / 180 / 2) ^ 2
+             + cos(w.klat * pi() / 180) * cos(o.lat * pi() / 180)
+               * sin((o.lng - w.klng) * pi() / 180 / 2) ^ 2)) AS dist) dd,
+  LATERAL (SELECT (o.rn = o.n OR dd.dist >= 400.0) AS keep) k)
+SELECT gid,
+       CAST(max(n) AS INT) AS n_before,
+       CAST(count(*) FILTER (WHERE kept) AS INT) AS n_after,
+       CAST(sum(CASE WHEN kept THEN d ELSE 0.0 END) AS FLOAT) AS simplified_m
+FROM walk
+GROUP BY gid
+ORDER BY gid
+""",
+)
+def geo_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial-distance line simplification (functions/geometry.
+    simplify_radial_m — the ST_Simplify-family generalization step a
+    rendering pipeline runs before low zooms) over the synthetic
+    lineitem ways: per way, vertex counts before/after at ε = 400 m
+    and the simplified length. The oracle replays the SEQUENTIAL
+    keep-if-far-from-last-kept recurrence with a recursive-CTE walk
+    over ordered vertices (it cannot be a window function — the state
+    depends on the last KEPT vertex, not the previous row), using the
+    identical haversine; kept-segment distances sum to exactly the
+    engine's linestring_length_m over the simplified array."""
+    from ..functions.geometry import linestring_length_m, simplify_radial_m
+
+    ways = ways_from_lineitem(spark, sf_dir)
+    simp = simplify_radial_m(F.col("geom"), 400.0)
+    return (
+        ways.select(
+            "gid",
+            F.size("geom").alias("n_before"),
+            F.size(simp).alias("n_after"),
+            linestring_length_m(simp).cast("float").alias("simplified_m"),
+        )
+        .orderBy("gid")
+    )

@@ -304,3 +304,34 @@ def test_polygon_area_mercator_shoelace(spark):
     x0, y0 = proj(10.0, 45.0)
     x1, y1 = proj(10.1, 45.1)
     assert py_ring_area(sq) == pytest.approx((x1 - x0) * (y1 - y0), rel=1e-9)
+
+
+def test_simplify_radial_semantics(spark):
+    """Endpoints always kept; middle vertices kept iff >= eps from the
+    LAST KEPT vertex (sequential, not pairwise); <=2-vertex lines pass
+    through. 1 deg lat ~ 111.2 km, so eps=150km drops 0.5-deg steps
+    that pairwise-spacing logic would keep."""
+    from pyspark.sql import functions as F
+
+    from ariadne_cartograph_spark.functions.geometry import simplify_radial_m
+
+    pt = "struct<lng:double,lat:double>"
+    # walk north in 0.5-deg steps: each step ~55.6km < eps, but every
+    # third accumulates ~166km from the last kept -> kept
+    walk = [{"lng": 0.0, "lat": 0.5 * i} for i in range(7)]
+    two = [{"lng": 0.0, "lat": 0.0}, {"lng": 0.0, "lat": 0.1}]
+    df = spark.createDataFrame(
+        [(1, walk), (2, two)], f"i int, geom array<{pt}>"
+    )
+    got = {
+        r["i"]: [p["lat"] for p in r["s"]]
+        for r in df.select(
+            "i", simplify_radial_m(F.col("geom"), 150_000.0).alias("s")
+        ).collect()
+    }
+    # kept: start 0.0; 1.5 (166km from 0); 3.0 (166km from 1.5); then
+    # the endpoint 3.0? no - endpoint is lat 3.0 at index 6, already
+    # kept by distance; appended unconditionally as the final vertex.
+    assert got[1][0] == 0.0 and got[1][-1] == 3.0
+    assert all(b - a >= 1.4999 for a, b in zip(got[1], got[1][1:-1]))
+    assert got[2] == [0.0, 0.1]  # <=2 vertices: unchanged
