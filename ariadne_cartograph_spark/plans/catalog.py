@@ -71,100 +71,81 @@ def _load_all() -> None:
 # window), not redundant capability.
 DRIVER_WINDOW = 50
 
+# r9 rotation (the big sweep): after r1-r8 the cumulative set of
+# entries that have EVER received a driver hash stood at 91 of 158.
+# This window keeps only the 9 "anchor" entries that are the sole
+# oracled carriers of their tags (A2/A3 + J2/P7/S2/S3 →
+# ways_enrichment_pipeline, A4 → q1, P1 → q6, J5 → merge_upsert_metadata,
+# T3 → events_stream_batch_parity, T6 → docs_incremental_dedup_parity,
+# P3 → scalar_json_extract, W5 → set_union_all_counts, S7 →
+# osm_ingest_feature_tables) and fills the other 41 slots with entries
+# that have never been driver-hashed — including geo_line_simplify,
+# the only P2 carrier, red in test_catalog_window since r7. The 26
+# never-hashed entries still outside (text/corpus/embedding family)
+# rotate in at r10, completing the 158/158 cumulative sweep.
 WINDOW_ORDER: list[str] = [
-    # TPC-H-style headline queries (A4/A5/J6/W4/P1/P14, parquet scan S10)
-    # r7 rotation: q10 moved to the tail (its J6/A5/W4 tags are each
-    # covered 4+× in-window) to surface a newly-oracled operator.
+    # anchors: sole oracled carriers of their §2 tags (see above)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
     "q6_forecast_revenue",
-    # flagship reference dataflow (E1: S1-S3/J2/P4-P7/A1-A3/U1-U2)
     "ways_enrichment_pipeline",
-    # upsert sink + streaming parity (S4/J1/J5, S11/T1-T5). r7
-    # rotation: the bucketed copy-on-write MERGE materialization joins
-    # its plain twin under the driver hash (embedding_near_dup moved to
-    # the tail — its U4/W6 tags are each covered 6+× in-window).
     "merge_upsert_metadata",
-    "merge_upsert_bucketed",
     "events_stream_batch_parity",
-    "events_stream_dedup_parity",
-    "events_stream_session_parity",
-    # temporal batch surface (T2/W3/A5, J6 interval + as-of)
-    "sessionize_bounds",
-    "events_click_purchase_interval",
-    "events_median_normalize",
-    "asof_purchase_after_signup",
-    # text analysis + dedup family (U5/W6/U4). r7 rotation:
-    # text_token_stats and text_quality_metrics moved to the tail (U5
-    # is covered 6+× in-window) for the two entries that gained full
-    # value-hash oracles this round (winnowing fingerprint + sub-word
-    # budget; trajectory top-k) and the hybrid BM25+cosine RRF fusion.
-    "text_rolling_fingerprint",
-    # r6 addition under the driver hash: in-engine bigram-LM quality
-    # scoring (sessionize_user_stats moved to the tail — its T2/W3/A5
-    # tags are all window-covered by sessionize_bounds and the
-    # aggregates above)
-    "text_bigram_lm_quality",
-    "text_hybrid_retrieval_rrf",
-    "text_gopher_quality_filters",
-    "text_pii_redact",
-    "text_bm25_topk",
-    "corpus_curation_funnel",
-    "text_fingerprint_exact_dedup",
-    "dedup_cluster_resolution",
-    # r7 continuation rotation: quality-aware canonical selection joins
-    # its min-id sibling under the driver hash; ngram_jaccard_near_dup
-    # moved to the tail (its W6/U4 tags are covered 10+× in-window and
-    # its marquee auto-routed twin ngram_jaccard_skewed_corpus stays).
-    "dedup_keep_best_quality",
-    "ngram_jaccard_skewed_corpus",
-    "minhash_lsh_near_dup",
-    "simhash_near_dup",
-    "text_lang_id",
-    # T6 evidence in-window: the incremental crawl-ingest dedup filter
-    # (winnowing moved to the tail — U5 is covered 8× inside the window)
     "docs_incremental_dedup_parity",
-    # similarity search over embeddings (U4). r7 continuation rotation:
-    # similarity_ann_lsh to the tail (U4 covered 13× in-window; the
-    # IVF + IVF-PQ + exact-topk ANN evidence stays) for the OPTIMIZE →
-    # stats-pruned scan pipeline (S4/S10 read side under the hash).
-    "similarity_topk_cosine",
-    "merge_optimize_pruned_scan",
-    "similarity_ann_ivf",
-    "embedding_semantic_dedup",
-    # multimodal columns (U3)
-    "multimodal_image_stats",
-    "multimodal_frame_means",
-    "multimodal_audio_stats",
-    "multimodal_resize_pipeline",
-    # geo / OSM (P5/P6/P14/J4/S6/S8/P12/P13/W1). r7 rotation:
-    # geo_haversine_user_path to the tail (P14 covered by
-    # text_pii_redact/scalar_json_extract, W3 by sessionize_bounds) for
-    # the new splittable-PBF ingest parity entry.
-    "geo_tile_projection",
-    "geo_grid_cell_density",
-    "osm_ingest_feature_tables",
-    "osm_ingest_pbf_parity",
-    "osm_topology_edges",
-    "osm_poi_nearest_edge",
-    "osm_turn_restrictions",
-    "trajectory_jaccard_pairs",
-    "trajectory_topk_similar",
-    # relational operator evidence (W5, P3/P14; the approx-distinct
-    # probe and the J6 semi/anti/outer/range + subquery +
-    # grouping-structure probes sit in the tail — their tags are
-    # already window-covered by q3/q5/q10, the joins above, and the A5
-    # aggregates). r7 rotation 2: the newly fully-oracled BPE merge
-    # training ("trained models in-engine" family) replaces
-    # agg_salted_revenue (A5, covered by q1 and the aggregates above).
-    "text_bpe_merge_train",
     "scalar_json_extract",
     "set_union_all_counts",
-    # r4 marquee addition: the FAISS-style IVF-PQ composite (coarse
-    # cells + PQ codes, both quantizers value-hashed; PageRank and the
-    # PQ encode/ADC twins sit in the tail, pytest-oracled)
-    "similarity_ann_ivfpq",
+    "osm_ingest_feature_tables",
+    # P2's only carrier — first driver hash ever (r7/r8 verdict item 1)
+    "geo_line_simplify",
+    # the 14 TPC-H shapes that never rotated in (J6/A5/W1/W4/P14)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_by_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_wealthy_inactive",
+    # iterative / routing graph algorithms (J6/A5, S8)
+    "graph_pagerank_trading",
+    "osm_route_cost_matrix",
+    "osm_route_bfs_reach",
+    # streaming parity entries never hash-checked by the driver
+    # (T1/T2/T4/T5/S11/J6/U3)
+    "events_stream_enrich_parity",
+    "events_stream_interval_join_parity",
+    "docs_stream_topk_parity",
+    # event analytics (A5/W3/T2, A1/U3 exact quantiles)
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_exact_quantiles",
+    # OSM / geo surface never hash-checked (S6/P12/E1/P5/P6/S10/J4/P13/P14)
+    "osm_style_feature_tables",
+    "osm_route_members",
+    "osm_ways_enrichment_fixture",
+    "geo_zorder_key",
+    "geo_point_in_polygon",
+    "osm_polygon_way_area",
+    "osm_tag_key_frequency",
+    # MERGE sink variants (S4/J1/J6/A5): CDC change feed, snapshot
+    # diff, metadata-only stats maintenance
+    "merge_change_feed",
+    "snapshot_change_feed",
+    "merge_stats_metadata_only",
+    # aggregate surface probes (A5/T2)
+    "agg_grouping_structures",
+    "agg_approx_percentile",
+    "agg_hll_sketch_union",
+    # LLM-pipeline entries never hash-checked (W6/U4, U5/W3)
+    "decontamination_overlap",
+    "corpus_sequence_pack",
 ]
 
 
