@@ -12,13 +12,34 @@ each keyed (node_id / way_id) — scales like any wide agg.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+if TYPE_CHECKING:
+    from ..sources.mapconfig import MapConfig
 
-def routable_ways(ways: DataFrame, highway_filter: bool = True) -> DataFrame:
-    """Filter to routable ways (mapconfig.xml analog: tagged highway)."""
+
+def routable_ways(
+    ways: DataFrame,
+    highway_filter: bool = True,
+    config: "MapConfig | None" = None,
+) -> DataFrame:
+    """Filter to routable ways.
+
+    With ``config`` (a parsed osm2pgrouting ``mapconfig.xml``,
+    `/root/reference/README.md:44` — see ``sources/mapconfig.py``), a
+    way is routable iff some configured (tag key, value) pair matches —
+    osm2pgrouting's has_class semantics, so a rail-only or
+    pedestrian-only import profile is a config file, not a code change.
+    Without one, the legacy default keeps any highway-tagged way (a
+    superset of the stock profile: unknown highway values pass).
+    Either branch is a pure column predicate on the tags map — it
+    rides the scan filter, no shuffle."""
+    if config is not None:
+        return ways.filter(config.matches("tags"))
     if not highway_filter:
         return ways
     return ways.filter(F.col("tags").getItem("highway").isNotNull())
@@ -75,15 +96,44 @@ def edge_costs(
     edges: DataFrame,
     speeds_kmh: dict[str, float] | None = None,
     default_kmh: float = 40.0,
+    config: "MapConfig | None" = None,
 ) -> DataFrame:
     """Append osm2pgrouting-style cost columns to an attributed edge
-    table (requires the highway/oneway columns
+    table (requires the highway/oneway columns + tags map
     :func:`build_topology` carries): ``length_m``, ``cost_s`` =
     seconds at the class speed, and ``reverse_cost_s`` = cost_s, or
     ``-1`` (non-traversable, the pgRouting convention) when the way is
-    oneway. Pure column math — a literal speed map lookup, no joins."""
+    oneway. Pure column math — a literal speed lookup, no joins.
+
+    With ``config``, speeds / class ids / priorities come from the
+    parsed mapconfig.xml instead of the built-in table: forward cost
+    uses the class's ``maxspeed_forward`` (falling back to
+    ``maxspeed``), reverse cost ``maxspeed_backward``, and the edge
+    additionally carries ``tag_id`` + ``class_priority`` — the
+    columns osm2pgrouting's ways table gets from the configuration."""
     from ..functions.geometry import linestring_length_m
 
+    length = linestring_length_m("geom")
+    oneway_fwd = F.col("oneway").isin("yes", "true", "1")
+    if config is not None:
+        fwd_kmh = F.coalesce(
+            config.speed_forward_kmh("tags"), F.lit(float(default_kmh))
+        )
+        bwd_kmh = F.coalesce(
+            config.speed_backward_kmh("tags"), F.lit(float(default_kmh))
+        )
+        return (
+            edges.withColumn("length_m", length)
+            .withColumn("tag_id", config.tag_id("tags"))
+            .withColumn("class_priority", config.priority("tags"))
+            .withColumn("cost_s", F.col("length_m") / (fwd_kmh / 3.6))
+            .withColumn(
+                "reverse_cost_s",
+                F.when(oneway_fwd, F.lit(-1.0)).otherwise(
+                    F.col("length_m") / (bwd_kmh / 3.6)
+                ),
+            )
+        )
     speeds = speeds_kmh or DEFAULT_SPEEDS_KMH
     speed_map = F.create_map(
         *[F.lit(x) for kv in speeds.items() for x in kv]
@@ -91,9 +141,7 @@ def edge_costs(
     kmh = F.coalesce(
         F.element_at(speed_map, F.col("highway")), F.lit(float(default_kmh))
     )
-    length = linestring_length_m("geom")
     cost = length / (kmh / 3.6)
-    oneway_fwd = F.col("oneway").isin("yes", "true", "1")
     return (
         edges.withColumn("length_m", length)
         .withColumn("cost_s", cost)

@@ -431,6 +431,82 @@ def osm_topology_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Golden census per import profile, re-derived independently in
+# tests/test_mapconfig.py: the stock profile covers all 8 fixture
+# highway classes, so its edge set is IDENTICAL to the legacy
+# highway-tagged import (604 edges / 293 ways — same as
+# _OSM_TOPOLOGY_ORACLE); the pedestrian profile keeps the 4 foot
+# classes (313 edges / 160 ways). Float sums follow the round-then-f32
+# parity policy.
+_OSM_MAPCONFIG_ORACLE = """
+SELECT * FROM (VALUES
+  ('pedestrian', CAST(313 AS BIGINT), CAST(160 AS BIGINT), CAST(4 AS BIGINT),
+   CAST(37637 AS BIGINT), CAST(10908.8 AS FLOAT), CAST(8257.3 AS FLOAT),
+   CAST(0 AS BIGINT), CAST(8928.9 AS FLOAT)),
+  ('stock', CAST(604 AS BIGINT), CAST(293 AS BIGINT), CAST(8 AS BIGINT),
+   CAST(70294 AS BIGINT), CAST(33276.8 AS FLOAT), CAST(9301.8 AS FLOAT),
+   CAST(16 AS BIGINT), CAST(33135.0 AS FLOAT))
+) t(profile, n_edges, n_ways, n_classes, sum_tag_ids, total_length_m,
+    total_cost_s, n_oneway_edges, total_weighted_cost)
+ORDER BY profile
+"""
+
+# A custom import profile (the mapconfig analog of a rail-only /
+# foot-only osm2pgrouting run): 4 foot classes with walking speeds.
+PEDESTRIAN_MAPCONFIG_XML = """\
+<configuration>
+  <tag_name name="highway" id="1">
+    <tag_value name="pedestrian" id="116" priority="1.0" maxspeed="5" />
+    <tag_value name="path"       id="119" priority="1.0" maxspeed="5" />
+    <tag_value name="footway"    id="121" priority="1.0" maxspeed="5" />
+    <tag_value name="steps"      id="124" priority="2.0" maxspeed="2" />
+  </tag_name>
+</configuration>
+"""
+
+
+@register("osm_topology_mapconfig", tags=["S8", "P12"], oracle=_OSM_MAPCONFIG_ORACLE)
+def osm_topology_mapconfig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routable import driven by a REAL osm2pgrouting mapconfig.xml
+    (README.md:44 `-c mapconfig.xml`; format parsed by
+    sources/mapconfig.py) — the declarative path for routable-way
+    selection and the class→(id, priority, speed) cost table. Two
+    profiles over the fixture: the stock osm2pgrouting config and a
+    pedestrian-only custom config, each summarized to an edge/cost
+    census. The stock profile's edge set provably equals the legacy
+    highway-tagged import on this fixture (same 604/293 census as
+    osm_topology_edges)."""
+    from ..operators.topology import build_topology, edge_costs, routable_ways
+    from ..sources.mapconfig import default_mapconfig, parse_mapconfig
+    from ..sources.osm import read_osm_elements, split_elements
+
+    t = split_elements(read_osm_elements(spark, _OSM_PATH))
+    out = None
+    for profile, cfg in (
+        ("stock", default_mapconfig()),
+        ("pedestrian", parse_mapconfig(PEDESTRIAN_MAPCONFIG_XML)),
+    ):
+        edges = build_topology(t["nodes"], routable_ways(t["ways"], config=cfg))[
+            "edges"
+        ]
+        row = edge_costs(edges, config=cfg).agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("osm_way_id").alias("n_ways"),
+            F.countDistinct("tag_id").alias("n_classes"),
+            F.sum("tag_id").cast("bigint").alias("sum_tag_ids"),
+            F.round(F.sum("length_m"), 1).cast("float").alias("total_length_m"),
+            F.round(F.sum("cost_s"), 1).cast("float").alias("total_cost_s"),
+            F.sum(F.when(F.col("reverse_cost_s") == -1.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oneway_edges"),
+            F.round(F.sum(F.col("cost_s") * F.col("class_priority")), 1)
+            .cast("float")
+            .alias("total_weighted_cost"),
+        ).select(F.lit(profile).alias("profile"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("profile")
+
+
 _OSM_POI_ORACLE = """
 SELECT CAST(14 AS BIGINT) AS n_pois,
        CAST(14 AS BIGINT) AS n_assigned,
