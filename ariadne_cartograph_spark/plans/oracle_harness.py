@@ -67,6 +67,12 @@ class ParityReport:
     oracle_cols: list[str]
     mismatches: list[tuple[str, str]] = field(default_factory=list)  # (spark, oracle)
     error: str | None = None
+    # Split clocks (r8 advice): engine-side collect vs DuckDB oracle
+    # execution, so a slow ENTRY in a sweep artifact is attributable —
+    # "the recursive-CTE oracle is the 40s, the engine side is 2s" is
+    # a different conclusion from the reverse.
+    spark_sec: float | None = None
+    oracle_sec: float | None = None
 
     def describe(self) -> str:
         if self.ok:
@@ -90,13 +96,18 @@ def compare(
     sf_dir: str,
     con: duckdb.DuckDBPyConnection | None = None,
 ) -> ParityReport:
+    import time as _time
+
     try:
+        _t0 = _time.time()
         s_rows = [tuple(r) for r in spark_df.collect()]
+        spark_sec = round(_time.time() - _t0, 3)
         s_cols = list(spark_df.columns)
         own_con = con is None
         if own_con:
             con = duckdb_connection(sf_dir)
         try:
+            _t1 = _time.time()
             # Fetch through Arrow — the driver's hasher canonicalizes the
             # Arrow representation, so type drift invisible to fetchall()
             # (e.g. DuckDB sum(int) → HUGEINT → decimal128 while Spark
@@ -117,13 +128,17 @@ def compare(
                     ),
                 )
             o_rows = [tuple(d.values()) for d in tbl.to_pylist()]
+            oracle_sec = round(_time.time() - _t1, 3)
         finally:
             if own_con:
                 con.close()
     except Exception as e:  # surface engine errors as parity failures
         return ParityReport(name, False, -1, -1, [], [], error=f"{type(e).__name__}: {e}")
 
-    report = ParityReport(name, True, len(s_rows), len(o_rows), s_cols, o_cols)
+    report = ParityReport(
+        name, True, len(s_rows), len(o_rows), s_cols, o_cols,
+        spark_sec=spark_sec, oracle_sec=oracle_sec,
+    )
     if sorted(s_cols) != sorted(o_cols) or len(s_rows) != len(o_rows):
         report.ok = False
     s_canon = canonical_rows(s_cols, s_rows)

@@ -52,6 +52,13 @@ BASELINE_QUERIES: dict[str, float] = {
 }
 REGRESSION_FACTOR = 2.0
 
+# sf1 (10x replica) ENGINE-side fences, measured by
+# tools/scale_rehearsal.py with the r9 split clock (engine collect
+# time only, oracle excluded). The rehearsal flags any entry whose
+# engine clock exceeds 2x its fence. Top engine-side entries pinned;
+# values are the r9 fresh-run measurement.
+SF1_ENGINE_FENCES: dict[str, float] = {}
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,28 +102,44 @@ def main() -> int:
 
     from ariadne_cartograph_spark.operators.dedup import release_caches
 
+    # Load-aware repeats (r8 verdict: a +3.9% drift on a ZERO-line diff
+    # could only be diagnosed by hand). Each query runs `repeats` times
+    # and records the MIN — the machine-load-independent number — plus
+    # os.getloadavg() before/after the whole loop so an artifact from a
+    # busy host is visibly from a busy host.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    load_start = [round(x, 2) for x in os.getloadavg()]
+
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, fn in sorted(headline.items()):
-        t0 = time.time()
-        # A single broken query must not take the whole bench down — a
-        # harness that can't produce numbers under partial failure is
-        # itself a correctness bug (r3 lost all 15 healthy timings to
-        # one analysis exception).
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(repeats):
+            t0 = time.time()
+            # A single broken query must not take the whole bench down —
+            # a harness that can't produce numbers under partial failure
+            # is itself a correctness bug (r3 lost all 15 healthy
+            # timings to one analysis exception).
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+                release_caches()
+                runs = []
+                break
+            runs.append(round(time.time() - t0, 3))
+            # Near-dup builders persist their shingle frames; release
+            # them between runs so each run measures the query cold
+            # rather than accumulating cached partitions.
             release_caches()
+        if not runs:
             continue
-        timings[name] = round(time.time() - t0, 3)
-        # Near-dup builders persist their shingle frames; release them
-        # between queries so a bench loop measures each query cold
-        # rather than accumulating cached partitions.
-        release_caches()
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        timings[name] = min(runs)
+        all_runs[name] = runs
+        print(f"# {name}: min {timings[name]}s of {runs} ({n} rows)", file=sys.stderr)
 
     regressions = {
         name: {"sec": t, "baseline_sec": BASELINE_QUERIES[name]}
@@ -137,6 +160,12 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Load context (r8 advice): repeats per query (min reported),
+        # 1/5/15-min load averages at loop start/end, per-run times.
+        "repeats": repeats,
+        "load_avg_start": load_start,
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "runs": all_runs,
     }
     if regressions:
         out["regressions"] = regressions

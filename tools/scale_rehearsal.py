@@ -75,24 +75,59 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        engine_sec = oracle_sec = None
         try:
             if entry.oracle is not None and name not in skip_oracle:
                 rep = compare(name, entry.fn(spark, sf_dir), entry.oracle, sf_dir, con=con)
                 status = "ok" if rep.ok else "FAIL"
                 rows = rep.spark_rows
+                engine_sec, oracle_sec = rep.spark_sec, rep.oracle_sec
                 if not rep.ok:
                     n_fail += 1
                     print(rep.describe()[:600], file=sys.stderr)
             else:
                 rows = entry.fn(spark, sf_dir).count()
                 status = "spark_only" if entry.oracle is not None else "rows_only"
+                engine_sec = round(time.time() - t0, 3)
         except Exception as exc:
             status, rows = "ERROR", -1
             n_fail += 1
             print(f"# {name}: {type(exc).__name__}: {exc}"[:600], file=sys.stderr)
         dt = round(time.time() - t0, 2)
-        results[name] = {"status": status, "rows": rows, "sec": dt}
-        print(f"# {name}: {status} {rows} rows {dt}s", file=sys.stderr)
+        # Split clocks (r8 advice): `sec` is wall total (plan build +
+        # engine + oracle); engine_sec is the Spark collect alone,
+        # oracle_sec the DuckDB execution alone — so a slow entry is
+        # attributable to the right side.
+        results[name] = {
+            "status": status, "rows": rows, "sec": dt,
+            "engine_sec": engine_sec, "oracle_sec": oracle_sec,
+        }
+        print(
+            f"# {name}: {status} {rows} rows {dt}s"
+            f" (engine {engine_sec}s / oracle {oracle_sec}s)",
+            file=sys.stderr,
+        )
+
+    # sf1 engine-side fences (pinned in bench.py next to the sf0.1
+    # fences): flag any entry whose ENGINE clock blows past 2x its
+    # pinned minimum — oracle-side drift (DuckDB recursive CTEs etc.)
+    # can't hide an engine regression anymore.
+    try:
+        from bench import SF1_ENGINE_FENCES, REGRESSION_FACTOR
+    except ImportError:
+        SF1_ENGINE_FENCES, REGRESSION_FACTOR = {}, 2.0
+    regressions = {
+        name: {"engine_sec": r["engine_sec"], "fence_sec": SF1_ENGINE_FENCES[name]}
+        for name, r in results.items()
+        if name in SF1_ENGINE_FENCES
+        and r["engine_sec"] is not None
+        and r["engine_sec"] > REGRESSION_FACTOR * SF1_ENGINE_FENCES[name]
+    }
+    for name, r in regressions.items():
+        print(
+            f"# ENGINE REGRESSION {name}: {r['engine_sec']}s vs fence {r['fence_sec']}s",
+            file=sys.stderr,
+        )
 
     summary = {
         "sf_dir": sf_dir,
@@ -101,6 +136,13 @@ def main() -> int:
         "n_hash_checked": sum(1 for r in results.values() if r["status"] in ("ok", "FAIL")),
         "n_spark_only": sum(1 for r in results.values() if r["status"] == "spark_only"),
         "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "total_engine_sec": round(
+            sum(r["engine_sec"] or 0.0 for r in results.values()), 1
+        ),
+        "total_oracle_sec": round(
+            sum(r["oracle_sec"] or 0.0 for r in results.values()), 1
+        ),
+        "engine_regressions": regressions,
         "entries": results,
     }
     with open(out_path, "w") as f:
