@@ -17,6 +17,8 @@ the signature path.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -65,6 +67,25 @@ def release_caches() -> None:
     results are unaffected, un-materialized plans just recompute."""
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist()
+
+
+@contextlib.contextmanager
+def cache_scope():
+    """Exception-safe auto-release (r7 polish item): persists tracked
+    INSIDE the with-block are unpersisted on exit; caches created
+    before entry are untouched, so scopes nest.
+
+        with cache_scope():
+            pairs = minhash_lsh_pairs(docs, ...)
+            pairs.count()   # materialize while shingle frames are hot
+        # shingle persists released here, even on exception
+    """
+    mark = len(_LIVE_CACHES)
+    try:
+        yield
+    finally:
+        while len(_LIVE_CACHES) > mark:
+            _LIVE_CACHES.pop().unpersist()
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
