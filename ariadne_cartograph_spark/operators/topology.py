@@ -97,6 +97,7 @@ def edge_costs(
     speeds_kmh: dict[str, float] | None = None,
     default_kmh: float = 40.0,
     config: "MapConfig | None" = None,
+    use_way_maxspeed: bool = False,
 ) -> DataFrame:
     """Append osm2pgrouting-style cost columns to an attributed edge
     table (requires the highway/oneway columns + tags map
@@ -110,7 +111,14 @@ def edge_costs(
     uses the class's ``maxspeed_forward`` (falling back to
     ``maxspeed``), reverse cost ``maxspeed_backward``, and the edge
     additionally carries ``tag_id`` + ``class_priority`` — the
-    columns osm2pgrouting's ways table gets from the configuration."""
+    columns osm2pgrouting's ways table gets from the configuration.
+
+    ``use_way_maxspeed=True`` additionally honors the way's own OSM
+    ``maxspeed=*`` tag (with ``maxspeed:forward``/``:backward``
+    per-direction variants taking precedence; mph converted, junk
+    values ignored) over the class default — what osm2pgrouting does
+    at import time. Opt-in so the pure class-table cost model stays
+    the reproducible default."""
     from ..functions.geometry import linestring_length_m
 
     length = linestring_length_m("geom")
@@ -122,6 +130,22 @@ def edge_costs(
         bwd_kmh = F.coalesce(
             config.speed_backward_kmh("tags"), F.lit(float(default_kmh))
         )
+        if use_way_maxspeed:
+            from ..sources.mapconfig import way_maxspeed_kmh
+
+            t = F.col("tags")
+            fwd_kmh = F.coalesce(
+                way_maxspeed_kmh(
+                    F.coalesce(t.getItem("maxspeed:forward"), t.getItem("maxspeed"))
+                ),
+                fwd_kmh,
+            )
+            bwd_kmh = F.coalesce(
+                way_maxspeed_kmh(
+                    F.coalesce(t.getItem("maxspeed:backward"), t.getItem("maxspeed"))
+                ),
+                bwd_kmh,
+            )
         return (
             edges.withColumn("length_m", length)
             .withColumn("tag_id", config.tag_id("tags"))

@@ -133,6 +133,21 @@ class MapConfig:
         ]
 
 
+def way_maxspeed_kmh(raw: Column) -> Column:
+    """Parse an OSM ``maxspeed=*`` tag value to km/h, osm2pgrouting's
+    per-way speed override: plain numbers are km/h, ``X mph`` converts
+    at 1.609344, and non-numeric values (``none``, ``signals``,
+    ``walk``) yield NULL so the caller falls back to the class speed.
+    Pure column expression (regexp + arithmetic), no UDF."""
+    s = F.trim(F.lower(raw))
+    num_str = F.regexp_extract(s, r"^(\d+(\.\d+)?)", 1)
+    num = F.when(num_str == "", F.lit(None)).otherwise(num_str.cast("double"))
+    is_mph = s.rlike(r"mph\s*$")
+    return F.when(num.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(is_mph, num * 1.609344).otherwise(num)
+    )
+
+
 def parse_mapconfig(text: str) -> MapConfig:
     """Parse mapconfig XML text. Raises ValueError on a structurally
     invalid document (missing name/id attributes, non-numeric speeds,

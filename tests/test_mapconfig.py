@@ -207,3 +207,47 @@ def test_roundtrip_through_file(tmp_path):
     from ariadne_cartograph_spark.sources.mapconfig import load_mapconfig
 
     assert load_mapconfig(str(p)) == default_mapconfig()
+
+
+def test_way_maxspeed_parsing(spark):
+    """OSM maxspeed=* → km/h: plain km/h numbers, mph conversion,
+    junk → NULL (class fallback)."""
+    from ariadne_cartograph_spark.sources.mapconfig import way_maxspeed_kmh
+
+    df = spark.createDataFrame(
+        [("50",), ("30 mph",), ("30mph",), ("none",), ("signals",),
+         ("walk",), ("5.5",), ("  60  ",), (None,)],
+        "raw string",
+    )
+    got = [r.kmh for r in df.select(way_maxspeed_kmh(F.col("raw")).alias("kmh")).collect()]
+    exp = [50.0, 48.28032, 48.28032, None, None, None, 5.5, 60.0, None]
+    assert got == [pytest.approx(e) if e is not None else None for e in exp]
+
+
+def test_edge_costs_way_maxspeed_override(fixture_tables):
+    """The fixture's 54 mph-tagged ways: with use_way_maxspeed=True the
+    cost uses the way's own speed; untagged ways keep the class speed;
+    default stays the pure class table (opt-in, so the
+    osm_topology_mapconfig golden is unaffected)."""
+    cfg = default_mapconfig()
+    edges = build_topology(
+        fixture_tables["nodes"],
+        routable_ways(fixture_tables["ways"], config=cfg),
+    )["edges"]
+    base = edge_costs(edges, config=cfg)
+    over = edge_costs(edges, config=cfg, use_way_maxspeed=True)
+    j = (
+        base.select("gid", "length_m", F.col("cost_s").alias("base_cost"),
+                    F.col("tags").getItem("maxspeed").alias("ms"))
+        .join(over.select("gid", F.col("cost_s").alias("over_cost")), "gid")
+        .collect()
+    )
+    tagged = [r for r in j if r.ms is not None]
+    untagged = [r for r in j if r.ms is None]
+    assert tagged and untagged
+    for r in untagged:  # no way tag → identical cost
+        assert r.over_cost == r.base_cost
+    for r in tagged:  # "30 mph" etc. → cost at the converted speed
+        mph = float(r.ms.split()[0])
+        kmh = mph * 1.609344
+        assert r.over_cost == pytest.approx(r.length_m / (kmh / 3.6), rel=1e-9)
