@@ -54,10 +54,25 @@ REGRESSION_FACTOR = 2.0
 
 # sf1 (10x replica) ENGINE-side fences, measured by
 # tools/scale_rehearsal.py with the r9 split clock (engine collect
-# time only, oracle excluded). The rehearsal flags any entry whose
-# engine clock exceeds 2x its fence. Top engine-side entries pinned;
-# values are the r9 fresh-run measurement.
-SF1_ENGINE_FENCES: dict[str, float] = {}
+# time only, oracle excluded; see the clock caveats in that tool).
+# The rehearsal flags any entry whose engine clock exceeds 2x its
+# fence. Top-12 engine-side entries pinned from the r9 idle-machine
+# re-run (the full-sweep numbers ran concurrent with other work and
+# were up to 1.9x inflated — geo_line_simplify 40.0 vs 21.6 quiet).
+SF1_ENGINE_FENCES: dict[str, float] = {
+    "agg_approx_distinct": 13.4,
+    "corpus_multimodal_curation": 12.7,
+    "docs_incremental_dedup_parity": 29.0,
+    "geo_line_simplify": 21.6,
+    "ngram_jaccard_near_dup": 24.2,
+    "simhash_near_dup": 18.4,
+    "similarity_ann_ivfpq": 11.4,
+    "text_rolling_fingerprint": 28.9,
+    "text_winnow_fingerprint_md5": 18.5,
+    "trajectory_jaccard_pairs": 26.1,
+    "ways_enrichment_pipeline": 11.1,
+    "window_running_total": 12.0,
+}
 
 
 def main() -> int:

@@ -97,7 +97,13 @@ def main() -> int:
         # Split clocks (r8 advice): `sec` is wall total (plan build +
         # engine + oracle); engine_sec is the Spark collect alone,
         # oracle_sec the DuckDB execution alone — so a slow entry is
-        # attributable to the right side.
+        # attributable to the right side. Two caveats, by construction:
+        # (1) entries that materialize INSIDE their builder (iterative
+        # pagerank/routing localCheckpoints, stream drains) do that
+        # engine work before the timed collect — it shows up as
+        # sec − engine_sec − oracle_sec; (2) engine_sec includes
+        # driver-side Row conversion, so large-result entries (1M+
+        # rows) pay a collect tax a count()-style consumer would not.
         results[name] = {
             "status": status, "rows": rows, "sec": dt,
             "engine_sec": engine_sec, "oracle_sec": oracle_sec,
