@@ -149,6 +149,71 @@ WINDOW_ORDER: list[str] = [
 ]
 
 
+# Round-10 window, PRE-STAGED (r9 insurance against an empty round:
+# next round's rotation is `WINDOW_ORDER = WINDOW_ORDER_R10`, one
+# line). Same 9 anchors; the 27 entries that will then be the only
+# ones never driver-hashed (cumulative r1-r9 union = 132 of 159);
+# geo_line_simplify / osm_poi_nearest_edge / events_stream_dedup_parity
+# carry P2/J4/T4 (whose never-hashed carriers run out); the tail picks
+# hashed-exactly-once window/subquery/join/topk shapes. Invariants
+# (size, tag coverage, oracles) are asserted by
+# tests/test_catalog_window.py for THIS list too, so the swap cannot
+# break the suite. After r10 the cumulative driver-hashed union is
+# 159/159.
+WINDOW_ORDER_R10: list[str] = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "ways_enrichment_pipeline",
+    "merge_upsert_metadata",
+    "events_stream_batch_parity",
+    "docs_incremental_dedup_parity",
+    "scalar_json_extract",
+    "set_union_all_counts",
+    "osm_ingest_feature_tables",
+    "ngram_containment_pairs",
+    "similarity_ann_ivf_trained",
+    "embedding_pq_encode",
+    "embedding_pq_adc_topk",
+    "embedding_label_norms",
+    "text_tfidf_probe_terms",
+    "text_token_shards",
+    "text_chunking",
+    "embedding_int8_quantize",
+    "corpus_domain_mixture_sample",
+    "corpus_hash_split",
+    "corpus_stratified_sample",
+    "text_normalized_exact_dedup",
+    "text_chunk_dedup",
+    "embedding_knn_label_vote",
+    "text_vocab_coverage",
+    "corpus_leakage_safe_split",
+    "text_token_topk_sketch",
+    "corpus_importance_resample",
+    "text_bpe_corpus_encode",
+    "text_repetition_profile",
+    "text_unigram_logprob",
+    "text_repeated_spans",
+    "corpus_multimodal_curation",
+    "corpus_domain_cap",
+    "text_quality_logreg",
+    "osm_topology_mapconfig",
+    "geo_line_simplify",
+    "osm_poi_nearest_edge",
+    "events_stream_dedup_parity",
+    "window_range_frame",
+    "window_rank_variants",
+    "window_lag_lead_events",
+    "window_topn_per_group",
+    "subquery_above_avg_orders",
+    "subquery_correlated_max_item",
+    "subquery_exists_waiting_orders",
+    "join_anti_customers_without_orders",
+    "join_outer_customer_order_stats",
+    "join_range_price_band",
+    "topk_orders_by_price",
+]
+
+
 def _ordered() -> dict[str, CatalogEntry]:
     _load_all()
     missing = [n for n in WINDOW_ORDER if n not in REGISTRY]

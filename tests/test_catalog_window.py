@@ -6,10 +6,13 @@ driver's size."""
 
 from __future__ import annotations
 
+import pytest
+
 from ariadne_cartograph_spark.plans.catalog import (
     DRIVER_WINDOW,
     REGISTRY,
     WINDOW_ORDER,
+    WINDOW_ORDER_R10,
     get_oracles,
     get_queries,
 )
@@ -39,3 +42,23 @@ def test_window_entries_are_oracled():
     oracles = get_oracles()
     missing = [n for n in WINDOW_ORDER if n not in oracles]
     assert missing == [], f"window entries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("window", [WINDOW_ORDER, WINDOW_ORDER_R10], ids=["r9", "r10"])
+def test_prestaged_windows_hold_all_invariants(window):
+    """The pre-staged round-10 rotation (catalog.WINDOW_ORDER_R10) must
+    satisfy the same invariants as the live window NOW, so next round's
+    one-line swap cannot break the suite: driver-sized, no dupes, every
+    entry registered + oracled, every operator tag covered."""
+    get_queries()
+    assert len(window) == DRIVER_WINDOW
+    assert len(set(window)) == len(window)
+    missing = [n for n in window if n not in REGISTRY]
+    assert missing == [], f"unregistered: {missing}"
+    assert [n for n in window if REGISTRY[n].oracle is None] == []
+    all_tags, win_tags = set(), set()
+    for name, e in REGISTRY.items():
+        all_tags.update(e.tags)
+        if name in set(window):
+            win_tags.update(e.tags)
+    assert all_tags - win_tags == set()
