@@ -152,14 +152,14 @@ WINDOW_ORDER: list[str] = [
 # Round-10 window, PRE-STAGED (r9 insurance against an empty round:
 # next round's rotation is `WINDOW_ORDER = WINDOW_ORDER_R10`, one
 # line). Same 9 anchors; the 27 entries that will then be the only
-# ones never driver-hashed (cumulative r1-r9 union = 132 of 159);
+# ones never driver-hashed (cumulative r1-r9 union = 132 of 160);
 # geo_line_simplify / osm_poi_nearest_edge / events_stream_dedup_parity
 # carry P2/J4/T4 (whose never-hashed carriers run out); the tail picks
 # hashed-exactly-once window/subquery/join/topk shapes. Invariants
 # (size, tag coverage, oracles) are asserted by
 # tests/test_catalog_window.py for THIS list too, so the swap cannot
 # break the suite. After r10 the cumulative driver-hashed union is
-# 159/159.
+# 160/160.
 WINDOW_ORDER_R10: list[str] = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -210,7 +210,10 @@ WINDOW_ORDER_R10: list[str] = [
     "join_anti_customers_without_orders",
     "join_outer_customer_order_stats",
     "join_range_price_band",
-    "topk_orders_by_price",
+    # r9 addition, never hashed: the OsmChange incremental diff path
+    # (its W4-carrying alternative topk_orders_by_price is hashed once
+    # already and W4 rides text_token_topk_sketch in this window)
+    "osm_diff_incremental_parity",
 ]
 
 

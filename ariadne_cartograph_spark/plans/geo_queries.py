@@ -507,6 +507,160 @@ def osm_topology_mapconfig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("profile")
 
 
+# A deterministic OsmChange changeset over REAL fixture ids (the
+# osm2pgsql --append replication path, README.md:19): deletes 3
+# unreferenced amenity nodes + one modify-then-delete node, moves 2
+# way-referenced nodes (shifting geometry), retags Oakdale Street
+# residential→tertiary, creates a 2-node footway, and exercises the
+# last-op-wins collapse (create→modify on one node). Shared with
+# tests/test_osm_diff.py, which pins the per-operation semantics.
+OSC_DELETED_AMENITY_NODES = (571718697, 1841515694, 2030772619)
+OSC_MOVED_NODES = (26850937, 26850938)
+OSC_RETAGGED_WAY = 13302656
+OSC_NEW_NODES = (9000000001, 9000000002)
+OSC_NEW_WAY = 900000001
+OSC_CREATE_THEN_MODIFY_NODE = 9000000003
+OSC_MODIFY_THEN_DELETE_NODE = 2030772624
+
+EXAMPLE_OSC_XML = f"""<?xml version="1.0" encoding="UTF-8"?>
+<osmChange version="0.6" generator="test">
+  <create>
+    <node id="{OSC_NEW_NODES[0]}" version="1" lat="34.1400" lon="-118.1200"/>
+    <node id="{OSC_NEW_NODES[1]}" version="1" lat="34.1401" lon="-118.1202"/>
+    <node id="{OSC_CREATE_THEN_MODIFY_NODE}" version="1" lat="34.1402" lon="-118.1204">
+      <tag k="amenity" v="bench"/>
+    </node>
+    <way id="{OSC_NEW_WAY}" version="1">
+      <nd ref="{OSC_NEW_NODES[0]}"/>
+      <nd ref="{OSC_NEW_NODES[1]}"/>
+      <tag k="highway" v="footway"/>
+      <tag k="name" v="New Path"/>
+    </way>
+  </create>
+  <modify>
+    <node id="{OSC_MOVED_NODES[0]}" version="2" lat="34.1232406" lon="-118.1347192"/>
+    <node id="{OSC_MOVED_NODES[1]}" version="2" lat="34.1227361" lon="-118.1333888"/>
+    <node id="{OSC_MODIFY_THEN_DELETE_NODE}" version="2" lat="34.1403" lon="-118.1206"/>
+    <node id="{OSC_CREATE_THEN_MODIFY_NODE}" version="2" lat="34.1402" lon="-118.1204">
+      <tag k="amenity" v="cafe"/>
+    </node>
+    <way id="{OSC_RETAGGED_WAY}" version="2">
+      <nd ref="122714882"/>
+      <nd ref="122714883"/>
+      <nd ref="122714885"/>
+      <nd ref="122714890"/>
+      <nd ref="122714892"/>
+      <tag k="highway" v="tertiary"/>
+      <tag k="name" v="Oakdale Street"/>
+    </way>
+  </modify>
+  <delete>
+    <node id="{OSC_DELETED_AMENITY_NODES[0]}" version="2"/>
+    <node id="{OSC_DELETED_AMENITY_NODES[1]}" version="2"/>
+    <node id="{OSC_DELETED_AMENITY_NODES[2]}" version="2"/>
+    <node id="{OSC_MODIFY_THEN_DELETE_NODE}" version="3"/>
+  </delete>
+</osmChange>
+"""
+
+
+def ensure_osc_fixture() -> str:
+    """Materialize the changeset once under /tmp (content-stable), like
+    ensure_pbf_fixture does for the PBF parity entry."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_example.osc")
+    if not os.path.exists(path) or open(path).read() != EXAMPLE_OSC_XML:
+        with open(path, "w") as f:
+            f.write(EXAMPLE_OSC_XML)
+    return path
+
+
+_OSM_DIFF_ORACLE = """
+SELECT CAST(3 AS BIGINT) AS n_affected_ways,
+       CAST(3 AS BIGINT) AS n_rebuilt_ways,
+       CAST(0 AS BIGINT) AS n_deleted_ways,
+       CAST(0 AS BIGINT) AS n_incremental_vs_full_mismatch,
+       CAST(6222 AS BIGINT) AS patched_nodes,
+       CAST(1092 AS BIGINT) AS patched_ways,
+       CAST(149 AS BIGINT) AS sum_rebuilt_vertices,
+       CAST(1149330019 AS BIGINT) AS sum_affected_way_ids
+"""
+
+
+@register("osm_diff_incremental_parity", tags=["S7", "S6"], oracle=_OSM_DIFF_ORACLE)
+def osm_diff_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OsmChange replication diff applied two ways — the incremental
+    path (broadcast anti-join apply + blast-radius-only geometry
+    recompute, sources/osm_diff.py) and the full re-assembly of the
+    patched elements — with the row-level mismatch count between them
+    under the hash (must be 0). The census is golden: blast radius,
+    rebuilt rows, patched element counts, exact vertex/id checksums."""
+    from ..sources.osm import assemble_way_geometries
+    from ..sources.osm_diff import (
+        apply_osc,
+        incremental_way_geometries,
+        read_osc_elements,
+    )
+    from ..sources.osm import read_osm_elements, split_elements
+
+    base = read_osm_elements(spark, _OSM_PATH)
+    diff = read_osc_elements(spark, ensure_osc_fixture())
+    patched_el = apply_osc(base, diff)
+    patched = split_elements(patched_el)
+    inc = incremental_way_geometries(patched["nodes"], patched["ways"], diff)
+    full = assemble_way_geometries(patched["nodes"], patched["ways"])
+    aff = inc["affected"]
+    # canonical per-way geometry fingerprint (1e-7 integer quantization,
+    # exact under the parsers' e7 representation) for the mismatch join
+    def fp(df):
+        return df.select(
+            "id",
+            F.hash(
+                F.to_json(
+                    F.transform(
+                        "geom",
+                        lambda p: F.struct(
+                            F.round(p["lng"] * 1e7).cast("long").alias("x"),
+                            F.round(p["lat"] * 1e7).cast("long").alias("y"),
+                        ),
+                    )
+                )
+            ).alias("fp"),
+        )
+
+    full_aff = full.join(F.broadcast(aff), full["id"] == aff["way_id"]).drop("way_id")
+    mismatch = (
+        fp(inc["rebuilt"])
+        .join(fp(full_aff).withColumnRenamed("fp", "fp2"), "id", "full_outer")
+        .filter(
+            F.col("fp").isNull() | F.col("fp2").isNull() | (F.col("fp") != F.col("fp2"))
+        )
+    )
+    # census assembly: the frames are changeset-sized (blast radius),
+    # so the handful of driver-side aggregates here are O(diff), not
+    # O(table) — same pattern as the other golden-census entries.
+    aff = aff.localCheckpoint(eager=True)
+    rebuilt = inc["rebuilt"].localCheckpoint(eager=True)
+    aff_stats = aff.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("way_id").alias("s")
+    ).collect()[0]
+    reb_stats = rebuilt.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("geom")).alias("v")
+    ).collect()[0]
+    return spark.range(1).select(
+        F.lit(aff_stats["n"]).cast("bigint").alias("n_affected_ways"),
+        F.lit(reb_stats["n"]).cast("bigint").alias("n_rebuilt_ways"),
+        F.lit(inc["deleted"].count()).cast("bigint").alias("n_deleted_ways"),
+        F.lit(mismatch.count()).cast("bigint").alias("n_incremental_vs_full_mismatch"),
+        F.lit(patched["nodes"].count()).cast("bigint").alias("patched_nodes"),
+        F.lit(patched["ways"].count()).cast("bigint").alias("patched_ways"),
+        F.lit(reb_stats["v"]).cast("bigint").alias("sum_rebuilt_vertices"),
+        F.lit(aff_stats["s"]).cast("bigint").alias("sum_affected_way_ids"),
+    )
+
+
 _OSM_POI_ORACLE = """
 SELECT CAST(14 AS BIGINT) AS n_pois,
        CAST(14 AS BIGINT) AS n_assigned,

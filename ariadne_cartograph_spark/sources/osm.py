@@ -165,6 +165,10 @@ def typed_elements(parsed: DataFrame) -> DataFrame:
             ]
         )
     )
+    # The OsmChange reader (sources/osm_diff.py) parses into the same
+    # schema plus an `op` column — carry it through when present so
+    # the typed frame stays the single shared representation.
+    extra = ["op"] if "op" in parsed.columns else []
     return parsed.select(
         "kind",
         "id",
@@ -179,6 +183,7 @@ def typed_elements(parsed: DataFrame) -> DataFrame:
         F.from_json("tags_json", "map<string,string>").alias("tags"),
         "node_refs",
         F.from_json("members_json", members_type).alias("members"),
+        *extra,
     )
 
 

@@ -1,0 +1,146 @@
+"""OsmChange (.osc) incremental diff application — osm2pgsql's
+``--append`` replication path (`/root/reference/README.md:19`),
+re-expressed as broadcast anti-join + blast-radius recompute.
+
+The changeset below is synthesized over REAL fixture ids
+(`/root/reference/osm/example.osm`): it deletes unreferenced amenity
+nodes, moves two way-referenced nodes (shifting geometry), retags a
+residential way to tertiary, creates a new footway, and exercises the
+last-op-wins collapse (create → modify on one node, modify → delete on
+another)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_cartograph_spark.sources.osm import (
+    assemble_way_geometries,
+    read_osm_elements,
+    split_elements,
+)
+from ariadne_cartograph_spark.sources.osm_diff import (
+    affected_way_ids,
+    apply_osc,
+    incremental_way_geometries,
+    net_changes,
+    node_way_index,
+    read_osc_elements,
+)
+
+from ariadne_cartograph_spark.plans.geo_queries import (
+    EXAMPLE_OSC_XML,
+    OSC_CREATE_THEN_MODIFY_NODE as CREATE_THEN_MODIFY_NODE,
+    OSC_DELETED_AMENITY_NODES as DELETED_AMENITY_NODES,
+    OSC_MODIFY_THEN_DELETE_NODE as MODIFY_THEN_DELETE_NODE,
+    OSC_MOVED_NODES as MOVED_NODES,
+    OSC_NEW_NODES as NEW_NODES,
+    OSC_NEW_WAY as NEW_WAY,
+    OSC_RETAGGED_WAY as RETAGGED_WAY,
+)
+
+FIXTURE = "/root/reference/osm/example.osm"
+
+
+@pytest.fixture(scope="module")
+def osc_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("osc") / "change.osc"
+    p.write_text(EXAMPLE_OSC_XML)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return read_osm_elements(spark, FIXTURE).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def diff(spark, osc_path):
+    return read_osc_elements(spark, osc_path).localCheckpoint(eager=True)
+
+
+def test_parse_ops_and_schema(diff, base):
+    assert set(base.columns) | {"op"} == set(diff.columns)
+    by_op = {r["op"]: r["n"] for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    assert by_op == {"create": 4, "modify": 5, "delete": 4}
+    new_way = diff.filter(F.col("id") == NEW_WAY).collect()[0]
+    assert new_way.node_refs == list(NEW_NODES)
+    assert new_way.tags["highway"] == "footway"
+
+
+def test_net_changes_last_op_wins(diff):
+    net = {(r.kind, r.id): r for r in net_changes(diff).collect()}
+    assert net[("node", CREATE_THEN_MODIFY_NODE)].op == "modify"  # upsert survives
+    assert net[("node", CREATE_THEN_MODIFY_NODE)].tags["amenity"] == "cafe"
+    assert net[("node", MODIFY_THEN_DELETE_NODE)].op == "delete"
+    # one row per touched (kind, id)
+    assert len(net) == 11
+
+
+def test_apply_osc_semantics(base, diff):
+    patched = apply_osc(base, diff).localCheckpoint(eager=True)
+    ids = lambda df: {r.id for r in df.collect()}
+    nodes = patched.filter(F.col("kind") == "node")
+    assert not (set(DELETED_AMENITY_NODES) | {MODIFY_THEN_DELETE_NODE}) & ids(nodes)
+    assert set(NEW_NODES) | {CREATE_THEN_MODIFY_NODE} <= ids(nodes)
+    # modify replaced wholesale: moved node carries the new latitude
+    moved = nodes.filter(F.col("id") == MOVED_NODES[0]).collect()[0]
+    assert moved.lat == pytest.approx(34.1232406)
+    retag = patched.filter((F.col("kind") == "way") & (F.col("id") == RETAGGED_WAY)).collect()[0]
+    assert retag.tags["highway"] == "tertiary" and retag.tags["name"] == "Oakdale Street"
+    # net counts: -4 nodes deleted, +3 created; +1 way created
+    assert patched.count() == base.count() - 4 + 3 + 1
+
+
+def test_affected_way_ids_blast_radius(base, diff):
+    patched = apply_osc(base, diff)
+    ways = patched.filter(F.col("kind") == "way")
+    aff = {r.way_id for r in affected_way_ids(diff, ways=ways).collect()}
+    assert RETAGGED_WAY in aff and NEW_WAY in aff
+    # the moved nodes' referencing ways are in the radius
+    idx = node_way_index(ways)
+    expect = {
+        r.way_id
+        for r in idx.filter(F.col("node_id").isin(*MOVED_NODES)).collect()
+    }
+    assert expect and expect <= aff
+    # and the radius is a tiny fraction of the 1091-way fixture
+    assert len(aff) <= 8
+    # index path gives the identical answer
+    aff_idx = {r.way_id for r in affected_way_ids(diff, index=idx).collect()}
+    assert aff_idx == aff
+
+
+def test_incremental_equals_full_rebuild(base, diff):
+    """The incremental contract: recomputing ONLY the blast radius
+    yields row-identical geometry to a full re-assembly of the patched
+    elements, and untouched ways' rows are untouched."""
+    patched = split_elements(apply_osc(base, diff))
+    inc = incremental_way_geometries(patched["nodes"], patched["ways"], diff)
+    full = assemble_way_geometries(patched["nodes"], patched["ways"])
+    aff = inc["affected"]
+    canon = lambda df: sorted(
+        (r.id, tuple((p.lng, p.lat) for p in r.geom))
+        for r in df.select("id", "geom").collect()
+    )
+    full_aff = full.join(F.broadcast(aff), full["id"] == aff["way_id"]).drop("way_id")
+    assert canon(inc["rebuilt"]) == canon(full_aff)
+    # the rebuilt retagged way still has its 5 vertices; the new way has 2
+    by_id = dict(canon(inc["rebuilt"]))
+    assert len(by_id[RETAGGED_WAY]) == 5 and len(by_id[NEW_WAY]) == 2
+    assert {r.way_id for r in inc["deleted"].collect()} == set()
+
+
+def test_deleted_way_flows_through(base, spark, tmp_path):
+    osc = f"""<osmChange version="0.6">
+      <delete><way id="{RETAGGED_WAY}" version="3"/></delete>
+    </osmChange>"""
+    p = tmp_path / "del.osc"
+    p.write_text(osc)
+    diff = read_osc_elements(spark, str(p))
+    patched = apply_osc(base, diff)
+    assert patched.filter((F.col("kind") == "way") & (F.col("id") == RETAGGED_WAY)).count() == 0
+    nodes_ways = split_elements(patched)
+    inc = incremental_way_geometries(nodes_ways["nodes"], nodes_ways["ways"], diff)
+    assert {r.way_id for r in inc["deleted"].collect()} == {RETAGGED_WAY}
+    assert inc["rebuilt"].filter(F.col("id") == RETAGGED_WAY).count() == 0
