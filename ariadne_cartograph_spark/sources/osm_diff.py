@@ -176,6 +176,75 @@ def affected_way_ids(
     return direct.unionByName(via_nodes).distinct()
 
 
+def affected_relation_ids(diff: DataFrame, relations: DataFrame) -> DataFrame:
+    """Relation ids whose derived rows (multipolygons, turn
+    restrictions, route tables) must be recomputed: relations changed
+    directly, plus relations with a member among the changeset's
+    touched nodes/ways — e.g. moving a member way's node reshapes its
+    multipolygon, retagging a restriction's to-way invalidates the
+    cached restriction row. Same broadcast-probe shape as
+    :func:`affected_way_ids` (the exploded member list is the index;
+    materialize it bucketed at rest for planet-scale replication)."""
+    changes = net_changes(diff)
+    direct = changes.filter(F.col("kind") == "relation").select(
+        F.col("id").alias("relation_id")
+    )
+    touched = changes.filter(F.col("kind") != "relation").select(
+        F.col("kind").alias("m_kind"), F.col("id").alias("m_ref")
+    )
+    member_index = relations.select(
+        F.col("id").alias("relation_id"), F.explode("members").alias("m")
+    ).select(
+        "relation_id",
+        F.col("m.member_type").alias("m_kind"),
+        F.col("m.ref").alias("m_ref"),
+    )
+    via = member_index.join(F.broadcast(touched), ["m_kind", "m_ref"]).select(
+        "relation_id"
+    )
+    return direct.unionByName(via).distinct()
+
+
+def replicate_derived_ways(
+    table,
+    nodes_updated: DataFrame,
+    ways_updated: DataFrame,
+    diff: DataFrame,
+    derive,
+    index: DataFrame | None = None,
+    txn_app: str = "osm_replication",
+    txn_version: int | None = None,
+) -> dict[str, int]:
+    """Maintain a way-keyed derived table (a
+    ``operators.merge.ParquetMergeTable`` — the line feature table, the
+    geometry store, an edge table) under one replication changeset:
+
+    1. recompute ONLY the blast radius (:func:`incremental_way_geometries`),
+    2. ``derive(rebuilt)`` maps fresh geometry rows to the table's
+       schema (must carry the table's key column),
+    3. upsert those rows, delete removed ways — both under the merge
+       table's (txn_app, txn_version) exactly-once marks, so a retried
+       changeset (the osmosis sequence number) is a no-op replay.
+
+    Returns {upserted, deleted} row counts. At scale each changeset
+    touches a handful of buckets of the bucketed table — O(diff), not
+    O(table), end to end."""
+    inc = incremental_way_geometries(
+        nodes_updated, ways_updated, diff, index=index
+    )
+    rows = derive(inc["rebuilt"])
+    assert table.key in rows.columns, f"derive() must emit key {table.key!r}"
+    n_up = rows.count()
+    # two commits per changeset → two txn versions per sequence number
+    v_up = None if txn_version is None else 2 * txn_version
+    v_del = None if txn_version is None else 2 * txn_version + 1
+    table.upsert(rows, txn_app=txn_app, txn_version=v_up)
+    deleted = inc["deleted"].select(F.col("way_id").alias(table.key))
+    n_del = deleted.count()
+    table.delete(deleted, txn_app=txn_app, txn_version=v_del)
+    return {"upserted": n_up, "deleted": n_del}
+
+
 def incremental_way_geometries(
     nodes_updated: DataFrame,
     ways_updated: DataFrame,

@@ -144,3 +144,92 @@ def test_deleted_way_flows_through(base, spark, tmp_path):
     inc = incremental_way_geometries(nodes_ways["nodes"], nodes_ways["ways"], diff)
     assert {r.way_id for r in inc["deleted"].collect()} == {RETAGGED_WAY}
     assert inc["rebuilt"].filter(F.col("id") == RETAGGED_WAY).count() == 0
+
+
+def test_affected_relation_ids(base, diff, spark):
+    """Relation blast radius: the fixture's turn restriction 3516928
+    has the retagged way as its to-member; multipolygon 333928 is
+    flagged iff its member way 30086704 is touched."""
+    from ariadne_cartograph_spark.sources.osm_diff import affected_relation_ids
+
+    relations = split_elements(base)["relations"]
+    aff = {r.relation_id for r in affected_relation_ids(diff, relations).collect()}
+    assert 3516928 in aff
+    assert 333928 not in aff
+    # a changeset touching the multipolygon's member way flags it
+    osc = """<osmChange version="0.6">
+      <modify><way id="30086704" version="2"><nd ref="1"/><nd ref="2"/>
+        <tag k="building" v="yes"/></way></modify>
+      <delete><relation id="6180566" version="2"/></delete>
+    </osmChange>"""
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "mp.osc")
+    open(p, "w").write(osc)
+    d2 = read_osc_elements(spark, p)
+    aff2 = {r.relation_id for r in affected_relation_ids(d2, relations).collect()}
+    assert 333928 in aff2          # via member way
+    assert 6180566 in aff2         # direct delete
+    assert 3516928 not in aff2
+
+
+def test_replication_pipeline_exactly_once(base, spark, tmp_path, osc_path):
+    """End-to-end replication: two sequential changesets maintained
+    into a bucketed ParquetMergeTable via blast-radius recompute; the
+    final table equals a full rebuild of the final patched state, and
+    replaying a changeset (same osmosis sequence number) is a no-op."""
+    from ariadne_cartograph_spark.operators.merge import ParquetMergeTable
+    from ariadne_cartograph_spark.sources.osm_diff import replicate_derived_ways
+
+    def derive(geoms):
+        # way-keyed derived rows: vertex count + 1e7-quantized centroid
+        return geoms.select(
+            "id",
+            F.size("geom").alias("n_pts"),
+            F.round(
+                F.aggregate("geom", F.lit(0.0), lambda a, p: a + p["lng"])
+                / F.size("geom") * 1e7
+            ).cast("long").alias("cx_e7"),
+        )
+
+    table = ParquetMergeTable(spark, str(tmp_path / "lines"), key="id", n_buckets=8)
+    patched0 = split_elements(base)
+    table.upsert(derive(assemble_way_geometries(patched0["nodes"], patched0["ways"])))
+
+    # changeset 1: the module fixture (moves/retag/create)
+    d1 = read_osc_elements(spark, osc_path).localCheckpoint(eager=True)
+    el1 = apply_osc(base, d1).localCheckpoint(eager=True)
+    p1 = split_elements(el1)
+    stats1 = replicate_derived_ways(
+        table, p1["nodes"], p1["ways"], d1, derive, txn_version=1
+    )
+    assert stats1["upserted"] == 3 and stats1["deleted"] == 0
+
+    # changeset 2: delete the retagged way
+    osc2 = f"""<osmChange version="0.6">
+      <delete><way id="{RETAGGED_WAY}" version="3"/></delete>
+    </osmChange>"""
+    p2_path = tmp_path / "c2.osc"
+    p2_path.write_text(osc2)
+    d2 = read_osc_elements(spark, str(p2_path)).localCheckpoint(eager=True)
+    el2 = apply_osc(el1, d2).localCheckpoint(eager=True)
+    p2 = split_elements(el2)
+    stats2 = replicate_derived_ways(
+        table, p2["nodes"], p2["ways"], d2, derive, txn_version=2
+    )
+    assert stats2["deleted"] == 1
+
+    # final table == full rebuild of the final patched state
+    want = {
+        (r.id, r.n_pts, r.cx_e7)
+        for r in derive(assemble_way_geometries(p2["nodes"], p2["ways"])).collect()
+    }
+    got = {(r.id, r.n_pts, r.cx_e7) for r in table.read().collect()}
+    assert got == want
+    assert not any(r[0] == RETAGGED_WAY for r in got)
+    assert any(r[0] == NEW_WAY for r in got)
+
+    # replaying changeset 2 is skipped by the txn marks: same content
+    v_before = table._current()[0]
+    replicate_derived_ways(table, p2["nodes"], p2["ways"], d2, derive, txn_version=2)
+    assert {(r.id, r.n_pts, r.cx_e7) for r in table.read().collect()} == want
+    assert table._current()[0] == v_before  # no new versions committed
