@@ -233,3 +233,68 @@ def test_replication_pipeline_exactly_once(base, spark, tmp_path, osc_path):
     replicate_derived_ways(table, p2["nodes"], p2["ways"], d2, derive, txn_version=2)
     assert {(r.id, r.n_pts, r.cx_e7) for r in table.read().collect()} == want
     assert table._current()[0] == v_before  # no new versions committed
+
+
+def test_streaming_osc_replication(base, spark, tmp_path):
+    """Continuous replication: a file stream of .osc changesets drained
+    one-per-micro-batch maintains element stores + a derived table;
+    after the drain the derived table equals a full rebuild of the
+    final patched state; a checkpoint restart with no new files
+    commits nothing (txn replay)."""
+    import os
+
+    from ariadne_cartograph_spark.streaming.osm_replication import (
+        OsmReplicationPipeline,
+    )
+
+    def derive(geoms):
+        return geoms.select("id", F.size("geom").alias("n_pts"))
+
+    pipe = OsmReplicationPipeline(spark, str(tmp_path / "repl"), derive, n_buckets=4)
+    p0 = split_elements(base)
+    pipe.bootstrap(p0["nodes"], p0["ways"])
+    assert pipe.derived.read().count() == 1091  # all fixture ways
+
+    osc_dir = tmp_path / "feed"
+    osc_dir.mkdir()
+    f1 = osc_dir / "000001.osc"
+    f1.write_text(EXAMPLE_OSC_XML)
+    os.utime(f1, (1000000000, 1000000000))
+    f2 = osc_dir / "000002.osc"
+    f2.write_text(
+        f"""<osmChange version="0.6">
+          <delete><way id="{RETAGGED_WAY}" version="3"/></delete>
+        </osmChange>"""
+    )
+    os.utime(f2, (1000000100, 1000000100))
+    ckpt = str(tmp_path / "ckpt")
+    pipe.run_stream(str(osc_dir), ckpt)
+
+    # final state == full rebuild of base + both changesets
+    d1 = read_osc_elements(spark, str(f1))
+    d2 = read_osc_elements(spark, str(f2))
+    final = split_elements(apply_osc(apply_osc(base, d1), d2))
+    want = {
+        (r.id, r.n_pts)
+        for r in derive(assemble_way_geometries(final["nodes"], final["ways"])).collect()
+    }
+    got = {(r.id, r.n_pts) for r in pipe.derived.read().collect()}
+    assert got == want
+    assert not any(i == RETAGGED_WAY for i, _ in got)
+    assert (NEW_WAY, 2) in got
+    # element stores track too
+    assert pipe.ways.read().filter(F.col("id") == RETAGGED_WAY).count() == 0
+    assert pipe.nodes.read().filter(F.col("id").isin(*NEW_NODES)).count() == 2
+
+    # restart from the checkpoint: no new files → no new versions
+    v = (
+        pipe.nodes._current()[0],
+        pipe.ways._current()[0],
+        pipe.derived._current()[0],
+    )
+    pipe.run_stream(str(osc_dir), ckpt)
+    assert v == (
+        pipe.nodes._current()[0],
+        pipe.ways._current()[0],
+        pipe.derived._current()[0],
+    )
