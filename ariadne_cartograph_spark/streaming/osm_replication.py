@@ -17,7 +17,12 @@ the file stream delivers them oldest-first.
 
 Scale shape per batch: the diff is MBs → every join broadcasts; the
 element upserts touch O(diff) buckets of the bucketed stores; the
-derived recompute is O(blast radius). Nothing is O(table) per batch.
+derived recompute is O(blast radius). The one O(table) touch left is
+the reverse node→way lookup — a column-pruned scan of the ways store's
+(id, node_refs) probed by the broadcast diff, never shuffled; a
+planet-scale deployment materializes
+:func:`~..sources.osm_diff.node_way_index` bucketed at rest and
+maintains it per batch to make that lookup O(diff) too.
 """
 
 from __future__ import annotations
