@@ -224,3 +224,83 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(trash)
     return n_out
+
+
+# ---------------------------------------------------------------------------
+# hstore-index substitute (S9, `/root/reference/README.md:29-31`): the
+# reference creates `CREATE INDEX ... USING gist(tags)` on all three
+# planet_osm tables so `tags ? 'key'` / `tags->'key' = v` queries don't
+# scan. Spark has no secondary indexes and a parquet map column carries
+# no usable row-group statistics — so the substitute is PROMOTED
+# PRESENCE COLUMNS: one boolean `__has_<key>` per indexed tag key,
+# written alongside the map. Booleans get real parquet min/max stats,
+# so a row group where no row carries the key has max(__has_k)=false
+# and is skipped entirely by the pushed filter; the residual map stays
+# complete for everything else (exactly osm2pgsql's promoted-column +
+# hstore split, applied to skipping instead of schema).
+# ---------------------------------------------------------------------------
+
+TAG_INDEX_PREFIX = "__has_"
+
+
+def tag_index_column(key: str) -> str:
+    """Indexed column name for a tag key (':' and other non-word chars
+    → '_', the osm2pgsql column convention)."""
+    import re
+
+    return TAG_INDEX_PREFIX + re.sub(r"\W", "_", key)
+
+
+def with_tag_key_index(
+    df: DataFrame, keys: list[str], tags_col: str = "tags"
+) -> DataFrame:
+    """Append one `__has_<key>` boolean per indexed key. Sanitized
+    names must stay distinct (e.g. 'a:b' vs 'a_b' would collide —
+    rejected loudly rather than silently merged)."""
+    cols = [tag_index_column(k) for k in keys]
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"tag keys collide after sanitization: {keys}")
+    out = df
+    for key, col in zip(keys, cols):
+        out = out.withColumn(col, F.col(tags_col).getItem(key).isNotNull())
+    return out
+
+
+def write_tag_indexed(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    tags_col: str = "tags",
+    mode: str = "overwrite",
+    sort_by_first_key: bool = True,
+) -> None:
+    """Write with presence columns for ``keys``. By default rows are
+    sorted within partitions on the presence columns so each boolean
+    CLUSTERS into all-true / all-false row groups — that's what makes
+    min/max skipping decisive instead of probabilistic (the same
+    sort-for-stats move write_corpus_layout does for fingerprints)."""
+    indexed = with_tag_key_index(df, keys, tags_col)
+    if sort_by_first_key:
+        indexed = indexed.sortWithinPartitions(
+            *[F.col(tag_index_column(k)).desc() for k in keys]
+        )
+    indexed.write.mode(mode).parquet(path)
+
+
+def indexed_tag_predicate(
+    df: DataFrame, key: str, value: str | None = None, tags_col: str = "tags"
+) -> F.Column:
+    """The query-side rewrite: `tags ? key` (value None) or
+    `tags->key = value`, expressed through the presence column when the
+    table carries one — the boolean conjunct is a plain source filter
+    parquet can evaluate against row-group stats, while the map lookup
+    (which parquet cannot skip on) only runs on surviving groups.
+    Tables without the index fall back to the raw map expression, so
+    callers can use this unconditionally."""
+    has = F.col(tags_col).getItem(key).isNotNull()
+    col = tag_index_column(key)
+    if col in df.columns:
+        has = F.col(col)
+    if value is None:
+        return has
+    return has & (F.col(tags_col).getItem(key) == value)

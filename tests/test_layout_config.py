@@ -436,3 +436,71 @@ def test_s1_live_postgres_wire_parity_env_gated(spark):
         .load()
     )
     assert [r.probe for r in df.collect()] == [1]
+
+
+# ---------------------------------------------------- tag-key index (S9)
+
+def test_tag_key_index_equals_raw_map_filters(spark, tmp_path):
+    """The hstore-GiST substitute: indexed presence/value predicates
+    return exactly the raw map-lookup answers, and the presence
+    conjunct is PUSHED to the parquet scan (row-group skippable),
+    which a bare map lookup never is."""
+    from tests.test_plan_shapes import plan_of
+
+    from ariadne_cartograph_spark.sources.layout import (
+        indexed_tag_predicate,
+        tag_index_column,
+        with_tag_key_index,
+        write_tag_indexed,
+    )
+    from ariadne_cartograph_spark.sources.osm import (
+        read_osm_elements,
+        split_elements,
+    )
+
+    ways = split_elements(
+        read_osm_elements(spark, "/root/reference/osm/example.osm")
+    )["ways"]
+    path = str(tmp_path / "ways_idx")
+    write_tag_indexed(ways, path, keys=["highway", "amenity", "addr:housenumber"])
+    back = spark.read.parquet(path)
+    assert tag_index_column("addr:housenumber") == "__has_addr_housenumber"
+
+    # presence query: tags ? 'highway'
+    got = back.filter(indexed_tag_predicate(back, "highway")).count()
+    want = ways.filter(F.col("tags").getItem("highway").isNotNull()).count()
+    assert got == want == 293
+    # value query: tags->'highway' = 'residential'
+    gotv = {
+        r.id
+        for r in back.filter(
+            indexed_tag_predicate(back, "highway", "residential")
+        ).select("id").collect()
+    }
+    wantv = {
+        r.id
+        for r in ways.filter(F.col("tags").getItem("highway") == "residential")
+        .select("id").collect()
+    }
+    assert gotv == wantv and len(gotv) == 24
+
+    # the boolean conjunct reaches the scan as a pushed filter
+    plan = plan_of(back.filter(indexed_tag_predicate(back, "highway", "residential")))
+    assert "__has_highway" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "__has_highway" in pushed[0], pushed
+    # un-indexed key falls back to the raw map expression, same answers
+    fallback = back.filter(indexed_tag_predicate(back, "building"))
+    assert fallback.count() == ways.filter(
+        F.col("tags").getItem("building").isNotNull()
+    ).count()
+
+
+def test_tag_key_index_collision_rejected(spark):
+    import pytest
+
+    from ariadne_cartograph_spark.sources.layout import with_tag_key_index
+
+    df = spark.createDataFrame([({"a:b": "1"},)], "tags map<string,string>")
+    with pytest.raises(ValueError, match="collide"):
+        with_tag_key_index(df, keys=["a:b", "a_b"])
