@@ -138,7 +138,9 @@ WINDOW_ORDER: list[str] = [
     # diff, metadata-only stats maintenance
     "merge_change_feed",
     "snapshot_change_feed",
-    "merge_stats_metadata_only",
+    # S9-substitute evidence (tag-key presence index) — its S4/A5
+    # alternative merge_stats_metadata_only moved to the r10 window
+    "scan_tag_index_pruned",
     # aggregate surface probes (A5/T2)
     "agg_grouping_structures",
     "agg_approx_percentile",
@@ -152,14 +154,14 @@ WINDOW_ORDER: list[str] = [
 # Round-10 window, PRE-STAGED (r9 insurance against an empty round:
 # next round's rotation is `WINDOW_ORDER = WINDOW_ORDER_R10`, one
 # line). Same 9 anchors; the 27 entries that will then be the only
-# ones never driver-hashed (cumulative r1-r9 union = 132 of 160);
+# ones never driver-hashed (cumulative r1-r9 union = 132 of 161);
 # geo_line_simplify / osm_poi_nearest_edge / events_stream_dedup_parity
 # carry P2/J4/T4 (whose never-hashed carriers run out); the tail picks
 # hashed-exactly-once window/subquery/join/topk shapes. Invariants
 # (size, tag coverage, oracles) are asserted by
 # tests/test_catalog_window.py for THIS list too, so the swap cannot
 # break the suite. After r10 the cumulative driver-hashed union is
-# 160/160.
+# 161/161.
 WINDOW_ORDER_R10: list[str] = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -202,14 +204,14 @@ WINDOW_ORDER_R10: list[str] = [
     "events_stream_dedup_parity",
     "window_range_frame",
     "window_rank_variants",
-    "window_lag_lead_events",
     "window_topn_per_group",
     "subquery_above_avg_orders",
     "subquery_correlated_max_item",
     "subquery_exists_waiting_orders",
     "join_anti_customers_without_orders",
     "join_outer_customer_order_stats",
-    "join_range_price_band",
+    "merge_stats_metadata_only",
+    "scan_tag_index_pruned",
     # r9 addition, never hashed: the OsmChange incremental diff path
     # (its W4-carrying alternative topk_orders_by_price is hashed once
     # already and W4 rides text_token_topk_sketch in this window)

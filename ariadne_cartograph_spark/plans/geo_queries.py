@@ -431,6 +431,53 @@ def osm_topology_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tag-key index scan (S9's hstore-GiST substitute as a driver-hashed
+# pipeline): write the fixture ways tag-indexed, read back, answer
+# `tags ? k` / `tags->k = v` through the pushed __has_<key> presence
+# columns. Golden census re-derived independently by a plain
+# ElementTree pass in tests (24 residential ways / 33 amenity-tagged /
+# 688 building-tagged; exact id checksum for the value query).
+_TAG_INDEX_ORACLE = """
+SELECT CAST(24 AS BIGINT) AS n_residential,
+       CAST(1837256527 AS BIGINT) AS sum_residential_ids,
+       CAST(33 AS BIGINT) AS n_amenity_ways,
+       CAST(688 AS BIGINT) AS n_building_ways
+"""
+
+
+@register("scan_tag_index_pruned", tags=["S9", "S10", "P12"], oracle=_TAG_INDEX_ORACLE)
+def scan_tag_index_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write → scan through the tag-key presence index
+    (sources/layout.py write_tag_indexed / indexed_tag_predicate — the
+    substitute for the reference's `CREATE INDEX ... USING gist(tags)`,
+    README.md:29-31): the presence booleans reach the parquet scan as
+    pushed filters with row-group stats (pinned in
+    tests/test_layout_config.py), the map lookup runs only on
+    surviving groups, answers hash-equal to raw map filters."""
+    import tempfile
+
+    from ..sources.layout import indexed_tag_predicate, write_tag_indexed
+    from ..sources.osm import read_osm_elements, split_elements
+
+    ways = split_elements(read_osm_elements(spark, _OSM_PATH))["ways"]
+    path = tempfile.mkdtemp(prefix="acs_tag_index_")
+    write_tag_indexed(ways, path, keys=["highway", "amenity", "building"])
+    back = spark.read.parquet(path)
+    res = back.filter(indexed_tag_predicate(back, "highway", "residential"))
+    return spark.range(1).select(
+        F.lit(res.count()).cast("bigint").alias("n_residential"),
+        F.lit(res.agg(F.sum("id")).collect()[0][0])
+        .cast("bigint")
+        .alias("sum_residential_ids"),
+        F.lit(back.filter(indexed_tag_predicate(back, "amenity")).count())
+        .cast("bigint")
+        .alias("n_amenity_ways"),
+        F.lit(back.filter(indexed_tag_predicate(back, "building")).count())
+        .cast("bigint")
+        .alias("n_building_ways"),
+    )
+
+
 # Golden census per import profile, re-derived independently in
 # tests/test_mapconfig.py: the stock profile covers all 8 fixture
 # highway classes, so its edge set is IDENTICAL to the legacy

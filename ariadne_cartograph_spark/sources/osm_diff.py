@@ -88,22 +88,42 @@ def _iter_osc_rows(source) -> Iterator[dict]:
             yield row
 
 
-def read_osc_elements(spark: SparkSession, path: str) -> DataFrame:
+def read_osc_elements(
+    spark: SparkSession, path: str, mode: str = "failfast"
+) -> DataFrame:
     """Parse OsmChange file(s) at ``path`` into the typed unified
     element frame plus an ``op`` column (create|modify|delete). Same
-    streaming path-only scan as :func:`osm.read_osm_elements`."""
+    streaming path-only scan and the same permissive contract as
+    :func:`osm.read_osm_elements` — ``mode="permissive"`` quarantines
+    a file that fails mid-parse as one ``CORRUPT_KIND`` marker row
+    (read back via :func:`osm.corrupt_files`) instead of killing the
+    job. For a replication CONSUMER the right mode is failfast —
+    applying half a changeset corrupts the downstream state, and
+    sequence files must apply in order — but a bulk backfill over
+    years of archived diffs wants the quarantine channel."""
+    if mode not in ("failfast", "permissive"):
+        raise ValueError(f"mode must be failfast|permissive, got {mode!r}")
+    from .osm import _corrupt_row
+
     files = spark.read.format("binaryFile").load(path).select("path")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for uri in pdf["path"]:
                 buf: list[dict] = []
-                with _open_uri(uri) as f:
-                    for row in _iter_osc_rows(f):
-                        buf.append(row)
-                        if len(buf) >= PARSE_BATCH_ROWS:
-                            yield pd.DataFrame(buf, columns=_OSC_COLUMNS)
-                            buf = []
+                try:
+                    with _open_uri(uri) as f:
+                        for row in _iter_osc_rows(f):
+                            buf.append(row)
+                            if len(buf) >= PARSE_BATCH_ROWS:
+                                yield pd.DataFrame(buf, columns=_OSC_COLUMNS)
+                                buf = []
+                except Exception as exc:
+                    if mode != "permissive":
+                        raise
+                    marker = _corrupt_row(uri, exc)
+                    marker["op"] = None
+                    buf.append(marker)
                 if buf:
                     yield pd.DataFrame(buf, columns=_OSC_COLUMNS)
 

@@ -298,3 +298,31 @@ def test_streaming_osc_replication(base, spark, tmp_path):
         pipe.ways._current()[0],
         pipe.derived._current()[0],
     )
+
+
+def test_osc_permissive_quarantine(spark, tmp_path):
+    """A truncated changeset file quarantines (one corrupt-marker row,
+    rows parsed before the break kept) under permissive mode, and
+    fails the job under the default failfast — half-applied changesets
+    must never reach apply_osc silently."""
+    from ariadne_cartograph_spark.sources.osm import corrupt_files
+
+    good = tmp_path / "ok.osc"
+    good.write_text(
+        """<osmChange version="0.6">
+          <create><node id="1" version="1" lat="1.0" lon="2.0"/></create>
+        </osmChange>"""
+    )
+    bad = tmp_path / "truncated.osc"
+    bad.write_text(
+        """<osmChange version="0.6">
+          <create><node id="2" version="1" lat="1.0" lon="2.0"/></create>
+          <modify><node id="3" version="2" lat="1.1" """  # cut mid-attribute
+    )
+    with pytest.raises(Exception):
+        read_osc_elements(spark, str(tmp_path / "*.osc")).count()
+    df = read_osc_elements(spark, str(tmp_path / "*.osc"), mode="permissive")
+    bad_rows = corrupt_files(df).collect()
+    assert len(bad_rows) == 1 and "truncated.osc" in bad_rows[0].path
+    ok = df.filter(F.col("op").isNotNull())
+    assert {(r.id, r.op) for r in ok.collect()} >= {(1, "create"), (2, "create")}
