@@ -218,6 +218,12 @@ WINDOW_ORDER_R10: list[str] = [
     "osm_diff_incremental_parity",
 ]
 
+# Round 10: the pre-staged rotation goes live (the one-line swap the r9
+# close staged). With this window driver-hashed, the cumulative union of
+# entries that have EVER received a driver hash reaches 161/161 — every
+# catalog entry has hard external evidence at least once.
+WINDOW_ORDER = WINDOW_ORDER_R10
+
 
 def _ordered() -> dict[str, CatalogEntry]:
     _load_all()
