@@ -104,6 +104,11 @@ def run(
         vals = enrich_ways(spark, ways, provider).withColumnRenamed(
             provider.name, column
         )
+        # Materialize the enrichment ONCE: upsert references the frame
+        # twice (bucket census + merged write) and the row count a
+        # third time — without the checkpoint each reference would
+        # re-execute the whole sampling lineage, tile fetches included.
+        vals = vals.localCheckpoint(eager=True)
         # per-column upsert, the reference's ON CONFLICT DO UPDATE SET
         # {column}: other providers' columns are untouched
         table.upsert(vals, update_cols=[column])

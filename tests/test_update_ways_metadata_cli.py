@@ -63,3 +63,39 @@ def test_unknown_provider_rejected(spark, ways, tmp_path):
     with pytest.raises(ValueError, match="unknown provider"):
         run(spark, ways, str(tmp_path / "wm3"), ["bing"])
     assert set(PROVIDERS) == {"strava", "strava_highres", "gmaps"}
+
+
+def test_enrichment_lineage_executes_once_per_provider(spark, ways, tmp_path, monkeypatch):
+    """run() must materialize each provider's enrichment exactly once
+    (localCheckpoint) — upsert's bucket census + merged write + the
+    row count would otherwise re-execute the whole sampling lineage
+    (tile fetches included) three times per provider. Pinned by an
+    accumulator inside the cogrouped sampler: with one physical
+    execution it counts each distinct tile exactly once."""
+    from ariadne_cartograph_spark.operators import enrich as enrich_mod
+
+    acc = spark.sparkContext.accumulator(0)
+    inner = enrich_mod._sample_values
+
+    def counting(pixels, tile, value_kind, tile_size, mode):
+        acc.add(1)
+        return inner(pixels, tile, value_kind, tile_size, mode)
+
+    monkeypatch.setattr(enrich_mod, "_sample_values", counting)
+    out = str(tmp_path / "wm_once")
+    written = run(spark, ways, out, ["strava"], n_buckets=4)
+    assert written == {"popularity": 604}
+    # independent census of the sampler's group count (distinct tiles
+    # touched by the fixture at the provider's zoom)
+    from ariadne_cartograph_spark.functions.geo import lnglat_to_tile_pixel
+
+    prov = PROVIDERS["strava"][1]
+    coords = ways.select(F.explode("geom").alias("pt")).select(
+        F.col("pt.lng").alias("lng"), F.col("pt.lat").alias("lat")
+    )
+    tx, ty, _, _ = lnglat_to_tile_pixel("lng", "lat", prov.zoom, prov.tile_size)
+    n_tiles = coords.select(tx.alias("x"), ty.alias("y")).distinct().count()
+    assert n_tiles > 0
+    # one cogroup invocation per tile per physical execution; the bug
+    # this pins (upsert + count re-running the lineage) would triple it
+    assert acc.value == n_tiles
