@@ -454,14 +454,19 @@ def scan_tag_index_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed filters with row-group stats (pinned in
     tests/test_layout_config.py), the map lookup runs only on
     surviving groups, answers hash-equal to raw map filters."""
+    import os
     import tempfile
 
     from ..sources.layout import indexed_tag_predicate, write_tag_indexed
     from ..sources.osm import read_osm_elements, split_elements
 
-    ways = split_elements(read_osm_elements(spark, _OSM_PATH))["ways"]
-    path = tempfile.mkdtemp(prefix="acs_tag_index_")
-    write_tag_indexed(ways, path, keys=["highway", "amenity", "building"])
+    # content-stable fixture path (like ensure_osc_fixture): repeated
+    # bench/rehearsal/driver runs reuse one directory instead of
+    # leaking a fresh mkdtemp per invocation
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_tag_index")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ways = split_elements(read_osm_elements(spark, _OSM_PATH))["ways"]
+        write_tag_indexed(ways, path, keys=["highway", "amenity", "building"])
     back = spark.read.parquet(path)
     res = back.filter(indexed_tag_predicate(back, "highway", "residential"))
     return spark.range(1).select(

@@ -166,9 +166,10 @@ def typed_elements(parsed: DataFrame) -> DataFrame:
         )
     )
     # The OsmChange reader (sources/osm_diff.py) parses into the same
-    # schema plus an `op` column — carry it through when present so
-    # the typed frame stays the single shared representation.
-    extra = ["op"] if "op" in parsed.columns else []
+    # schema plus an `op` column and the (src_path, src_pos) document-
+    # order key — carry them through when present so the typed frame
+    # stays the single shared representation.
+    extra = [c for c in ("op", "src_path", "src_pos") if c in parsed.columns]
     return parsed.select(
         "kind",
         "id",

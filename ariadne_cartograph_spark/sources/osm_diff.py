@@ -55,8 +55,19 @@ from .osm import (
 
 OPS = ("create", "modify", "delete")
 
+from pyspark.sql.types import LongType
+
 _OSC_SCHEMA = StructType(
-    list(_PARSED_SCHEMA.fields) + [StructField("op", StringType())]
+    list(_PARSED_SCHEMA.fields)
+    + [
+        StructField("op", StringType()),
+        # Replication ordering key: source file + position within it.
+        # Osmosis sequence files sort lexicographically in sequence
+        # order, so (src_path, src_pos) is a total document order
+        # across a multi-file read — what `net_changes` collapses by.
+        StructField("src_path", StringType()),
+        StructField("src_pos", LongType()),
+    ]
 )
 _OSC_COLUMNS = [f.name for f in _OSC_SCHEMA.fields]
 
@@ -64,7 +75,10 @@ _OSC_COLUMNS = [f.name for f in _OSC_SCHEMA.fields]
 def _iter_osc_rows(source) -> Iterator[dict]:
     """Streaming parse of one OsmChange document: incremental
     iterparse, one element subtree in memory at a time (same
-    constant-memory contract as the ``.osm`` reader)."""
+    constant-memory contract as the ``.osm`` reader — each finished
+    ``<node>/<way>/<relation>`` subtree is freed via the enclosing
+    section's ``clear()`` immediately after its row is extracted, so
+    a multi-hundred-MB ``<modify>`` section never accumulates)."""
     import xml.etree.ElementTree as ET
 
     context = ET.iterparse(source, events=("start", "end"))
@@ -72,20 +86,25 @@ def _iter_osc_rows(source) -> Iterator[dict]:
     if root.tag != "osmChange":
         raise ValueError(f"not an OsmChange document: root <{root.tag}>")
     op: str | None = None
+    section = None
+    depth = 0  # nesting depth below <osmChange>
     for event, el in context:
         if event == "start":
-            if el.tag in OPS and op is None:
-                op = el.tag
+            depth += 1
+            if depth == 1 and el.tag in OPS:
+                op, section = el.tag, el
             continue
         # end events
-        if el.tag in OPS:
-            op = None
-            root.clear()  # finished section subtree
+        depth -= 1
+        if depth == 0:
+            op, section = None, None
+            root.clear()  # drop the finished (already-emptied) section
             continue
-        if op is not None and el.tag in ("node", "way", "relation"):
+        if depth == 1 and op is not None and el.tag in ("node", "way", "relation"):
             row = _element_row(el)
             row["op"] = op
             yield row
+            section.clear()  # free this element's subtree NOW
 
 
 def read_osc_elements(
@@ -111,9 +130,13 @@ def read_osc_elements(
         for pdf in batches:
             for uri in pdf["path"]:
                 buf: list[dict] = []
+                pos = 0
                 try:
                     with _open_uri(uri) as f:
                         for row in _iter_osc_rows(f):
+                            row["src_path"] = str(uri)
+                            row["src_pos"] = pos
+                            pos += 1
                             buf.append(row)
                             if len(buf) >= PARSE_BATCH_ROWS:
                                 yield pd.DataFrame(buf, columns=_OSC_COLUMNS)
@@ -123,6 +146,8 @@ def read_osc_elements(
                         raise
                     marker = _corrupt_row(uri, exc)
                     marker["op"] = None
+                    marker["src_path"] = str(uri)
+                    marker["src_pos"] = pos
                     buf.append(marker)
                 if buf:
                     yield pd.DataFrame(buf, columns=_OSC_COLUMNS)
@@ -134,17 +159,30 @@ def net_changes(diff: DataFrame) -> DataFrame:
     """Collapse a changeset to its net effect per (kind, id): the LAST
     operation in document order wins (OsmChange sections apply in
     order; a create followed by a modify is one upsert, anything
-    followed by a delete is a delete). Document order is recovered
-    from a monotonically increasing parse id — within one file the
-    mapInPandas batches preserve element order."""
+    followed by a delete is a delete).
+
+    Document order is the explicit ``(src_path, src_pos)`` key the
+    readers stamp on every row — total across a multi-file read
+    because osmosis replication sequence files sort lexicographically
+    in sequence order, so "last op wins" never depends on partition
+    enumeration order. Frames built without the key (hand-constructed
+    diffs) fall back to ``monotonically_increasing_id``, which is only
+    document-ordered for a SINGLE source file."""
     from pyspark.sql.window import Window
 
-    seq = diff.withColumn("__seq", F.monotonically_increasing_id())
-    w = Window.partitionBy("kind", "id").orderBy(F.col("__seq").desc())
+    if "src_path" in diff.columns and "src_pos" in diff.columns:
+        w = Window.partitionBy("kind", "id").orderBy(
+            F.col("src_path").desc(), F.col("src_pos").desc()
+        )
+        seq, helper = diff, []
+    else:
+        seq = diff.withColumn("__seq", F.monotonically_increasing_id())
+        w = Window.partitionBy("kind", "id").orderBy(F.col("__seq").desc())
+        helper = ["__seq"]
     return (
         seq.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__seq")
+        .drop("__rn", *helper)
     )
 
 
@@ -255,13 +293,20 @@ def replicate_derived_ways(
     rows = derive(inc["rebuilt"])
     assert table.key in rows.columns, f"derive() must emit key {table.key!r}"
     n_up = rows.count()
-    # two commits per changeset → two txn versions per sequence number
-    v_up = None if txn_version is None else 2 * txn_version
-    v_del = None if txn_version is None else 2 * txn_version + 1
-    table.upsert(rows, txn_app=txn_app, txn_version=v_up)
+    # two commits per changeset → two txn versions per sequence number;
+    # without a sequence number the commits are unmarked (no replay
+    # protection) — txn_app must not be sent alone, the merge table
+    # rejects half a mark
+    up_marks = {} if txn_version is None else {
+        "txn_app": txn_app, "txn_version": 2 * txn_version
+    }
+    del_marks = {} if txn_version is None else {
+        "txn_app": txn_app, "txn_version": 2 * txn_version + 1
+    }
+    table.upsert(rows, **up_marks)
     deleted = inc["deleted"].select(F.col("way_id").alias(table.key))
     n_del = deleted.count()
-    table.delete(deleted, txn_app=txn_app, txn_version=v_del)
+    table.delete(deleted, **del_marks)
     return {"upserted": n_up, "deleted": n_del}
 
 

@@ -11,9 +11,12 @@ consumes in production — and maintains
 
 all exactly-once: every per-table commit carries the table's
 (txn_app, 2*batch_id / 2*batch_id+1) marks, so a crashed-and-replayed
-micro-batch is a no-op. ``maxFilesPerTrigger=1`` keeps one changeset
-per micro-batch — OsmChange files must apply in sequence order, and
-the file stream delivers them oldest-first.
+micro-batch is a no-op. OsmChange files must apply in sequence order:
+each micro-batch applies its files as ONE combined changeset collapsed
+last-op-wins by the explicit (file path, in-file position) key — file
+names carry the osmosis sequence number and sort lexicographically in
+sequence order, so same-mtime bursts are safe; across polls the file
+source delivers oldest-first.
 
 Scale shape per batch: the diff is MBs → every join broadcasts; the
 element upserts touch O(diff) buckets of the bucketed stores; the
@@ -47,19 +50,33 @@ NODE_COLS = ["id", "lat", "lon", "tags"]
 WAY_COLS = ["id", "node_refs", "tags"]
 
 
-def osc_elements_from_text(docs: DataFrame, text_col: str = "value") -> DataFrame:
+def osc_elements_from_text(
+    docs: DataFrame, text_col: str = "value", path_col: str | None = None
+) -> DataFrame:
     """Parse OsmChange documents carried as STRINGS (one row per file —
     ``spark.read/readStream.format("text").option("wholetext", True)``)
     into the typed diff frame. Same executor-side iterparse as
     :func:`~..sources.osm_diff.read_osc_elements`, just sourced from
     column values instead of re-opened paths — which is what a
-    streaming file source hands a micro-batch."""
+    streaming file source hands a micro-batch. Pass ``path_col``
+    (e.g. the selected ``_metadata.file_path``) so every row carries
+    the (src_path, src_pos) document-order key `net_changes` collapses
+    by — without it a multi-document frame has no defined cross-file
+    order."""
     import io
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for content in pdf[text_col]:
-                rows = list(_iter_osc_rows(io.BytesIO(content.encode("utf-8"))))
+            for i in range(len(pdf)):
+                content = pdf[text_col].iloc[i]
+                src = str(pdf[path_col].iloc[i]) if path_col else ""
+                rows = []
+                for pos, row in enumerate(
+                    _iter_osc_rows(io.BytesIO(content.encode("utf-8")))
+                ):
+                    row["src_path"] = src
+                    row["src_pos"] = pos
+                    rows.append(row)
                 if rows:
                     yield pd.DataFrame(rows, columns=_OSC_COLUMNS)
 
@@ -120,18 +137,27 @@ class OsmReplicationPipeline:
         )
 
     def run_stream(self, osc_dir: str, checkpoint_dir: str) -> None:
-        """Drain ``osc_dir`` (availableNow), one changeset per
-        micro-batch in arrival order; restartable from the checkpoint
-        with replayed batches skipped by the txn marks."""
+        """Drain ``osc_dir`` (availableNow); each micro-batch applies
+        its files as ONE combined changeset in FILE-NAME order —
+        osmosis sequence files sort lexicographically in sequence
+        order, so a burst of changesets fetched in one poll (which
+        commonly share an mtime, making the file source's
+        modification-time ordering a tie) still collapses last-op-wins
+        correctly via the (src_path, src_pos) key. Across polls the
+        source's oldest-first delivery keeps batches in order.
+        Restartable from the checkpoint with replayed batches skipped
+        by the txn marks."""
         stream = (
             self.spark.readStream.format("text")
             .option("wholetext", "true")
-            .option("maxFilesPerTrigger", 1)
             .load(osc_dir)
+            .select("value", F.col("_metadata.file_path").alias("src"))
         )
 
         def _process(batch: DataFrame, batch_id: int) -> None:
-            diff = osc_elements_from_text(batch).localCheckpoint(eager=True)
+            diff = osc_elements_from_text(batch, path_col="src").localCheckpoint(
+                eager=True
+            )
             if diff.count():
                 self.apply_changeset(diff, batch_id)
 

@@ -60,7 +60,7 @@ def diff(spark, osc_path):
 
 
 def test_parse_ops_and_schema(diff, base):
-    assert set(base.columns) | {"op"} == set(diff.columns)
+    assert set(base.columns) | {"op", "src_path", "src_pos"} == set(diff.columns)
     by_op = {r["op"]: r["n"] for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()}
     assert by_op == {"create": 4, "modify": 5, "delete": 4}
     new_way = diff.filter(F.col("id") == NEW_WAY).collect()[0]
@@ -326,3 +326,146 @@ def test_osc_permissive_quarantine(spark, tmp_path):
     assert len(bad_rows) == 1 and "truncated.osc" in bad_rows[0].path
     ok = df.filter(F.col("op").isNotNull())
     assert {(r.id, r.op) for r in ok.collect()} >= {(1, "create"), (2, "create")}
+
+
+def test_multi_file_osc_ordering_is_by_file_name(base, spark, tmp_path):
+    """Cross-file last-op-wins must follow file-name (osmosis sequence)
+    order, never partition enumeration order. Adversarial layout: the
+    LATER-named file is made much LARGER, so binaryFile's size-ordered
+    listing enumerates it FIRST — a monotonically_increasing_id order
+    would then resurrect the earlier file's op."""
+    import os
+
+    nid = 9100000001
+    d = tmp_path / "seq"
+    d.mkdir()
+    f1 = d / "000001.osc"
+    f1.write_text(
+        f"""<osmChange version="0.6">
+          <create><node id="{nid}" version="1" lat="34.14" lon="-118.12"/></create>
+        </osmChange>"""
+    )
+    # later sequence file: deletes the node; padded with unrelated
+    # creates so it is the larger file, and given an OLDER mtime so
+    # nothing can lean on modification time either
+    pad = "\n".join(
+        f'<node id="{9100001000 + i}" version="1" lat="34.0" lon="-118.0"/>'
+        for i in range(400)
+    )
+    f2 = d / "000002.osc"
+    f2.write_text(
+        f"""<osmChange version="0.6">
+          <create>{pad}</create>
+          <delete><node id="{nid}" version="2"/></delete>
+        </osmChange>"""
+    )
+    os.utime(f1, (2000000100, 2000000100))
+    os.utime(f2, (2000000000, 2000000000))
+
+    diff = read_osc_elements(spark, str(d / "*.osc"))
+    net = {(r.kind, r.id): r.op for r in net_changes(diff).collect()}
+    assert net[("node", nid)] == "delete"
+    patched = apply_osc(base, diff)
+    assert patched.filter((F.col("kind") == "node") & (F.col("id") == nid)).count() == 0
+    # and the padding creates all survive
+    assert (
+        patched.filter(F.col("id").between(9100001000, 9100001399)).count() == 400
+    )
+
+    # the mirror ordering: later file re-creates what the earlier one
+    # deleted (delete → create collapses to create)
+    f1.write_text(
+        f"""<osmChange version="0.6">
+          <delete><node id="{nid}" version="2"/></delete>
+        </osmChange>"""
+    )
+    f2.write_text(
+        f"""<osmChange version="0.6">
+          <create>{pad}
+            <node id="{nid}" version="3" lat="34.15" lon="-118.13"/>
+          </create>
+        </osmChange>"""
+    )
+    diff2 = read_osc_elements(spark, str(d / "*.osc"))
+    net2 = {(r.kind, r.id): r.op for r in net_changes(diff2).collect()}
+    assert net2[("node", nid)] == "create"
+    got = apply_osc(base, diff2).filter(F.col("id") == nid).collect()
+    assert len(got) == 1 and got[0].lat == pytest.approx(34.15)
+
+
+def test_replicate_derived_ways_unmarked_path(base, spark, tmp_path, osc_path):
+    """Default arguments (no txn_version) must run UNMARKED — not crash
+    on a half-given (txn_app, None) mark pair."""
+    from ariadne_cartograph_spark.operators.merge import ParquetMergeTable
+    from ariadne_cartograph_spark.sources.osm_diff import replicate_derived_ways
+
+    def derive(geoms):
+        return geoms.select("id", F.size("geom").alias("n_pts"))
+
+    table = ParquetMergeTable(spark, str(tmp_path / "lines"), key="id", n_buckets=4)
+    p0 = split_elements(base)
+    table.upsert(derive(assemble_way_geometries(p0["nodes"], p0["ways"])))
+
+    d1 = read_osc_elements(spark, osc_path).localCheckpoint(eager=True)
+    p1 = split_elements(apply_osc(base, d1).localCheckpoint(eager=True))
+    stats = replicate_derived_ways(table, p1["nodes"], p1["ways"], d1, derive)
+    assert stats == {"upserted": 3, "deleted": 0}
+    want = {
+        (r.id, r.n_pts)
+        for r in derive(assemble_way_geometries(p1["nodes"], p1["ways"])).collect()
+    }
+    assert {(r.id, r.n_pts) for r in table.read().collect()} == want
+
+
+def test_streaming_burst_same_mtime_applies_in_name_order(base, spark, tmp_path):
+    """A burst of changesets fetched in one poll commonly shares an
+    mtime — the stream must still apply them in sequence (file-name)
+    order: file 2 deletes what file 1 creates."""
+    import os
+
+    from ariadne_cartograph_spark.streaming.osm_replication import (
+        OsmReplicationPipeline,
+    )
+
+    def derive(geoms):
+        return geoms.select("id", F.size("geom").alias("n_pts"))
+
+    pipe = OsmReplicationPipeline(spark, str(tmp_path / "repl"), derive, n_buckets=4)
+    p0 = split_elements(base)
+    pipe.bootstrap(p0["nodes"], p0["ways"])
+
+    osc_dir = tmp_path / "feed"
+    osc_dir.mkdir()
+    f1 = osc_dir / "000001.osc"
+    f1.write_text(EXAMPLE_OSC_XML)  # creates NEW_WAY (+ its 2 nodes)
+    f2 = osc_dir / "000002.osc"
+    f2.write_text(
+        f"""<osmChange version="0.6">
+          <delete>
+            <way id="{NEW_WAY}" version="2"/>
+            <node id="{NEW_NODES[0]}" version="2"/>
+            <node id="{NEW_NODES[1]}" version="2"/>
+          </delete>
+        </osmChange>"""
+    )
+    t = 1500000000
+    os.utime(f1, (t, t))
+    os.utime(f2, (t, t))  # identical mtimes: the adversarial burst
+    pipe.run_stream(str(osc_dir), str(tmp_path / "ckpt"))
+
+    # net effect: the created way never survives; the rest of the
+    # changeset (moves/retag/deletes) all applied
+    assert pipe.ways.read().filter(F.col("id") == NEW_WAY).count() == 0
+    assert pipe.nodes.read().filter(F.col("id").isin(*NEW_NODES)).count() == 0
+    assert pipe.derived.read().filter(F.col("id") == NEW_WAY).count() == 0
+    final = split_elements(
+        apply_osc(
+            base,
+            read_osc_elements(spark, str(osc_dir / "*.osc")),
+        )
+    )
+    want = {
+        (r.id, r.n_pts)
+        for r in derive(assemble_way_geometries(final["nodes"], final["ways"])).collect()
+    }
+    assert {(r.id, r.n_pts) for r in pipe.derived.read().collect()} == want
