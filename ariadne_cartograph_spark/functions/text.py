@@ -141,12 +141,24 @@ def fingerprint_md5(text: Column | str) -> Column:
 def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: min of xxhash64 over word
     ``window``-shingles — a single stable 64-bit summary that is robust
-    to small edits (public winnowing scheme, Schleimer et al. 2003)."""
-    sh = word_shingles(text, n=window)
-    hashed = F.transform(sh, lambda s: F.xxhash64(s))
-    return F.when(F.size(hashed) > 0, F.array_min(hashed)).otherwise(
-        F.xxhash64(F.col(text) if isinstance(text, str) else text)
-    )
+    to small edits (public winnowing scheme, Schleimer et al. 2003).
+    Computed as a fold (no intermediate arrays)."""
+    t = F.col(text) if isinstance(text, str) else text
+
+    def mins(toks: Column) -> Column:
+        k = F.size(toks) - (window - 1)
+        return F.when(
+            k >= 1,
+            F.aggregate(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                F.lit(None).cast("bigint"),
+                lambda acc, i: F.least(
+                    acc, F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window)))
+                ),
+            ),
+        ).otherwise(F.xxhash64(t))
+
+    return _bind(tokens(t), mins)
 
 
 def rolling_fingerprint_md5(text: Column | str, window: int = 8) -> Column:
@@ -155,11 +167,25 @@ def rolling_fingerprint_md5(text: Column | str, window: int = 8) -> Column:
     lowercase hex, so the string min IS the numeric min). xxhash64 is
     the scale scheme (8-byte signatures); this twin exists so the
     winnowing pipeline itself can be value-hash checked against a SQL
-    oracle — same pattern as simhash_md5_near_dup_pairs."""
+    oracle — same pattern as simhash_md5_near_dup_pairs. Same fold
+    shape as :func:`rolling_fingerprint` — min over all shingles ==
+    min over distinct shingles, so no arrays are materialized."""
     t = F.col(text) if isinstance(text, str) else text
-    sh = word_shingles(text, n=window)
-    hashed = F.transform(sh, lambda s: F.md5(s))
-    return F.when(F.size(hashed) > 0, F.array_min(hashed)).otherwise(F.md5(t))
+
+    def mins(toks: Column) -> Column:
+        k = F.size(toks) - (window - 1)
+        return F.when(
+            k >= 1,
+            F.aggregate(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                F.lit(None).cast("string"),
+                lambda acc, i: F.least(
+                    acc, F.md5(F.concat_ws(" ", F.slice(toks, i, window)))
+                ),
+            ),
+        ).otherwise(F.md5(t))
+
+    return _bind(tokens(t), mins)
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import similarity as S
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .catalog import register
 
 # --------------------------------------------------------------------------
@@ -542,8 +542,10 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog entry fingerprints with the md5 twin so the whole pipeline
     is hash-checked; xxhash64 (functions/text.rolling_fingerprint) is
     the production scale scheme — same twin pattern as
-    simhash_md5_near_dup_pairs, equivalence pinned in pytest."""
-    docs = load_table(spark, sf_dir, "documents")
+    simhash_md5_near_dup_pairs, equivalence pinned in pytest. The scan
+    is fanned out first: the projection is pure CPU (per-shingle md5 +
+    three regex passes) and the compressed text scan under-splits."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id",
@@ -1158,13 +1160,10 @@ def text_winnow_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     word 8-shingles, falling back to md5(text) for short docs. Same
     scheme as text_rolling_fingerprint but oracle-checkable; the
     xxhash64 variant stays the scale path (8-byte hashes, no string
-    materialization per gram)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = T.word_shingles("text", n=8)
-    fp = F.when(
-        F.size(sh) > 0,
-        F.array_min(F.transform(sh, lambda s: F.md5(s))),
-    ).otherwise(F.md5(F.col("text")))
+    materialization per gram). Fold-min + fan-out, same reasons as
+    text_rolling_fingerprint."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fp = T.rolling_fingerprint_md5("text", window=8)
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
 

@@ -66,6 +66,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least ``min_partitions`` (default: the cluster's
+    defaultParallelism) partitions ahead of a CPU-bound projection
+    (hashing, regex, shingling). Columnar text compresses hard, so a
+    scan can produce far fewer splits than cores while the projection
+    is compute-dominated — e.g. the sf1 documents table is one 860 KB
+    split whose fingerprint projection is 12 s of single-threaded
+    hashing. The repartition ships only the (tiny) compressed-at-rest
+    rows; it's a no-op when the scan already splits enough, so at real
+    multi-TB scale (thousands of natural splits) nothing is added."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
 

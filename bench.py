@@ -59,6 +59,10 @@ REGRESSION_FACTOR = 2.0
 # fence. Top-12 engine-side entries pinned from the r9 idle-machine
 # re-run (the full-sweep numbers ran concurrent with other work and
 # were up to 1.9x inflated — geo_line_simplify 40.0 vs 21.6 quiet).
+# r10 re-pins: both fingerprint entries rebuilt as fold-min (no
+# intermediate shingle/hash arrays) over a fanned-out scan — 28.9→9.6
+# and 18.5→4.7 (hashes unchanged, rehearsal top-ups in
+# SCALE_REHEARSAL_sf1.json note_r10 keys).
 SF1_ENGINE_FENCES: dict[str, float] = {
     "agg_approx_distinct": 13.4,
     "corpus_multimodal_curation": 12.7,
@@ -67,8 +71,8 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     "ngram_jaccard_near_dup": 24.2,
     "simhash_near_dup": 18.4,
     "similarity_ann_ivfpq": 11.4,
-    "text_rolling_fingerprint": 28.9,
-    "text_winnow_fingerprint_md5": 18.5,
+    "text_rolling_fingerprint": 9.6,
+    "text_winnow_fingerprint_md5": 4.7,
     "trajectory_jaccard_pairs": 26.1,
     "ways_enrichment_pipeline": 11.1,
     "window_running_total": 12.0,
