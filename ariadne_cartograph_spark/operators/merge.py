@@ -479,6 +479,47 @@ class ParquetMergeTable:
             return self._read_paths(m["data"]).where(F.lit(False))
         return self._read_paths([rel]).where(F.col(self.key) == lit)
 
+    def read_keys(self, keys: DataFrame, version: int | None = None) -> DataFrame | None:
+        """Multi-key lookup: every row whose key appears in ``keys`` (a
+        frame carrying the table's key column), reading ONLY the
+        buckets those keys hash to — the batch form of
+        :meth:`read_key`, and the read-side mirror of the write side's
+        copy-on-write pruning: a diff-sized probe against a 100 TB
+        table scans O(touched buckets), never the table. The key set
+        is broadcast for the final semi-join (callers pass diff-sized
+        frames). The bucket census is the same one column-pruned
+        distinct-collect ``upsert`` performs (≤ n_buckets ints).
+        Unbucketed layouts fall back to a filtered full scan. NULL
+        keys never match (semi-join semantics). Returns None for an
+        empty table."""
+        m = self._manifest_for(version)
+        if not m["data"]:
+            return None
+        # NULL keys never match — and must not reach the bucket census:
+        # xxhash64(NULL) returns the seed, which would probe a spurious
+        # bucket instead of no bucket
+        k = keys.select(self.key).where(F.col(self.key).isNotNull()).distinct()
+        n_b = m["n_buckets"]
+        if n_b is None or not m["buckets"]:
+            return self._read_paths(m["data"]).join(
+                F.broadcast(k), self.key, "left_semi"
+            )
+        # hash the probe keys with the TABLE's key type (hash values
+        # are type-sensitive, same rule as read_key)
+        dtype = self._read_paths([m["data"][0]]).schema[self.key].dataType
+        bexpr = F.pmod(
+            F.xxhash64(F.col(self.key).cast(dtype)), F.lit(n_b)
+        ).cast("int")
+        affected = sorted(
+            r[0]
+            for r in k.select(bexpr.alias("__b")).distinct().collect()
+            if r[0] is not None
+        )
+        paths = [m["buckets"][str(b)] for b in affected if str(b) in m["buckets"]]
+        if not paths:  # every probed bucket is empty: provably absent
+            return self._read_paths(m["data"]).where(F.lit(False))
+        return self._read_paths(paths).join(F.broadcast(k), self.key, "left_semi")
+
     def _try_claim(self, version: int) -> bool:
         """O_EXCL commit marker for the transition into ``version`` —
         at most one writer per slot. Stale markers (winner crashed

@@ -20,12 +20,15 @@ source delivers oldest-first.
 
 Scale shape per batch: the diff is MBs → every join broadcasts; the
 element upserts touch O(diff) buckets of the bucketed stores; the
-derived recompute is O(blast radius). The one O(table) touch left is
-the reverse node→way lookup — a column-pruned scan of the ways store's
-(id, node_refs) probed by the broadcast diff, never shuffled; a
-planet-scale deployment materializes
-:func:`~..sources.osm_diff.node_way_index` bucketed at rest and
-maintains it per batch to make that lookup O(diff) too.
+derived recompute is O(blast radius). The reverse node→way lookup
+rides a FOURTH maintained table — ``node_ways`` (node_id → sorted
+way-id array, bucketed at rest), the materialized
+:func:`~..sources.osm_diff.node_way_index` — updated incrementally per
+changeset from the changed ways' old+new ref lists, so the lookup is a
+bucket-pruned probe (``ParquetMergeTable.read_keys``), never an
+O(table) explode. Every per-batch read (old refs, index rows, affected
+ways, their nodes) is a ``read_keys`` bucket-pruned probe: end to end
+the batch costs O(diff + blast radius), independent of store size.
 """
 
 from __future__ import annotations
@@ -42,7 +45,6 @@ from ..sources.osm_diff import (
     _OSC_COLUMNS,
     _OSC_SCHEMA,
     _iter_osc_rows,
-    incremental_way_geometries,
     net_changes,
 )
 
@@ -84,7 +86,8 @@ def osc_elements_from_text(
 
 
 class OsmReplicationPipeline:
-    """Element stores + one derived way table under a changeset feed."""
+    """Element stores + maintained node→ways index + one derived way
+    table under a changeset feed — every per-batch read bucket-pruned."""
 
     def __init__(
         self,
@@ -97,18 +100,41 @@ class OsmReplicationPipeline:
         self.derive = derive
         self.nodes = ParquetMergeTable(spark, f"{root}/nodes", key="id", n_buckets=n_buckets)
         self.ways = ParquetMergeTable(spark, f"{root}/ways", key="id", n_buckets=n_buckets)
+        # node_id → sorted array of referencing way ids: the reverse
+        # index that makes blast-radius lookups O(diff) per batch
+        self.node_ways = ParquetMergeTable(
+            spark, f"{root}/node_ways", key="id", n_buckets=n_buckets
+        )
         self.derived = ParquetMergeTable(spark, f"{root}/derived", key="id", n_buckets=n_buckets)
+
+    @staticmethod
+    def _index_rows(pairs: DataFrame) -> DataFrame:
+        """(node_id, way_id) pairs → (id, way_ids sorted) index rows."""
+        return (
+            pairs.groupBy("node_id")
+            .agg(F.array_sort(F.collect_set("way_id")).alias("way_ids"))
+            .select(F.col("node_id").alias("id"), "way_ids")
+        )
 
     def bootstrap(self, nodes: DataFrame, ways: DataFrame) -> None:
         """Seed the stores from a full import (the initial ``-c`` run)."""
         from ..sources.osm import assemble_way_geometries
+        from ..sources.osm_diff import node_way_index
 
         self.nodes.upsert(nodes.select(*NODE_COLS))
         self.ways.upsert(ways.select(*WAY_COLS))
+        self.node_ways.upsert(self._index_rows(node_way_index(ways)))
         self.derived.upsert(self.derive(assemble_way_geometries(nodes, ways)))
 
     def apply_changeset(self, diff: DataFrame, batch_id: int) -> None:
-        """One OsmChange → three exactly-once table maintenances."""
+        """One OsmChange → four exactly-once table maintenances, all
+        O(diff + blast radius): stores and index are probed with
+        bucket-pruned ``read_keys`` (the pre-update snapshots' data
+        files are immutable, so reading them lazily across the upserts
+        is safe), never scanned."""
+        from ..sources.osm import assemble_way_geometries
+        from ..sources.osm_diff import affected_way_ids
+
         net = net_changes(diff).localCheckpoint(eager=True)
         v_up, v_del = 2 * batch_id, 2 * batch_id + 1
 
@@ -121,20 +147,81 @@ class OsmReplicationPipeline:
 
         n_up, n_del = split("node", NODE_COLS)
         w_up, w_del = split("way", WAY_COLS)
+
+        # pre-update ref lists of every changed way (create/modify/
+        # delete): the index delta's "remove" side. Materialized NOW —
+        # the upserts below commit new versions and their auto-vacuum
+        # may retire the pre-update bucket files once past the grace
+        # window (slow feeds), so this diff-sized read must not stay
+        # lazy across them.
+        changed_ways = net.filter(F.col("kind") == "way").select("id")
+        old_refs = self.ways.read_keys(changed_ways)
+        if old_refs is not None:
+            old_refs = old_refs.localCheckpoint(eager=True)
+
         self.nodes.upsert(n_up, txn_app="osc", txn_version=v_up)
         self.nodes.delete(n_del, txn_app="osc", txn_version=v_del)
         self.ways.upsert(w_up, txn_app="osc", txn_version=v_up)
         self.ways.delete(w_del, txn_app="osc", txn_version=v_del)
 
-        # blast-radius recompute against the UPDATED stores
-        nodes_df, ways_df = self.nodes.read(), self.ways.read()
-        inc = incremental_way_geometries(nodes_df, ways_df, diff)
-        self.derived.upsert(self.derive(inc["rebuilt"]), txn_app="osc", txn_version=v_up)
-        self.derived.delete(
-            inc["deleted"].select(F.col("way_id").alias("id")),
-            txn_app="osc",
-            txn_version=v_del,
+        # ---- node→ways index maintenance (O(changed ways' refs)) ----
+        def pairs(refs: DataFrame | None) -> DataFrame:
+            if refs is None:
+                return self.spark.createDataFrame([], "node_id long, way_id long")
+            return refs.select(
+                F.col("id").alias("way_id"), F.explode("node_refs").alias("node_id")
+            ).select("node_id", "way_id")
+
+        new_pairs = pairs(w_up)
+        touched_nodes = (
+            pairs(old_refs).select("node_id").union(new_pairs.select("node_id")).distinct()
         )
+        cur = self.node_ways.read_keys(touched_nodes.select(F.col("node_id").alias("id")))
+        kept_pairs = (
+            self.spark.createDataFrame([], "node_id long, way_id long")
+            if cur is None
+            else cur.select(
+                F.col("id").alias("node_id"), F.explode("way_ids").alias("way_id")
+            ).join(
+                F.broadcast(changed_ways.select(F.col("id").alias("way_id"))),
+                "way_id",
+                "left_anti",
+            )
+        )
+        new_rows = self._index_rows(kept_pairs.unionByName(new_pairs)).localCheckpoint(
+            eager=True
+        )
+        emptied = touched_nodes.join(
+            new_rows.select(F.col("id").alias("node_id")), "node_id", "left_anti"
+        ).select(F.col("node_id").alias("id"))
+        self.node_ways.upsert(new_rows, txn_app="osc", txn_version=v_up)
+        self.node_ways.delete(emptied, txn_app="osc", txn_version=v_del)
+
+        # ---- blast-radius recompute, probed not scanned ----
+        diff_nodes = net.filter(F.col("kind") == "node").select("id")
+        idx_rows = self.node_ways.read_keys(diff_nodes)
+        idx = (
+            self.spark.createDataFrame([], "node_id long, way_id long")
+            if idx_rows is None
+            else idx_rows.select(
+                F.col("id").alias("node_id"), F.explode("way_ids").alias("way_id")
+            )
+        )
+        aff = affected_way_ids(diff, index=idx)
+        aff_ways = self.ways.read_keys(aff.select(F.col("way_id").alias("id")))
+        if aff_ways is None:
+            aff_ways = self.spark.createDataFrame([], "id long, node_refs array<long>, tags map<string,string>")
+        need_nodes = aff_ways.select(F.explode("node_refs").alias("id")).distinct()
+        aff_nodes = self.nodes.read_keys(need_nodes)
+        if aff_nodes is None:
+            aff_nodes = self.spark.createDataFrame([], "id long, lat double, lon double, tags map<string,string>")
+        rebuilt = assemble_way_geometries(aff_nodes, aff_ways)
+        self.derived.upsert(self.derive(rebuilt), txn_app="osc", txn_version=v_up)
+        deleted_ways = (
+            net.filter((F.col("kind") == "way") & (F.col("op") == "delete"))
+            .select("id")
+        )
+        self.derived.delete(deleted_ways, txn_app="osc", txn_version=v_del)
 
     def run_stream(self, osc_dir: str, checkpoint_dir: str) -> None:
         """Drain ``osc_dir`` (availableNow); each micro-batch applies

@@ -437,3 +437,39 @@ def test_model_random_ops_with_optimize(spark, tmp_path):
                 dfv = t.read(v)
                 gv = {r.gid: r.val for r in dfv.collect()} if dfv is not None else {}
                 assert gv == by_version[v], ("version", v, "step", step)
+
+
+def test_read_keys_prunes_to_probed_buckets(spark, tmp_path):
+    """Multi-key lookup reads ONLY the buckets the probe keys hash to
+    (the batch form of read_key), matches a filtered full scan exactly,
+    never matches NULL keys, and falls back cleanly on plain layouts
+    and empty tables."""
+    from pyspark.sql import functions as F
+
+    buck = ParquetMergeTable(spark, str(tmp_path / "b"), key="gid", n_buckets=8)
+    assert buck.read_keys(spark.createDataFrame([(1,)], "gid long")) is None  # empty
+    rows = [(i, float(i)) for i in range(64)]
+    buck.upsert(spark.createDataFrame(rows, "gid long, val double"))
+
+    probe = spark.createDataFrame([(3,), (17,), (3,), (None,)], "gid long")
+    got = buck.read_keys(probe)
+    assert {(r.gid, r.val) for r in got.collect()} == {(3, 3.0), (17, 17.0)}
+    # pruning: the scan lists no more buckets than the probe keys hash to
+    n_probed_buckets = (
+        spark.createDataFrame([(3,), (17,)], "gid long")
+        .select(F.pmod(F.xxhash64(F.col("gid")), F.lit(8)).cast("int").alias("b"))
+        .distinct()
+        .count()
+    )
+    files = {f for f in got.inputFiles()}
+    dirs = {f.rsplit("/", 2)[-2] for f in files}  # __bucket=N leaves
+    assert len(dirs) <= n_probed_buckets
+
+    # absent keys (present bucket) and keys hashing to data-less buckets
+    assert buck.read_keys(spark.createDataFrame([(999,)], "gid long")).count() == 0
+
+    # plain layout: same answer via the fallback scan
+    plain = ParquetMergeTable(spark, str(tmp_path / "p"), key="gid")
+    plain.upsert(spark.createDataFrame(rows, "gid long, val double"))
+    got_p = plain.read_keys(probe)
+    assert {(r.gid, r.val) for r in got_p.collect()} == {(3, 3.0), (17, 17.0)}

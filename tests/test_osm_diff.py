@@ -469,3 +469,53 @@ def test_streaming_burst_same_mtime_applies_in_name_order(base, spark, tmp_path)
         for r in derive(assemble_way_geometries(final["nodes"], final["ways"])).collect()
     }
     assert {(r.id, r.n_pts) for r in pipe.derived.read().collect()} == want
+
+
+def test_maintained_node_way_index_equals_from_scratch(base, spark, tmp_path):
+    """The pipeline's incrementally-maintained node→ways index must
+    equal node_way_index(final ways store) rebuilt from scratch after
+    a drain that creates, modifies, and deletes ways — including
+    removal of emptied node entries."""
+    import os
+
+    from ariadne_cartograph_spark.streaming.osm_replication import (
+        OsmReplicationPipeline,
+    )
+
+    def derive(geoms):
+        return geoms.select("id", F.size("geom").alias("n_pts"))
+
+    pipe = OsmReplicationPipeline(spark, str(tmp_path / "repl"), derive, n_buckets=4)
+    p0 = split_elements(base)
+    pipe.bootstrap(p0["nodes"], p0["ways"])
+
+    osc_dir = tmp_path / "feed"
+    osc_dir.mkdir()
+    f1 = osc_dir / "000001.osc"
+    f1.write_text(EXAMPLE_OSC_XML)  # creates NEW_WAY, retags RETAGGED_WAY
+    os.utime(f1, (1700000000, 1700000000))
+    f2 = osc_dir / "000002.osc"
+    f2.write_text(
+        f"""<osmChange version="0.6">
+          <delete><way id="{RETAGGED_WAY}" version="3"/></delete>
+        </osmChange>"""
+    )
+    os.utime(f2, (1700000100, 1700000100))
+    pipe.run_stream(str(osc_dir), str(tmp_path / "ckpt"))
+
+    maintained = {
+        (r.id, tuple(r.way_ids)) for r in pipe.node_ways.read().collect()
+    }
+    from_scratch = {
+        (r.id, tuple(r.way_ids))
+        for r in OsmReplicationPipeline._index_rows(
+            node_way_index(pipe.ways.read())
+        ).collect()
+    }
+    assert maintained == from_scratch
+    # spot semantics: the new way's nodes map to it; the deleted way
+    # appears in no entry
+    idx = dict(maintained)
+    for n in NEW_NODES:
+        assert NEW_WAY in idx[n]
+    assert all(RETAGGED_WAY not in ways for ways in idx.values())
