@@ -63,9 +63,11 @@ REGRESSION_FACTOR = 2.0
 # SCALE_REHEARSAL_sf1.json note_r10 keys): both fingerprint entries
 # rebuilt as fold-min over a fanned-out scan (28.9→9.6, 18.5→4.7);
 # geo_line_simplify binds the simplified array once instead of
-# re-running the fold per reference (21.6→13.7).
+# re-running the fold per reference (21.6→13.7); agg_approx_distinct
+# dedups to (flag, partkey) first — no Expand, HLL registers identical
+# over distinct keys (13.4→5.2).
 SF1_ENGINE_FENCES: dict[str, float] = {
-    "agg_approx_distinct": 13.4,
+    "agg_approx_distinct": 5.2,
     "corpus_multimodal_curation": 12.7,
     "docs_incremental_dedup_parity": 29.0,
     "geo_line_simplify": 13.7,
