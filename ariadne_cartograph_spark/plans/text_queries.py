@@ -151,7 +151,9 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round. Unknown corpora should use ngram_jaccard_pairs_auto (the
     # ngram_jaccard_skewed_corpus entry demonstrates it routing to the
     # prefix-filter plan under boilerplate skew).
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the shingle/signature pass is CPU-bound and the
+    # compressed text scan under-splits (see text_rolling_fingerprint)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_size=3, threshold=_JACCARD_THRESHOLD
     ).orderBy("id_a", "id_b")
@@ -499,7 +501,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (simhash_near_dup_pairs) is the scale scheme (8-byte signatures,
     no hex strings); equivalence of the two pipelines' semantics is
     pinned in tests/test_dedup_similarity.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return D.simhash_md5_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
