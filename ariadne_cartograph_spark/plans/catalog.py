@@ -224,6 +224,73 @@ WINDOW_ORDER_R10: list[str] = [
 # catalog entry has hard external evidence at least once.
 WINDOW_ORDER = WINDOW_ORDER_R10
 
+# Round-11 window, PRE-STAGED (same insurance pattern as r9→r10):
+# with the cumulative sweep complete after r10, rotation switches to
+# EVIDENCE REFRESH — same 9 anchors, then the entries whose only
+# driver hash is oldest (the 30-entry r1 cohort + r3/r5/r6 + part of
+# the r8 cohort, computed from CORRECTNESS_r0*.json), plus the 7
+# entries that must re-appear because they are the only oracled
+# carriers of their tags (P2/S8/S9/T4/U3/W1 + J4's r8 carrier).
+# Invariants asserted by tests/test_catalog_window.py for this list
+# too; swap with `WINDOW_ORDER = WINDOW_ORDER_R11` at r11 start.
+WINDOW_ORDER_R11: list[str] = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "ways_enrichment_pipeline",
+    "merge_upsert_metadata",
+    "events_stream_batch_parity",
+    "docs_incremental_dedup_parity",
+    "scalar_json_extract",
+    "set_union_all_counts",
+    "osm_ingest_feature_tables",
+    # the r1 cohort — hashed exactly once, nine rounds ago
+    "agg_cube_lineitem",
+    "agg_distinct_counts",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_ordered_string_concat",
+    "agg_pivot_priority_by_status",
+    "agg_rollup_orders",
+    "events_sliding_hourly",
+    "events_tumbling_hourly",
+    "explode_priority_words",
+    "join_cross_region_pairs",
+    "join_range_price_band",
+    "join_semi_orders_with_big_items",
+    "q14_promo_revenue",
+    "scalar_case_when",
+    "scalar_date_funcs",
+    "scalar_string_funcs",
+    "set_except_nations",
+    "set_intersect_nations",
+    "topk_orders_by_price",
+    "window_lag_lead_events",
+    "window_running_total",
+    # r3/r5/r6 cohorts
+    "agg_approx_distinct",
+    "text_winnow_fingerprint_md5",
+    "sessionize_user_stats",
+    "agg_salted_revenue",
+    "embedding_near_dup",
+    "geo_haversine_user_path",
+    "ngram_jaccard_near_dup",
+    "q10_returned_items",
+    "similarity_ann_lsh",
+    "text_quality_metrics",
+    "text_token_stats",
+    # oldest of the r8 cohort
+    "events_stream_session_parity",
+    "geo_grid_cell_density",
+    # sole oracled carriers of P2/S8/S9/T4/U3/W1 (also in the r10
+    # window — no out-of-window carrier exists for these tags)
+    "geo_line_simplify",
+    "osm_topology_mapconfig",
+    "scan_tag_index_pruned",
+    "events_stream_dedup_parity",
+    "text_token_topk_sketch",
+    "corpus_domain_mixture_sample",
+]
+
 
 def _ordered() -> dict[str, CatalogEntry]:
     _load_all()

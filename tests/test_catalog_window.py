@@ -13,6 +13,7 @@ from ariadne_cartograph_spark.plans.catalog import (
     REGISTRY,
     WINDOW_ORDER,
     WINDOW_ORDER_R10,
+    WINDOW_ORDER_R11,
     get_oracles,
     get_queries,
 )
@@ -44,7 +45,11 @@ def test_window_entries_are_oracled():
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-@pytest.mark.parametrize("window", [WINDOW_ORDER, WINDOW_ORDER_R10], ids=["r9", "r10"])
+@pytest.mark.parametrize(
+    "window",
+    [WINDOW_ORDER, WINDOW_ORDER_R10, WINDOW_ORDER_R11],
+    ids=["live", "r10", "r11"],
+)
 def test_prestaged_windows_hold_all_invariants(window):
     """The pre-staged round-10 rotation (catalog.WINDOW_ORDER_R10) must
     satisfy the same invariants as the live window NOW, so next round's
