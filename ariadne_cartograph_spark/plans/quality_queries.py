@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import similarity as S
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .catalog import register
 
 _STOPLIST_SQL = "['the','a','an','and','or','of','to','in','is','it']"
@@ -214,7 +214,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_ann_ivf); centroids="hash" is the scale default. The
     within-cell pair join is the whole point at 100 TB: comparison
     volume is per-cell-quadratic, corpus shuffles once on cell."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     flags = S.semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.35, n_centroids=16, centroids="first"
     )
@@ -417,7 +417,7 @@ def corpus_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = docs.select(
         "doc_id",
         "source",

@@ -633,7 +633,7 @@ LIMIT 10
 """,
 )
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") == 0)
     return (
         S.cosine_topk(
@@ -702,7 +702,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact bucketing. The xxhash64-plane variant (ann_lsh_topk) is
     the 100 TB path — same plan shape, planes derived executor-side;
     its recall vs brute force is pinned in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 4)
     return (
         S.ann_lsh_topk_literal(emb, queries, "vec_id", "embedding", k=5)
@@ -761,7 +761,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment + probing + rerank — a value-hash over the whole
     approximate pipeline. centroids="hash" (xxhash64 sampling) is the
     100 TB default; recall vs brute force pinned in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 4)
     return (
         S.ann_ivf_topk(
@@ -863,7 +863,7 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replay of the Lloyd rounds (:func:`_ann_ivf_trained_oracle`).
     Recall vs brute force stays pinned in
     tests/test_dedup_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 4)
     return (
         S.ann_ivf_topk_kmeans(
@@ -937,7 +937,7 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     full value hash."""
     from ..operators.pq import pq_codebooks, pq_encode
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     books = pq_codebooks(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=0)
     enc = pq_encode(emb, "embedding", books)
     return enc.select(
@@ -982,7 +982,7 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical codebooks, codes, and distance sums."""
     from ..operators.pq import pq_adc_topk, pq_codebooks, pq_encode
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     books = pq_codebooks(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=0)
     codes = pq_encode(emb, "embedding", books).select("vec_id", "pq_codes")
     queries = emb.filter(F.col("vec_id") < 4)
@@ -1053,7 +1053,7 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizers included) sits under the driver's value hash."""
     from ..operators.pq import ivf_pq_topk, pq_codebooks
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     books = pq_codebooks(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, n_iter=0)
     cents = [
         [float(x) for x in r["embedding"]]
@@ -1110,7 +1110,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derived → f32 output per the repo float policy, so the blocked
     # result hashes identically to the join form (equality pinned in
     # tests/test_dedup_similarity.py).
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     return S.exact_cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.45)
 
 
@@ -1130,7 +1130,7 @@ ORDER BY label
 def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return (
         emb.groupBy("label")
         .agg(
@@ -1480,7 +1480,7 @@ FROM q ORDER BY vec_id
 """,
 )
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     max_abs = F.greatest(
         F.array_max(F.transform(xd, lambda x: F.abs(x))), F.lit(1e-12)
@@ -2002,7 +2002,7 @@ FROM pred WHERE vr = 1 ORDER BY vec_id
 def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") % 25 == 7)
     knn = S.cosine_topk(emb, q, "vec_id", "embedding", k=_KNN_K)
     nbr = knn.join(emb.select("vec_id", "label"), "vec_id")
@@ -2390,7 +2390,7 @@ def text_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     lex = bm25_topk(
         docs, list(_BM25_TERMS), "doc_id", "text",
         k=_RRF_DEPTH, k1=_BM25_K1, b=_BM25_B,

@@ -65,7 +65,8 @@ REGRESSION_FACTOR = 2.0
 # geo_line_simplify binds the simplified array once instead of
 # re-running the fold per reference (21.6→13.7); agg_approx_distinct
 # dedups to (flag, partkey) first — no Expand, HLL registers identical
-# over distinct keys (13.4→5.2).
+# over distinct keys (13.4→5.2); fan_out on the embeddings/text scans
+# (similarity_ann_ivfpq 11.4→5.5; simhash/ngram under their fences).
 SF1_ENGINE_FENCES: dict[str, float] = {
     "agg_approx_distinct": 5.2,
     "corpus_multimodal_curation": 12.7,
@@ -73,7 +74,7 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     "geo_line_simplify": 13.7,
     "ngram_jaccard_near_dup": 24.2,
     "simhash_near_dup": 18.4,
-    "similarity_ann_ivfpq": 11.4,
+    "similarity_ann_ivfpq": 5.5,
     "text_rolling_fingerprint": 9.6,
     "text_winnow_fingerprint_md5": 4.7,
     "trajectory_jaccard_pairs": 26.1,
