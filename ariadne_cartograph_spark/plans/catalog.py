@@ -83,7 +83,9 @@ DRIVER_WINDOW = 50
 # the only P2 carrier, red in test_catalog_window since r7. The 26
 # never-hashed entries still outside (text/corpus/embedding family)
 # rotate in at r10, completing the 158/158 cumulative sweep.
-WINDOW_ORDER: list[str] = [
+# (Retired: kept as the r9 record; the live binding is the
+# `WINDOW_ORDER = WINDOW_ORDER_R10` assignment below.)
+WINDOW_ORDER_R9: list[str] = [
     # anchors: sole oracled carriers of their §2 tags (see above)
     "q1_pricing_summary",
     "q6_forecast_revenue",

@@ -460,13 +460,33 @@ def scan_tag_index_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.layout import indexed_tag_predicate, write_tag_indexed
     from ..sources.osm import read_osm_elements, split_elements
 
-    # content-stable fixture path (like ensure_osc_fixture): repeated
+    # Content-keyed fixture path (like ensure_osc_fixture, but the
+    # content is a parquet layout, so the key is a digest of the
+    # source file + index config rather than a byte compare): repeated
     # bench/rehearsal/driver runs reuse one directory instead of
-    # leaking a fresh mkdtemp per invocation
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_tag_index")
+    # leaking a fresh mkdtemp per invocation; a regenerated fixture or
+    # changed key list gets a NEW directory, never a stale read. The
+    # write goes to a scratch dir and publishes with an atomic rename,
+    # so concurrent drivers race to an identical result, not a
+    # half-written directory.
+    import hashlib
+
+    keys = ["highway", "amenity", "building"]
+    st = os.stat(_OSM_PATH)
+    digest = hashlib.md5(
+        f"{_OSM_PATH}:{st.st_size}:{st.st_mtime_ns}:{keys}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_tag_index_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ways = split_elements(read_osm_elements(spark, _OSM_PATH))["ways"]
-        write_tag_indexed(ways, path, keys=["highway", "amenity", "building"])
+        scratch = tempfile.mkdtemp(prefix="spark_graft_tag_index_w_")
+        write_tag_indexed(ways, scratch, keys=keys)
+        try:
+            os.rename(scratch, path)
+        except OSError:  # lost the publish race: identical content exists
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
     back = spark.read.parquet(path)
     res = back.filter(indexed_tag_predicate(back, "highway", "residential"))
     return spark.range(1).select(

@@ -63,21 +63,27 @@ def osc_elements_from_text(
     streaming file source hands a micro-batch. Pass ``path_col``
     (e.g. the selected ``_metadata.file_path``) so every row carries
     the (src_path, src_pos) document-order key `net_changes` collapses
-    by — without it a multi-document frame has no defined cross-file
-    order."""
+    by. Without it, src_path is "" and src_pos folds a per-partition
+    document counter into its high bits, so document order is
+    preserved WITHIN each partition (the old monotonic-id guarantee)
+    but remains undefined across partitions — multi-document frames
+    spanning partitions need ``path_col`` for a total order."""
     import io
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        doc_seq = 0  # per-partition document counter
         for pdf in batches:
             for i in range(len(pdf)):
                 content = pdf[text_col].iloc[i]
                 src = str(pdf[path_col].iloc[i]) if path_col else ""
+                base = 0 if path_col else (doc_seq << 40)
+                doc_seq += 1
                 rows = []
                 for pos, row in enumerate(
                     _iter_osc_rows(io.BytesIO(content.encode("utf-8")))
                 ):
                     row["src_path"] = src
-                    row["src_pos"] = pos
+                    row["src_pos"] = base + pos
                     rows.append(row)
                 if rows:
                     yield pd.DataFrame(rows, columns=_OSC_COLUMNS)
@@ -161,10 +167,17 @@ class OsmReplicationPipeline:
 
         self.nodes.upsert(n_up, txn_app="osc", txn_version=v_up)
         self.nodes.delete(n_del, txn_app="osc", txn_version=v_del)
-        self.ways.upsert(w_up, txn_app="osc", txn_version=v_up)
-        self.ways.delete(w_del, txn_app="osc", txn_version=v_del)
 
         # ---- node→ways index maintenance (O(changed ways' refs)) ----
+        # COMMIT ORDER MATTERS for crash-replay safety: the index
+        # commits BEFORE the ways store. old_refs must be the
+        # PRE-update ref lists; a crash between a ways commit and the
+        # index commit would make the replay read post-update refs and
+        # leave removed nodes' index entries stale forever. With
+        # index-before-ways, every crash point replays correctly: if
+        # the index committed, its marks skip the (identically
+        # recomputed) replay; if it didn't, the ways store is still
+        # pre-update and old_refs is read correctly.
         def pairs(refs: DataFrame | None) -> DataFrame:
             if refs is None:
                 return self.spark.createDataFrame([], "node_id long, way_id long")
@@ -196,6 +209,9 @@ class OsmReplicationPipeline:
         ).select(F.col("node_id").alias("id"))
         self.node_ways.upsert(new_rows, txn_app="osc", txn_version=v_up)
         self.node_ways.delete(emptied, txn_app="osc", txn_version=v_del)
+
+        self.ways.upsert(w_up, txn_app="osc", txn_version=v_up)
+        self.ways.delete(w_del, txn_app="osc", txn_version=v_del)
 
         # ---- blast-radius recompute, probed not scanned ----
         diff_nodes = net.filter(F.col("kind") == "node").select("id")

@@ -519,3 +519,73 @@ def test_maintained_node_way_index_equals_from_scratch(base, spark, tmp_path):
     for n in NEW_NODES:
         assert NEW_WAY in idx[n]
     assert all(RETAGGED_WAY not in ways for ways in idx.values())
+
+
+@pytest.mark.parametrize("crash_at", ["node_ways_upsert", "ways_upsert", "derived_upsert"])
+def test_crashed_batch_replay_keeps_index_consistent(base, spark, tmp_path, crash_at):
+    """Crash-replay safety of the commit ORDER inside apply_changeset:
+    the node→ways index commits BEFORE the ways store, so whichever
+    table commit the crash lands on, replaying the batch leaves the
+    maintained index equal to a from-scratch rebuild (the dangerous
+    window — ways committed, index not — is unreachable). Simulated by
+    making one table's upsert raise, then replaying the batch."""
+    from ariadne_cartograph_spark.streaming.osm_replication import (
+        OsmReplicationPipeline,
+    )
+
+    def derive(geoms):
+        return geoms.select("id", F.size("geom").alias("n_pts"))
+
+    pipe = OsmReplicationPipeline(spark, str(tmp_path / "repl"), derive, n_buckets=4)
+    p0 = split_elements(base)
+    pipe.bootstrap(p0["nodes"], p0["ways"])
+
+    # a changeset where a way LOSES vertices: the retagged way shrinks
+    # from 5 refs to 2 — nodes 122714885/90/92 must leave its index rows
+    osc = f"""<osmChange version="0.6">
+      <modify>
+        <way id="{RETAGGED_WAY}" version="3">
+          <nd ref="122714882"/>
+          <nd ref="122714883"/>
+          <tag k="highway" v="tertiary"/>
+        </way>
+      </modify>
+    </osmChange>"""
+    p = tmp_path / "c.osc"
+    p.write_text(osc)
+    diff = read_osc_elements(spark, str(p)).localCheckpoint(eager=True)
+
+    table = {
+        "node_ways_upsert": pipe.node_ways,
+        "ways_upsert": pipe.ways,
+        "derived_upsert": pipe.derived,
+    }[crash_at]
+    real_upsert = table.upsert
+
+    def crashing(*a, **kw):
+        table.upsert = real_upsert  # crash exactly once
+        raise RuntimeError("injected crash before this table's commit")
+
+    table.upsert = crashing
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.apply_changeset(diff, batch_id=1)
+
+    # the replay (foreachBatch re-runs the same batch_id)
+    pipe.apply_changeset(diff, batch_id=1)
+
+    maintained = {
+        (r.id, tuple(r.way_ids)) for r in pipe.node_ways.read().collect()
+    }
+    from_scratch = {
+        (r.id, tuple(r.way_ids))
+        for r in OsmReplicationPipeline._index_rows(
+            node_way_index(pipe.ways.read())
+        ).collect()
+    }
+    assert maintained == from_scratch
+    idx = dict(maintained)
+    for gone in (122714885, 122714890, 122714892):
+        assert RETAGGED_WAY not in idx.get(gone, ()), f"stale entry for node {gone}"
+    # way store and derived table reflect the shrunk way
+    assert pipe.ways.read().filter(F.col("id") == RETAGGED_WAY).collect()[0].node_refs == [122714882, 122714883]
+    assert pipe.derived.read().filter(F.col("id") == RETAGGED_WAY).collect()[0].n_pts == 2
