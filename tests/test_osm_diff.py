@@ -589,3 +589,63 @@ def test_crashed_batch_replay_keeps_index_consistent(base, spark, tmp_path, cras
     # way store and derived table reflect the shrunk way
     assert pipe.ways.read().filter(F.col("id") == RETAGGED_WAY).collect()[0].node_refs == [122714882, 122714883]
     assert pipe.derived.read().filter(F.col("id") == RETAGGED_WAY).collect()[0].n_pts == 2
+
+
+def test_apply_osc_model_random_multi_file(base, spark, tmp_path):
+    """Model check of the whole diff path: a random sequence of
+    create/modify/delete ops over a small id space, split across
+    SEVERAL .osc files (shuffled sizes and mtimes), must land
+    apply_osc at exactly the state of a sequential one-op-at-a-time
+    dict replay. Runs a fixed-seed PRNG so failures reproduce."""
+    import os
+    import random
+
+    rng = random.Random(20260815)
+    ids = list(range(9200000001, 9200000013))  # 12 node ids
+    model: dict[int, tuple[float, float]] = {}
+    ops: list[tuple[str, int, float, float]] = []
+    for _ in range(120):
+        nid = rng.choice(ids)
+        if nid in model:
+            op = rng.choice(["modify", "delete", "modify"])
+        else:
+            op = "create"
+        lat = round(rng.uniform(-80, 80), 6)
+        lon = round(rng.uniform(-170, 170), 6)
+        ops.append((op, nid, lat, lon))
+        if op == "delete":
+            model.pop(nid, None)
+        else:
+            model[nid] = (lat, lon)
+
+    # split the op stream into 5 files; element order inside each file
+    # and file naming carry the sequence
+    d = tmp_path / "feed"
+    d.mkdir()
+    cuts = sorted(rng.sample(range(1, len(ops)), 4))
+    chunks = [ops[a:b] for a, b in zip([0, *cuts], [*cuts, len(ops)])]
+    for i, chunk in enumerate(chunks):
+        body = []
+        for op, nid, lat, lon in chunk:
+            if op == "delete":
+                body.append(f'<delete><node id="{nid}" version="9"/></delete>')
+            else:
+                body.append(
+                    f'<{op}><node id="{nid}" version="9" lat="{lat}" lon="{lon}"/></{op}>'
+                )
+        f = d / f"{i:06d}.osc"
+        f.write_text(
+            '<osmChange version="0.6">' + "\n".join(body) + "</osmChange>"
+        )
+        # adversarial mtimes: reverse order, so nothing can lean on them
+        os.utime(f, (3000000000 - i, 3000000000 - i))
+
+    diff = read_osc_elements(spark, str(d / "*.osc"))
+    patched = apply_osc(base, diff)
+    got = {
+        r.id: (r.lat, r.lon)
+        for r in patched.filter(
+            (F.col("kind") == "node") & F.col("id").isin(ids)
+        ).collect()
+    }
+    assert got == {k: v for k, v in model.items()}
