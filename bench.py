@@ -59,27 +59,28 @@ REGRESSION_FACTOR = 2.0
 # fence. Top-12 engine-side entries pinned from the r9 idle-machine
 # re-run (the full-sweep numbers ran concurrent with other work and
 # were up to 1.9x inflated — geo_line_simplify 40.0 vs 21.6 quiet).
-# r10 re-pins (hashes unchanged, rehearsal top-ups in
-# SCALE_REHEARSAL_sf1.json note_r10 keys): both fingerprint entries
-# rebuilt as fold-min over a fanned-out scan (28.9→9.6, 18.5→4.7);
-# geo_line_simplify binds the simplified array once instead of
-# re-running the fold per reference (21.6→13.7); agg_approx_distinct
-# dedups to (flag, partkey) first — no Expand, HLL registers identical
-# over distinct keys (13.4→5.2); fan_out on the embeddings/text scans
-# (similarity_ann_ivfpq 11.4→5.5; simhash/ngram under their fences).
+# r10: all 12 fences re-pinned wholesale from the round-close
+# idle-machine rehearsal (load ~1.6, engine total 655s→421s) after
+# the round's optimizations — fold-min fingerprints, fan_out on
+# under-split CPU scans (text + embeddings), single-bind simplify,
+# dedup-first approx-distinct. Per-entry provenance in
+# SCALE_REHEARSAL_sf1.json note_r10 keys. trajectory's 27s produces
+# a 62M-row pair set (output-bound); docs_incremental's 27s is
+# 4 micro-batches of fixed streaming overhead (profiled, documented
+# in the entry).
 SF1_ENGINE_FENCES: dict[str, float] = {
-    "agg_approx_distinct": 5.2,
-    "corpus_multimodal_curation": 12.7,
-    "docs_incremental_dedup_parity": 29.0,
-    "geo_line_simplify": 13.7,
-    "ngram_jaccard_near_dup": 24.2,
-    "simhash_near_dup": 18.4,
-    "similarity_ann_ivfpq": 5.5,
-    "text_rolling_fingerprint": 9.6,
-    "text_winnow_fingerprint_md5": 4.7,
-    "trajectory_jaccard_pairs": 26.1,
+    "agg_approx_distinct": 5.0,
+    "corpus_multimodal_curation": 11.8,
+    "docs_incremental_dedup_parity": 27.1,
+    "geo_line_simplify": 9.1,
+    "ngram_jaccard_near_dup": 15.9,
+    "simhash_near_dup": 13.8,
+    "similarity_ann_ivfpq": 4.9,
+    "text_rolling_fingerprint": 7.0,
+    "text_winnow_fingerprint_md5": 2.5,
+    "trajectory_jaccard_pairs": 27.2,
     "ways_enrichment_pipeline": 11.1,
-    "window_running_total": 12.0,
+    "window_running_total": 10.5,
 }
 
 
