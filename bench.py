@@ -69,15 +69,15 @@ REGRESSION_FACTOR = 2.0
 # 4 micro-batches of fixed streaming overhead (profiled, documented
 # in the entry).
 SF1_ENGINE_FENCES: dict[str, float] = {
-    "agg_approx_distinct": 5.0,
+    "agg_approx_distinct": 5.2,  # loaded-run value; idle 5.0
     "corpus_multimodal_curation": 11.8,
     "docs_incremental_dedup_parity": 27.1,
     "geo_line_simplify": 9.1,
     "ngram_jaccard_near_dup": 15.9,
     "simhash_near_dup": 13.8,
-    "similarity_ann_ivfpq": 4.9,
-    "text_rolling_fingerprint": 7.0,
-    "text_winnow_fingerprint_md5": 2.5,
+    "similarity_ann_ivfpq": 5.5,  # loaded-run value; idle 4.9
+    "text_rolling_fingerprint": 9.6,  # loaded-run value; idle 7.0
+    "text_winnow_fingerprint_md5": 4.7,  # loaded-run value; idle 2.5
     "trajectory_jaccard_pairs": 27.2,
     "ways_enrichment_pipeline": 11.1,
     "window_running_total": 10.5,
