@@ -298,3 +298,54 @@ def test_auto_route_unchanged_by_memo(spark, emb):
     ).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
     S._PAIR_COUNT_CACHE.clear()
+
+
+def test_rolling_fingerprint_fold_edges_match_python(spark):
+    """Edge cases for the r10 fold-min rewrite of both fingerprint
+    twins (no shingle/hash arrays materialized): empty string, exactly
+    7/8/9 tokens, leading/trailing/multiple whitespace (the \\s+ split
+    emits empty tokens — the fold must hash the identical shingle
+    strings the array form did), unicode, and a single repeated token
+    (min over all == min over distinct)."""
+    import hashlib
+    import re
+
+    from ariadne_cartograph_spark.functions.text import (
+        rolling_fingerprint,
+        rolling_fingerprint_md5,
+    )
+
+    texts = [
+        (1, ""),
+        (2, "a b c d e f g"),          # 7 tokens: md5(text) fallback
+        (3, "a b c d e f g h"),        # exactly one 8-shingle
+        (4, "a b c d e f g h i"),      # two shingles
+        (5, "  leading and trailing  whitespace  makes empty   tokens x y z"),
+        (6, "x " * 50),                # trailing space → empty last token
+        (7, "héllo wörld ünïcode tokens ärê fine too yes and more"),
+        (8, " ".join(["same"] * 20)),  # all shingles identical
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.fp_md5, r.fp_xx)
+        for r in df.select(
+            "doc_id",
+            rolling_fingerprint_md5("text").alias("fp_md5"),
+            rolling_fingerprint("text").alias("fp_xx"),
+        ).collect()
+    }
+
+    def py_md5(t):
+        toks = re.split(r"\s+", t)
+        if len(toks) < 8:
+            return hashlib.md5(t.encode()).hexdigest()
+        return min(
+            hashlib.md5(" ".join(toks[i : i + 8]).encode()).hexdigest()
+            for i in range(len(toks) - 7)
+        )
+
+    for doc_id, text in texts:
+        assert got[doc_id][0] == py_md5(text), f"doc {doc_id}"
+        assert got[doc_id][1] is not None
+    # identical-shingle doc: fold min equals the single shingle's hash
+    assert got[8][0] == hashlib.md5((" ".join(["same"] * 8)).encode()).hexdigest()
