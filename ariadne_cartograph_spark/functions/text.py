@@ -138,11 +138,12 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(F.col(text) if isinstance(text, str) else text)
 
 
-def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
-    """Winnowing-style document fingerprint: min of xxhash64 over word
-    ``window``-shingles — a single stable 64-bit summary that is robust
-    to small edits (public winnowing scheme, Schleimer et al. 2003).
-    Computed as a fold (no intermediate arrays)."""
+def _fold_min_shingles(text: Column | str, window: int, hash_fn, acc_type: str) -> Column:
+    """min of ``hash_fn`` over all word ``window``-shingles as ONE
+    aggregate fold over start indices — no shingle array, no distinct
+    pass, no hash array is ever materialized (min over all shingles ==
+    min over distinct shingles; ``least`` skips the NULL seed). Docs
+    below ``window`` tokens fall back to ``hash_fn(text)``."""
     t = F.col(text) if isinstance(text, str) else text
 
     def mins(toks: Column) -> Column:
@@ -151,14 +152,22 @@ def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
             k >= 1,
             F.aggregate(
                 F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                F.lit(None).cast("bigint"),
+                F.lit(None).cast(acc_type),
                 lambda acc, i: F.least(
-                    acc, F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window)))
+                    acc, hash_fn(F.concat_ws(" ", F.slice(toks, i, window)))
                 ),
             ),
-        ).otherwise(F.xxhash64(t))
+        ).otherwise(hash_fn(t))
 
     return _bind(tokens(t), mins)
+
+
+def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min of xxhash64 over word
+    ``window``-shingles — a single stable 64-bit summary that is robust
+    to small edits (public winnowing scheme, Schleimer et al. 2003).
+    Computed as a fold (:func:`_fold_min_shingles`)."""
+    return _fold_min_shingles(text, window, F.xxhash64, "bigint")
 
 
 def rolling_fingerprint_md5(text: Column | str, window: int = 8) -> Column:
@@ -167,25 +176,8 @@ def rolling_fingerprint_md5(text: Column | str, window: int = 8) -> Column:
     lowercase hex, so the string min IS the numeric min). xxhash64 is
     the scale scheme (8-byte signatures); this twin exists so the
     winnowing pipeline itself can be value-hash checked against a SQL
-    oracle — same pattern as simhash_md5_near_dup_pairs. Same fold
-    shape as :func:`rolling_fingerprint` — min over all shingles ==
-    min over distinct shingles, so no arrays are materialized."""
-    t = F.col(text) if isinstance(text, str) else text
-
-    def mins(toks: Column) -> Column:
-        k = F.size(toks) - (window - 1)
-        return F.when(
-            k >= 1,
-            F.aggregate(
-                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                F.lit(None).cast("string"),
-                lambda acc, i: F.least(
-                    acc, F.md5(F.concat_ws(" ", F.slice(toks, i, window)))
-                ),
-            ),
-        ).otherwise(F.md5(t))
-
-    return _bind(tokens(t), mins)
+    oracle — same pattern as simhash_md5_near_dup_pairs."""
+    return _fold_min_shingles(text, window, F.md5, "string")
 
 
 # ---------------------------------------------------------------------------

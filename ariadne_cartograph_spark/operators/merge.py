@@ -511,9 +511,7 @@ class ParquetMergeTable:
             F.xxhash64(F.col(self.key).cast(dtype)), F.lit(n_b)
         ).cast("int")
         affected = sorted(
-            r[0]
-            for r in k.select(bexpr.alias("__b")).distinct().collect()
-            if r[0] is not None
+            r[0] for r in k.select(bexpr.alias("__b")).distinct().collect()
         )
         paths = [m["buckets"][str(b)] for b in affected if str(b) in m["buckets"]]
         if not paths:  # every probed bucket is empty: provably absent

@@ -454,6 +454,7 @@ def scan_tag_index_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed filters with row-group stats (pinned in
     tests/test_layout_config.py), the map lookup runs only on
     surviving groups, answers hash-equal to raw map filters."""
+    import hashlib
     import os
     import tempfile
 
@@ -469,8 +470,6 @@ def scan_tag_index_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write goes to a scratch dir and publishes with an atomic rename,
     # so concurrent drivers race to an identical result, not a
     # half-written directory.
-    import hashlib
-
     keys = ["highway", "amenity", "building"]
     st = os.stat(_OSM_PATH)
     digest = hashlib.md5(

@@ -43,7 +43,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from .osm import (
     PARSE_BATCH_ROWS,
@@ -54,8 +54,6 @@ from .osm import (
 )
 
 OPS = ("create", "modify", "delete")
-
-from pyspark.sql.types import LongType
 
 _OSC_SCHEMA = StructType(
     list(_PARSED_SCHEMA.fields)
