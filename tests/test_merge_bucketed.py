@@ -358,6 +358,19 @@ def test_model_based_random_ops_both_layouts(spark, tmp_path):
                 for r in t.read().collect()
             } if t.read() is not None else {}
             assert got == snapshots[step], (t.path, step, ops[-1])
+            # read_keys agrees with the model under both layouts at
+            # every step: a random probe mixing present, absent, and
+            # NULL keys returns exactly the model's rows for it
+            probe = [rng.randrange(16) for _ in range(3)] + [None]
+            pdf = spark.createDataFrame([(k,) for k in probe], "gid long")
+            rk = t.read_keys(pdf)
+            got_k = (
+                {r.gid: (r.val, getattr(r, "tag", None)) for r in rk.collect()}
+                if rk is not None
+                else {}
+            )
+            want_k = {k: cur[k] for k in probe if k is not None and k in cur}
+            assert got_k == want_k, (t.path, "read_keys", step, probe)
             for v in t.history():
                 want = snapshots[v]
                 df = t.read(v)
