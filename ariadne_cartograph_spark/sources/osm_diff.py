@@ -232,15 +232,37 @@ def affected_way_ids(
     return direct.unionByName(via_nodes).distinct()
 
 
-def affected_relation_ids(diff: DataFrame, relations: DataFrame) -> DataFrame:
+def relation_member_index(relations: DataFrame) -> DataFrame:
+    """(m_kind, m_ref, relation_id) reverse member index — the
+    relation analog of :func:`node_way_index`: materialize once
+    (bucketed on the member key at rest) so per-diff affected-relation
+    lookups are co-located probes instead of an O(planet) member
+    explode per changeset."""
+    return relations.select(
+        F.col("id").alias("relation_id"), F.explode("members").alias("m")
+    ).select(
+        F.col("m.member_type").alias("m_kind"),
+        F.col("m.ref").alias("m_ref"),
+        "relation_id",
+    )
+
+
+def affected_relation_ids(
+    diff: DataFrame,
+    relations: DataFrame | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
     """Relation ids whose derived rows (multipolygons, turn
     restrictions, route tables) must be recomputed: relations changed
     directly, plus relations with a member among the changeset's
     touched nodes/ways — e.g. moving a member way's node reshapes its
     multipolygon, retagging a restriction's to-way invalidates the
-    cached restriction row. Same broadcast-probe shape as
-    :func:`affected_way_ids` (the exploded member list is the index;
-    materialize it bucketed at rest for planet-scale replication)."""
+    cached restriction row. Same broadcast-probe shape and index
+    contract as :func:`affected_way_ids`: pass the materialized
+    :func:`relation_member_index` when you have one, else the UPDATED
+    relations frame is exploded for the lookup (one pass)."""
+    if (relations is None) == (index is None):
+        raise ValueError("pass exactly one of relations= or index=")
     changes = net_changes(diff)
     direct = changes.filter(F.col("kind") == "relation").select(
         F.col("id").alias("relation_id")
@@ -248,16 +270,8 @@ def affected_relation_ids(diff: DataFrame, relations: DataFrame) -> DataFrame:
     touched = changes.filter(F.col("kind") != "relation").select(
         F.col("kind").alias("m_kind"), F.col("id").alias("m_ref")
     )
-    member_index = relations.select(
-        F.col("id").alias("relation_id"), F.explode("members").alias("m")
-    ).select(
-        "relation_id",
-        F.col("m.member_type").alias("m_kind"),
-        F.col("m.ref").alias("m_ref"),
-    )
-    via = member_index.join(F.broadcast(touched), ["m_kind", "m_ref"]).select(
-        "relation_id"
-    )
+    idx = index if index is not None else relation_member_index(relations)
+    via = idx.join(F.broadcast(touched), ["m_kind", "m_ref"]).select("relation_id")
     return direct.unionByName(via).distinct()
 
 

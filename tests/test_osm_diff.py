@@ -170,6 +170,14 @@ def test_affected_relation_ids(base, diff, spark):
     assert 333928 in aff2          # via member way
     assert 6180566 in aff2         # direct delete
     assert 3516928 not in aff2
+    # the materialized-index path gives the identical answer, and
+    # exactly one of relations=/index= must be passed
+    from ariadne_cartograph_spark.sources.osm_diff import relation_member_index
+
+    idx = relation_member_index(relations)
+    assert {r.relation_id for r in affected_relation_ids(d2, index=idx).collect()} == aff2
+    with pytest.raises(ValueError, match="exactly one"):
+        affected_relation_ids(d2, relations=relations, index=idx)
 
 
 def test_replication_pipeline_exactly_once(base, spark, tmp_path, osc_path):
