@@ -91,9 +91,17 @@ def osc_elements_from_text(
     return typed_elements(docs.mapInPandas(parse, schema=_OSC_SCHEMA))
 
 
+REL_COLS = ["id", "members", "tags"]
+
+
 class OsmReplicationPipeline:
     """Element stores + maintained node→ways index + one derived way
-    table under a changeset feed — every per-batch read bucket-pruned."""
+    table under a changeset feed — every per-batch read bucket-pruned.
+    With ``derive_relations`` set, additionally maintains the relations
+    store, the (member → relations) reverse index, and a
+    relation-keyed derived table (multipolygon rows, turn-restriction
+    rows, route tables) under the same exactly-once marks and the same
+    index-commits-before-store replay-safe ordering."""
 
     def __init__(
         self,
@@ -101,9 +109,11 @@ class OsmReplicationPipeline:
         root: str,
         derive: Callable[[DataFrame], DataFrame],
         n_buckets: int | None = 8,
+        derive_relations: Callable[[DataFrame], DataFrame] | None = None,
     ) -> None:
         self.spark = spark
         self.derive = derive
+        self.derive_relations = derive_relations
         self.nodes = ParquetMergeTable(spark, f"{root}/nodes", key="id", n_buckets=n_buckets)
         self.ways = ParquetMergeTable(spark, f"{root}/ways", key="id", n_buckets=n_buckets)
         # node_id → sorted array of referencing way ids: the reverse
@@ -112,6 +122,17 @@ class OsmReplicationPipeline:
             spark, f"{root}/node_ways", key="id", n_buckets=n_buckets
         )
         self.derived = ParquetMergeTable(spark, f"{root}/derived", key="id", n_buckets=n_buckets)
+        if derive_relations is not None:
+            self.relations = ParquetMergeTable(
+                spark, f"{root}/relations", key="id", n_buckets=n_buckets
+            )
+            # "kind:ref" member key → sorted array of relation ids
+            self.member_rels = ParquetMergeTable(
+                spark, f"{root}/member_rels", key="id", n_buckets=n_buckets
+            )
+            self.derived_rels = ParquetMergeTable(
+                spark, f"{root}/derived_rels", key="id", n_buckets=n_buckets
+            )
 
     @staticmethod
     def _index_rows(pairs: DataFrame) -> DataFrame:
@@ -122,7 +143,32 @@ class OsmReplicationPipeline:
             .select(F.col("node_id").alias("id"), "way_ids")
         )
 
-    def bootstrap(self, nodes: DataFrame, ways: DataFrame) -> None:
+    @staticmethod
+    def _member_key(kind: F.Column, ref: F.Column) -> F.Column:
+        return F.concat_ws(":", kind, ref.cast("string"))
+
+    @classmethod
+    def _rel_pairs(cls, relations: DataFrame) -> DataFrame:
+        """relations(id, members) → ("kind:ref" member key, relation_id)."""
+        from ..sources.osm_diff import relation_member_index
+
+        idx = relation_member_index(relations)
+        return idx.select(
+            cls._member_key(F.col("m_kind"), F.col("m_ref")).alias("mk"),
+            "relation_id",
+        )
+
+    @staticmethod
+    def _rel_index_rows(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.groupBy("mk")
+            .agg(F.array_sort(F.collect_set("relation_id")).alias("relation_ids"))
+            .select(F.col("mk").alias("id"), "relation_ids")
+        )
+
+    def bootstrap(
+        self, nodes: DataFrame, ways: DataFrame, relations: DataFrame | None = None
+    ) -> None:
         """Seed the stores from a full import (the initial ``-c`` run)."""
         from ..sources.osm import assemble_way_geometries
         from ..sources.osm_diff import node_way_index
@@ -131,6 +177,13 @@ class OsmReplicationPipeline:
         self.ways.upsert(ways.select(*WAY_COLS))
         self.node_ways.upsert(self._index_rows(node_way_index(ways)))
         self.derived.upsert(self.derive(assemble_way_geometries(nodes, ways)))
+        if self.derive_relations is not None:
+            assert relations is not None, "derive_relations set: pass relations"
+            self.relations.upsert(relations.select(*REL_COLS))
+            self.member_rels.upsert(self._rel_index_rows(self._rel_pairs(relations)))
+            self.derived_rels.upsert(
+                self.derive_relations(relations.select(*REL_COLS))
+            )
 
     def apply_changeset(self, diff: DataFrame, batch_id: int) -> None:
         """One OsmChange → four exactly-once table maintenances, all
@@ -238,6 +291,88 @@ class OsmReplicationPipeline:
             .select("id")
         )
         self.derived.delete(deleted_ways, txn_app="osc", txn_version=v_del)
+
+        if self.derive_relations is not None:
+            self._apply_relations(net, diff, v_up, v_del)
+
+    def _apply_relations(self, net, diff, v_up: int, v_del: int) -> None:
+        """Relation-side maintenance under the same changeset: store +
+        member index + derived table, mirroring the way side exactly —
+        pre-update member lists read before any relation commit, index
+        commits before the store (same crash-replay argument), derived
+        rows recomputed only for the blast radius (relations changed
+        directly or holding a changed node/way as member)."""
+        from ..sources.osm_diff import affected_relation_ids
+
+        r = net.filter(F.col("kind") == "relation")
+        r_up = r.filter(F.col("op") != "delete").select(*REL_COLS)
+        r_del = r.filter(F.col("op") == "delete").select("id")
+        changed_rels = r.select("id")
+        old_members = self.relations.read_keys(changed_rels)
+        if old_members is not None:
+            old_members = old_members.localCheckpoint(eager=True)
+
+        # ---- member → relations index maintenance ----
+        empty_pairs = self.spark.createDataFrame([], "mk string, relation_id long")
+        new_pairs = self._rel_pairs(r_up)
+        old_pairs = empty_pairs if old_members is None else self._rel_pairs(old_members)
+        touched_mk = old_pairs.select("mk").union(new_pairs.select("mk")).distinct()
+        cur = self.member_rels.read_keys(touched_mk.select(F.col("mk").alias("id")))
+        kept = (
+            empty_pairs
+            if cur is None
+            else cur.select(
+                F.col("id").alias("mk"), F.explode("relation_ids").alias("relation_id")
+            ).join(
+                F.broadcast(changed_rels.select(F.col("id").alias("relation_id"))),
+                "relation_id",
+                "left_anti",
+            )
+        )
+        new_rows = self._rel_index_rows(kept.unionByName(new_pairs)).localCheckpoint(
+            eager=True
+        )
+        emptied = touched_mk.join(
+            new_rows.select(F.col("id").alias("mk")), "mk", "left_anti"
+        ).select(F.col("mk").alias("id"))
+        self.member_rels.upsert(new_rows, txn_app="osc", txn_version=v_up)
+        self.member_rels.delete(emptied, txn_app="osc", txn_version=v_del)
+
+        self.relations.upsert(r_up, txn_app="osc", txn_version=v_up)
+        self.relations.delete(r_del, txn_app="osc", txn_version=v_del)
+
+        # ---- blast radius via the maintained index ----
+        touched_members = net.filter(F.col("kind") != "relation").select(
+            self._member_key(F.col("kind"), F.col("id")).alias("id")
+        )
+        idx_rows = self.member_rels.read_keys(touched_members)
+        idx = (
+            self.spark.createDataFrame(
+                [], "m_kind string, m_ref long, relation_id long"
+            )
+            if idx_rows is None
+            else idx_rows.select(
+                F.split(F.col("id"), ":").getItem(0).alias("m_kind"),
+                F.split(F.col("id"), ":").getItem(1).cast("long").alias("m_ref"),
+                F.explode("relation_ids").alias("relation_id"),
+            )
+        )
+        aff = affected_relation_ids(diff, index=idx)
+        aff_rels = self.relations.read_keys(
+            aff.select(F.col("relation_id").alias("id"))
+        )
+        if aff_rels is None:
+            aff_rels = self.spark.createDataFrame(
+                [],
+                "id long, members array<struct<member_type string, ref long, "
+                "role string>>, tags map<string,string>",
+            )
+        self.derived_rels.upsert(
+            self.derive_relations(aff_rels.select(*REL_COLS)),
+            txn_app="osc",
+            txn_version=v_up,
+        )
+        self.derived_rels.delete(r_del, txn_app="osc", txn_version=v_del)
 
     def run_stream(self, osc_dir: str, checkpoint_dir: str) -> None:
         """Drain ``osc_dir`` (availableNow); each micro-batch applies

@@ -657,3 +657,98 @@ def test_apply_osc_model_random_multi_file(base, spark, tmp_path):
         ).collect()
     }
     assert got == {k: v for k, v in model.items()}
+
+
+def test_streaming_relation_maintenance(base, spark, tmp_path):
+    """With derive_relations set, the pipeline maintains the relations
+    store, the member→relations reverse index, and a relation-keyed
+    derived table: a changeset touching a member way recomputes exactly
+    the affected relations; creates/deletes land; after the drain the
+    maintained index and derived table equal from-scratch rebuilds."""
+    import os
+
+    from ariadne_cartograph_spark.streaming.osm_replication import (
+        OsmReplicationPipeline,
+    )
+
+    def derive(geoms):
+        return geoms.select("id", F.size("geom").alias("n_pts"))
+
+    def derive_rels(rels):
+        return rels.select(
+            "id",
+            F.size("members").alias("n_members"),
+            F.col("tags").getItem("type").alias("rel_type"),
+        )
+
+    pipe = OsmReplicationPipeline(
+        spark, str(tmp_path / "repl"), derive, n_buckets=4, derive_relations=derive_rels
+    )
+    p0 = split_elements(base)
+    pipe.bootstrap(p0["nodes"], p0["ways"], relations=p0["relations"])
+    n_rels0 = p0["relations"].count()
+    assert pipe.derived_rels.read().count() == n_rels0
+
+    osc_dir = tmp_path / "feed"
+    osc_dir.mkdir()
+    # changeset 1: retag the restriction's to-member way (blast radius
+    # must include restriction 3516928) and delete multipolygon 333928
+    f1 = osc_dir / "000001.osc"
+    f1.write_text(
+        f"""<osmChange version="0.6">
+          <modify>
+            <way id="{RETAGGED_WAY}" version="2">
+              <nd ref="122714882"/><nd ref="122714883"/><nd ref="122714885"/>
+              <nd ref="122714890"/><nd ref="122714892"/>
+              <tag k="highway" v="tertiary"/>
+            </way>
+          </modify>
+          <delete><relation id="333928" version="2"/></delete>
+        </osmChange>"""
+    )
+    os.utime(f1, (1800000000, 1800000000))
+    # changeset 2: create a new relation holding the retagged way
+    f2 = osc_dir / "000002.osc"
+    f2.write_text(
+        f"""<osmChange version="0.6">
+          <create>
+            <relation id="910000001" version="1">
+              <member type="way" ref="{RETAGGED_WAY}" role=""/>
+              <tag k="type" v="route"/>
+            </relation>
+          </create>
+        </osmChange>"""
+    )
+    os.utime(f2, (1800000100, 1800000100))
+    pipe.run_stream(str(osc_dir), str(tmp_path / "ckpt"))
+
+    rels = pipe.relations.read()
+    assert rels.filter(F.col("id") == 333928).count() == 0
+    assert rels.filter(F.col("id") == 910000001).count() == 1
+    assert rels.count() == n_rels0  # one deleted, one created
+
+    # derived table == full rebuild of the final relations store
+    want = {
+        (r.id, r.n_members, r.rel_type) for r in derive_rels(rels).collect()
+    }
+    got = {
+        (r.id, r.n_members, r.rel_type) for r in pipe.derived_rels.read().collect()
+    }
+    assert got == want
+    assert (910000001, 1, "route") in got
+    assert not any(i == 333928 for i, _, _ in got)
+
+    # maintained member index == from-scratch rebuild
+    maintained = {
+        (r.id, tuple(r.relation_ids)) for r in pipe.member_rels.read().collect()
+    }
+    scratch = {
+        (r.id, tuple(r.relation_ids))
+        for r in OsmReplicationPipeline._rel_index_rows(
+            OsmReplicationPipeline._rel_pairs(rels)
+        ).collect()
+    }
+    assert maintained == scratch
+    idx = dict(maintained)
+    assert 910000001 in idx[f"way:{RETAGGED_WAY}"]
+    assert all(333928 not in v for v in idx.values())
