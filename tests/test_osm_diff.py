@@ -752,3 +752,99 @@ def test_streaming_relation_maintenance(base, spark, tmp_path):
     idx = dict(maintained)
     assert 910000001 in idx[f"way:{RETAGGED_WAY}"]
     assert all(333928 not in v for v in idx.values())
+
+
+def test_apply_osc_model_random_ways_and_nodes(base, spark, tmp_path):
+    """Way-level model check: 200 random node/way create/modify/delete
+    ops across 8 .osc files (reversed mtimes), verified two ways —
+    apply_osc equals a sequential dict replay for both element kinds,
+    and incremental_way_geometries' rebuilt rows equal the full
+    re-assembly restricted to the blast radius. Fixed seed."""
+    import os
+    import random
+
+    rng = random.Random(4242)
+    node_ids = list(range(9300000001, 9300000021))
+    way_ids = list(range(930000001, 930000009))
+    nodes: dict[int, tuple[float, float]] = {}
+    ways: dict[int, list[int]] = {}
+    ops = []
+    for _ in range(200):
+        if rng.random() < 0.6:
+            nid = rng.choice(node_ids)
+            if nid in nodes and rng.random() < 0.3:
+                ops.append(("delete", "node", nid, None))
+                nodes.pop(nid)
+            else:
+                lat = round(rng.uniform(-60, 60), 6)
+                lon = round(rng.uniform(-150, 150), 6)
+                op = "modify" if nid in nodes else "create"
+                ops.append((op, "node", nid, (lat, lon)))
+                nodes[nid] = (lat, lon)
+        else:
+            wid = rng.choice(way_ids)
+            if wid in ways and rng.random() < 0.25:
+                ops.append(("delete", "way", wid, None))
+                ways.pop(wid)
+            else:
+                pool = list(nodes) or node_ids[:2]
+                refs = [rng.choice(pool) for _ in range(rng.randrange(2, 6))]
+                op = "modify" if wid in ways else "create"
+                ops.append((op, "way", wid, refs))
+                ways[wid] = refs
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    cuts = sorted(rng.sample(range(1, len(ops)), 7))
+    for i, chunk in enumerate(
+        ops[a:b] for a, b in zip([0, *cuts], [*cuts, len(ops)])
+    ):
+        body = []
+        for op, kind, eid, payload in chunk:
+            if kind == "node":
+                body.append(
+                    f'<delete><node id="{eid}" version="9"/></delete>'
+                    if op == "delete"
+                    else f'<{op}><node id="{eid}" version="9" '
+                    f'lat="{payload[0]}" lon="{payload[1]}"/></{op}>'
+                )
+            else:
+                if op == "delete":
+                    body.append(f'<delete><way id="{eid}" version="9"/></delete>')
+                else:
+                    nds = "".join(f'<nd ref="{r}"/>' for r in payload)
+                    body.append(
+                        f'<{op}><way id="{eid}" version="9">{nds}'
+                        f'<tag k="highway" v="path"/></way></{op}>'
+                    )
+        f = d / f"{i:06d}.osc"
+        f.write_text('<osmChange version="0.6">' + "\n".join(body) + "</osmChange>")
+        os.utime(f, (2500000000 - i * 7,) * 2)  # adversarial: reversed mtimes
+
+    diff = read_osc_elements(spark, str(d / "*.osc")).localCheckpoint(eager=True)
+    patched = apply_osc(base, diff).localCheckpoint(eager=True)
+    got_nodes = {
+        r.id: (r.lat, r.lon)
+        for r in patched.filter(
+            (F.col("kind") == "node") & F.col("id").isin(node_ids)
+        ).collect()
+    }
+    assert got_nodes == nodes
+    got_ways = {
+        r.id: list(r.node_refs)
+        for r in patched.filter(
+            (F.col("kind") == "way") & F.col("id").isin(way_ids)
+        ).collect()
+    }
+    assert got_ways == ways
+
+    split = split_elements(patched)
+    inc = incremental_way_geometries(split["nodes"], split["ways"], diff)
+    full = assemble_way_geometries(split["nodes"], split["ways"])
+    aff = inc["affected"]
+    canon = lambda df: sorted(
+        (r.id, tuple((p.lng, p.lat) for p in r.geom) if r.geom else None)
+        for r in df.select("id", "geom").collect()
+    )
+    full_aff = full.join(F.broadcast(aff), full["id"] == aff["way_id"]).drop("way_id")
+    assert canon(inc["rebuilt"]) == canon(full_aff)
