@@ -848,3 +848,73 @@ def test_apply_osc_model_random_ways_and_nodes(base, spark, tmp_path):
     )
     full_aff = full.join(F.broadcast(aff), full["id"] == aff["way_id"]).drop("way_id")
     assert canon(inc["rebuilt"]) == canon(full_aff)
+
+
+@pytest.mark.parametrize("crash_at", ["member_rels", "relations", "derived_rels"])
+def test_crashed_batch_replay_relation_side(base, spark, tmp_path, crash_at):
+    """Crash-replay safety of the RELATION-side commit order (member
+    index before relations store, mirroring the way side): whichever
+    relation-table commit the crash lands on, replaying the batch
+    leaves the maintained member index and derived table equal to
+    from-scratch rebuilds."""
+    from ariadne_cartograph_spark.streaming.osm_replication import (
+        OsmReplicationPipeline,
+    )
+
+    def derive(geoms):
+        return geoms.select("id", F.size("geom").alias("n_pts"))
+
+    def derive_rels(rels):
+        return rels.select("id", F.size("members").alias("n_members"))
+
+    pipe = OsmReplicationPipeline(
+        spark, str(tmp_path / "repl"), derive, n_buckets=4, derive_relations=derive_rels
+    )
+    p0 = split_elements(base)
+    pipe.bootstrap(p0["nodes"], p0["ways"], relations=p0["relations"])
+
+    # shrink a relation's member list (stale-index hazard: the removed
+    # member's index entry must drop) and delete another relation
+    rel = p0["relations"].filter(F.col("id") == 3516928).collect()[0]
+    keep = rel.members[0]
+    osc = f"""<osmChange version="0.6">
+      <modify>
+        <relation id="3516928" version="2">
+          <member type="{keep.member_type}" ref="{keep.ref}" role="{keep.role or ''}"/>
+          <tag k="type" v="restriction"/>
+        </relation>
+      </modify>
+      <delete><relation id="333928" version="2"/></delete>
+    </osmChange>"""
+    p = tmp_path / "c.osc"
+    p.write_text(osc)
+    diff = read_osc_elements(spark, str(p)).localCheckpoint(eager=True)
+
+    table = getattr(pipe, crash_at)
+    real_upsert = table.upsert
+
+    def crashing(*a, **kw):
+        table.upsert = real_upsert
+        raise RuntimeError("injected crash")
+
+    table.upsert = crashing
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.apply_changeset(diff, batch_id=1)
+    pipe.apply_changeset(diff, batch_id=1)  # the replay
+
+    rels = pipe.relations.read()
+    assert rels.filter(F.col("id") == 333928).count() == 0
+    assert len(rels.filter(F.col("id") == 3516928).collect()[0].members) == 1
+    maintained = {
+        (r.id, tuple(r.relation_ids)) for r in pipe.member_rels.read().collect()
+    }
+    scratch = {
+        (r.id, tuple(r.relation_ids))
+        for r in OsmReplicationPipeline._rel_index_rows(
+            OsmReplicationPipeline._rel_pairs(rels)
+        ).collect()
+    }
+    assert maintained == scratch
+    want = {(r.id, r.n_members) for r in derive_rels(rels).collect()}
+    got = {(r.id, r.n_members) for r in pipe.derived_rels.read().collect()}
+    assert got == want
