@@ -1378,3 +1378,161 @@ def geo_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid")
     )
+
+
+_OSM_REPLICATION_ORACLE_TEMPLATE = """
+SELECT CAST({n_relations} AS BIGINT) AS n_relations,
+       CAST({sum_relation_ids} AS BIGINT) AS sum_relation_ids,
+       CAST({n_index_entries} AS BIGINT) AS n_index_entries,
+       CAST(0 AS BIGINT) AS idx_mismatch,
+       CAST(0 AS BIGINT) AS derived_mismatch,
+       CAST({n_derived_ways} AS BIGINT) AS n_derived_ways,
+       CAST({sum_derived_pts} AS BIGINT) AS sum_derived_pts,
+       CAST({n_derived_rels} AS BIGINT) AS n_derived_rels,
+       CAST({sum_derived_members} AS BIGINT) AS sum_derived_members
+"""
+
+
+def _replication_census(spark: SparkSession) -> dict:
+    """Run the FULL replication pipeline (bootstrap + one combined
+    changeset through apply_changeset: way retag, relation delete,
+    relation member-shrink, relation create) in a fresh scratch root
+    and census the resulting four maintained tables plus
+    maintained-vs-from-scratch mismatch counts for BOTH reverse
+    indexes and both derived tables."""
+    import shutil
+    import tempfile
+
+    from ..sources.osm import read_osm_elements, split_elements
+    from ..sources.osm_diff import node_way_index, read_osc_elements
+    from ..streaming.osm_replication import OsmReplicationPipeline
+
+    def derive(geoms):
+        return geoms.select("id", F.size("geom").alias("n_pts"))
+
+    def derive_rels(rels):
+        return rels.select("id", F.size("members").alias("n_members"))
+
+    root = tempfile.mkdtemp(prefix="acs_repl_parity_")
+    try:
+        pipe = OsmReplicationPipeline(
+            spark, root, derive, n_buckets=4, derive_relations=derive_rels
+        )
+        p0 = split_elements(read_osm_elements(spark, _OSM_PATH))
+        pipe.bootstrap(p0["nodes"], p0["ways"], relations=p0["relations"])
+        osc = f"""<osmChange version="0.6">
+          <modify>
+            <way id="{OSC_RETAGGED_WAY}" version="2">
+              <nd ref="122714882"/><nd ref="122714883"/>
+              <tag k="highway" v="tertiary"/>
+            </way>
+            <relation id="3516928" version="2">
+              <member type="way" ref="{OSC_RETAGGED_WAY}" role="to"/>
+              <tag k="type" v="restriction"/>
+            </relation>
+          </modify>
+          <delete><relation id="333928" version="2"/></delete>
+          <create>
+            <relation id="910000001" version="1">
+              <member type="way" ref="{OSC_RETAGGED_WAY}" role=""/>
+              <tag k="type" v="route"/>
+            </relation>
+          </create>
+        </osmChange>"""
+        import os as _os
+
+        p = _os.path.join(root, "change.osc")
+        with open(p, "w") as f:
+            f.write(osc)
+        diff = read_osc_elements(spark, p).localCheckpoint(eager=True)
+        pipe.apply_changeset(diff, batch_id=1)
+
+        rels = pipe.relations.read().localCheckpoint(eager=True)
+        ways = pipe.ways.read()
+        # maintained-vs-scratch mismatches, both indexes
+        m_nw = {
+            (r.id, tuple(r.way_ids)) for r in pipe.node_ways.read().collect()
+        }
+        s_nw = {
+            (r.id, tuple(r.way_ids))
+            for r in OsmReplicationPipeline._index_rows(node_way_index(ways)).collect()
+        }
+        m_mr = {
+            (r.id, tuple(r.relation_ids)) for r in pipe.member_rels.read().collect()
+        }
+        s_mr = {
+            (r.id, tuple(r.relation_ids))
+            for r in OsmReplicationPipeline._rel_index_rows(
+                OsmReplicationPipeline._rel_pairs(rels)
+            ).collect()
+        }
+        idx_mismatch = len(m_nw ^ s_nw) + len(m_mr ^ s_mr)
+        # derived-vs-rebuild mismatches, both derived tables
+        from ..sources.osm import assemble_way_geometries
+
+        d_w = {(r.id, r.n_pts) for r in pipe.derived.read().collect()}
+        want_w = {
+            (r.id, r.n_pts)
+            for r in derive(
+                assemble_way_geometries(pipe.nodes.read(), ways)
+            ).collect()
+        }
+        d_r = {(r.id, r.n_members) for r in pipe.derived_rels.read().collect()}
+        want_r = {(r.id, r.n_members) for r in derive_rels(rels).collect()}
+        derived_mismatch = len(d_w ^ want_w) + len(d_r ^ want_r)
+        rel_stats = rels.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+        ).collect()[0]
+        return {
+            "n_relations": rel_stats["n"],
+            "sum_relation_ids": int(rel_stats["s"]),
+            "n_index_entries": len(m_nw) + len(m_mr),
+            "idx_mismatch": idx_mismatch,
+            "derived_mismatch": derived_mismatch,
+            "n_derived_ways": len(d_w),
+            "sum_derived_pts": sum(p for _, p in d_w),
+            "n_derived_rels": len(d_r),
+            "sum_derived_members": sum(m for _, m in d_r),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# Golden census for the full replication pipeline run (fixture
+# bootstrap + one combined changeset). idx_mismatch / derived_mismatch
+# are maintained-vs-from-scratch set differences and MUST be 0 — any
+# staleness in either reverse index or either derived table flips the
+# hash. The remaining values census the final stores.
+_OSM_REPLICATION_ORACLE = """
+SELECT CAST(32 AS BIGINT) AS n_relations,
+       CAST(1062148111 AS BIGINT) AS sum_relation_ids,
+       CAST(9612 AS BIGINT) AS n_index_entries,
+       CAST(0 AS BIGINT) AS idx_mismatch,
+       CAST(0 AS BIGINT) AS derived_mismatch,
+       CAST(1091 AS BIGINT) AS n_derived_ways,
+       CAST(7608 AS BIGINT) AS sum_derived_pts,
+       CAST(32 AS BIGINT) AS n_derived_rels,
+       CAST(3897 AS BIGINT) AS sum_derived_members
+"""
+
+
+@register(
+    "osm_replication_pipeline_parity",
+    tags=["S7", "T6", "S4", "J1"],
+    oracle=_OSM_REPLICATION_ORACLE,
+)
+def osm_replication_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL replication pipeline under the driver hash
+    (streaming/osm_replication.py): bootstrap the four element/index/
+    derived stores from the fixture, apply one combined changeset (way
+    retag shrinking its vertex list, relation member-shrink, relation
+    delete, relation create) through apply_changeset's bucket-pruned
+    O(diff + blast radius) path, then census the result — INCLUDING
+    maintained-vs-from-scratch mismatch counts for BOTH reverse
+    indexes (node→ways, member→relations) and BOTH derived tables,
+    which must be 0 for the hash to pass. Replaces trust in the
+    incremental machinery with a value check of its fixpoint."""
+    c = _replication_census(spark)
+    return spark.range(1).select(
+        *[F.lit(v).cast("bigint").alias(k) for k, v in c.items()]
+    )
