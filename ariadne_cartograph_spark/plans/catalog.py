@@ -220,11 +220,8 @@ WINDOW_ORDER_R10: list[str] = [
     "osm_diff_incremental_parity",
 ]
 
-# Round 10: the pre-staged rotation goes live (the one-line swap the r9
-# close staged). With this window driver-hashed, the cumulative union of
-# entries that have EVER received a driver hash reaches 161/161 — every
-# catalog entry has hard external evidence at least once.
-WINDOW_ORDER = WINDOW_ORDER_R10
+# Round 10: the pre-staged rotation went live and the full window was
+# driver-hashed green (CORRECTNESS_r10.json 50/50).
 
 # Round-11 window, PRE-STAGED (same insurance pattern as r9→r10):
 # with the cumulative sweep complete after r10, rotation switches to
@@ -234,7 +231,11 @@ WINDOW_ORDER = WINDOW_ORDER_R10
 # entries that must re-appear because they are the only oracled
 # carriers of their tags (P2/S8/S9/T4/U3/W1 + J4's r8 carrier).
 # Invariants asserted by tests/test_catalog_window.py for this list
-# too; swap with `WINDOW_ORDER = WINDOW_ORDER_R11` at r11 start.
+# too. Amended at r11 start per the r10 verdict: the brand-new
+# osm_replication_pipeline_parity (the only entry never driver-hashed)
+# joins the window; scalar_case_when drops to stay at 50 (its P14 tag
+# remains triple-covered in-window by scalar_json_extract /
+# scalar_date_funcs / scalar_string_funcs).
 WINDOW_ORDER_R11: list[str] = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -260,7 +261,6 @@ WINDOW_ORDER_R11: list[str] = [
     "join_range_price_band",
     "join_semi_orders_with_big_items",
     "q14_promo_revenue",
-    "scalar_case_when",
     "scalar_date_funcs",
     "scalar_string_funcs",
     "set_except_nations",
@@ -291,7 +291,14 @@ WINDOW_ORDER_R11: list[str] = [
     "events_stream_dedup_parity",
     "text_token_topk_sketch",
     "corpus_domain_mixture_sample",
+    # r10 addition, never driver-hashed: the full -a append/replication
+    # pipeline census (reference README.md:19). Its inclusion completes
+    # cumulative driver evidence at 162/162.
+    "osm_replication_pipeline_parity",
 ]
+
+# Round 11: the evidence-refresh rotation goes live (amended, see above).
+WINDOW_ORDER = WINDOW_ORDER_R11
 
 
 def _ordered() -> dict[str, CatalogEntry]:
