@@ -1025,6 +1025,46 @@ class ParquetMergeTable:
         return _sink
 
 
+def cascade_delete(
+    parent: ParquetMergeTable,
+    keys: DataFrame,
+    children: list[ParquetMergeTable],
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> bool:
+    """ON DELETE CASCADE composed over parquet merge tables — the
+    reference's ``ways_metadata`` FK
+    (`/root/reference/sql/ways_metadata.ddl:6`:
+    ``gid REFERENCES ways (gid) ON DELETE CASCADE``): delete ``keys``
+    from ``parent`` AND from every FK child table holding rows keyed by
+    the same ids (each child's own key column name — ``gid`` in the
+    reference — is aliased from the parent's). Each delete is the
+    bucket-pruned copy-on-write path of :meth:`ParquetMergeTable.delete`.
+
+    Children commit FIRST: the FK invariant "no child row references an
+    absent parent" then holds at EVERY crash point — a crash after a
+    child commit merely loses optional child rows of still-present
+    parents (re-derivable), whereas parent-first would strand orphan
+    child rows until a replay. With (``txn_app``, ``txn_version``) each
+    table's own high-water mark makes a replayed composite a per-table
+    no-op, so a crash mid-cascade replays to the consistent fixpoint.
+    Returns True if any table committed (False = full txn replay)."""
+    key_col = parent.key if parent.key in keys.columns else keys.columns[0]
+    committed = False
+    for child in children:
+        committed |= child.delete(
+            keys.select(F.col(key_col).alias(child.key)),
+            txn_app=txn_app,
+            txn_version=txn_version,
+        )
+    committed |= parent.delete(
+        keys.select(F.col(key_col).alias(parent.key)),
+        txn_app=txn_app,
+        txn_version=txn_version,
+    )
+    return committed
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

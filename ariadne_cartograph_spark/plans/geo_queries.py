@@ -1380,29 +1380,43 @@ def geo_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Column list + expected values for the replication census, in ONE
+# place: the registered oracle below is template.format(**golden), so
+# the SQL column list cannot drift from the census dict. To regenerate
+# after a deliberate census change: print _replication_census(spark)
+# and update _OSM_REPLICATION_GOLDEN.
 _OSM_REPLICATION_ORACLE_TEMPLATE = """
 SELECT CAST({n_relations} AS BIGINT) AS n_relations,
        CAST({sum_relation_ids} AS BIGINT) AS sum_relation_ids,
        CAST({n_index_entries} AS BIGINT) AS n_index_entries,
-       CAST(0 AS BIGINT) AS idx_mismatch,
-       CAST(0 AS BIGINT) AS derived_mismatch,
+       CAST({idx_mismatch} AS BIGINT) AS idx_mismatch,
+       CAST({derived_mismatch} AS BIGINT) AS derived_mismatch,
        CAST({n_derived_ways} AS BIGINT) AS n_derived_ways,
        CAST({sum_derived_pts} AS BIGINT) AS sum_derived_pts,
        CAST({n_derived_rels} AS BIGINT) AS n_derived_rels,
-       CAST({sum_derived_members} AS BIGINT) AS sum_derived_members
+       CAST({sum_derived_members} AS BIGINT) AS sum_derived_members,
+       CAST({n_metadata} AS BIGINT) AS n_metadata,
+       CAST({metadata_orphans} AS BIGINT) AS metadata_orphans
 """
+
+# The way the combined changeset DELETES (a real fixture way), whose
+# ways_metadata row must cascade out (ways_metadata.ddl:6).
+OSC_CASCADED_WAY = 13313070
 
 
 def _replication_census(spark: SparkSession) -> dict:
     """Run the FULL replication pipeline (bootstrap + one combined
-    changeset through apply_changeset: way retag, relation delete,
-    relation member-shrink, relation create) in a fresh scratch root
-    and census the resulting four maintained tables plus
-    maintained-vs-from-scratch mismatch counts for BOTH reverse
-    indexes and both derived tables."""
+    changeset through apply_changeset: way retag, WAY DELETE with
+    metadata cascade, relation delete, relation member-shrink,
+    relation create) in a fresh scratch root and census the resulting
+    maintained tables plus maintained-vs-from-scratch mismatch counts
+    for BOTH reverse indexes and both derived tables, plus the
+    ways_metadata FK invariant (ways_metadata.ddl:6 ON DELETE CASCADE:
+    orphan count must be 0 and the deleted way's row must be gone)."""
     import shutil
     import tempfile
 
+    from ..operators.merge import ParquetMergeTable
     from ..sources.osm import read_osm_elements, split_elements
     from ..sources.osm_diff import node_way_index, read_osc_elements
     from ..streaming.osm_replication import OsmReplicationPipeline
@@ -1415,11 +1429,29 @@ def _replication_census(spark: SparkSession) -> dict:
 
     root = tempfile.mkdtemp(prefix="acs_repl_parity_")
     try:
+        meta = ParquetMergeTable(
+            spark, f"{root}/ways_metadata", key="gid", n_buckets=4
+        )
         pipe = OsmReplicationPipeline(
-            spark, root, derive, n_buckets=4, derive_relations=derive_rels
+            spark,
+            root,
+            derive,
+            n_buckets=4,
+            derive_relations=derive_rels,
+            way_children=[meta],
         )
         p0 = split_elements(read_osm_elements(spark, _OSM_PATH))
         pipe.bootstrap(p0["nodes"], p0["ways"], relations=p0["relations"])
+        # the enrichment CLI's metadata table: one deterministic row
+        # per bootstrapped way, FK-child of the ways store
+        meta.upsert(
+            p0["ways"].select(
+                F.col("id").alias("gid"),
+                (F.pmod(F.col("id"), F.lit(97)) / 97.0)
+                .cast("float")
+                .alias("popularity"),
+            )
+        )
         osc = f"""<osmChange version="0.6">
           <modify>
             <way id="{OSC_RETAGGED_WAY}" version="2">
@@ -1431,7 +1463,10 @@ def _replication_census(spark: SparkSession) -> dict:
               <tag k="type" v="restriction"/>
             </relation>
           </modify>
-          <delete><relation id="333928" version="2"/></delete>
+          <delete>
+            <way id="{OSC_CASCADED_WAY}" version="2"/>
+            <relation id="333928" version="2"/>
+          </delete>
           <create>
             <relation id="910000001" version="1">
               <member type="way" ref="{OSC_RETAGGED_WAY}" role=""/>
@@ -1483,6 +1518,14 @@ def _replication_census(spark: SparkSession) -> dict:
         rel_stats = rels.agg(
             F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
         ).collect()[0]
+        # FK invariant after the cascade: the deleted way's metadata
+        # row is gone and no metadata gid references an absent way
+        meta_rows = meta.read()
+        orphans = (
+            meta_rows.join(ways.select(F.col("id").alias("gid")), "gid", "left_anti")
+            .count()
+        )
+        orphans += meta_rows.filter(F.col("gid") == OSC_CASCADED_WAY).count()
         return {
             "n_relations": rel_stats["n"],
             "sum_relation_ids": int(rel_stats["s"]),
@@ -1493,27 +1536,36 @@ def _replication_census(spark: SparkSession) -> dict:
             "sum_derived_pts": sum(p for _, p in d_w),
             "n_derived_rels": len(d_r),
             "sum_derived_members": sum(m for _, m in d_r),
+            "n_metadata": meta_rows.count(),
+            "metadata_orphans": orphans,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
 # Golden census for the full replication pipeline run (fixture
-# bootstrap + one combined changeset). idx_mismatch / derived_mismatch
-# are maintained-vs-from-scratch set differences and MUST be 0 — any
-# staleness in either reverse index or either derived table flips the
-# hash. The remaining values census the final stores.
-_OSM_REPLICATION_ORACLE = """
-SELECT CAST(32 AS BIGINT) AS n_relations,
-       CAST(1062148111 AS BIGINT) AS sum_relation_ids,
-       CAST(9612 AS BIGINT) AS n_index_entries,
-       CAST(0 AS BIGINT) AS idx_mismatch,
-       CAST(0 AS BIGINT) AS derived_mismatch,
-       CAST(1091 AS BIGINT) AS n_derived_ways,
-       CAST(7608 AS BIGINT) AS sum_derived_pts,
-       CAST(32 AS BIGINT) AS n_derived_rels,
-       CAST(3897 AS BIGINT) AS sum_derived_members
-"""
+# bootstrap + one combined changeset, including the cascaded way
+# delete). idx_mismatch / derived_mismatch are maintained-vs-from-
+# scratch set differences and metadata_orphans is the FK violation
+# count — all MUST be 0; any staleness in either reverse index, either
+# derived table, or the ways_metadata cascade flips the hash. The
+# remaining values census the final stores.
+_OSM_REPLICATION_GOLDEN = {
+    "n_relations": 32,
+    "sum_relation_ids": 1062148111,
+    "n_index_entries": 9604,
+    "idx_mismatch": 0,
+    "derived_mismatch": 0,
+    "n_derived_ways": 1090,
+    "sum_derived_pts": 7594,
+    "n_derived_rels": 32,
+    "sum_derived_members": 3897,
+    "n_metadata": 1090,
+    "metadata_orphans": 0,
+}
+_OSM_REPLICATION_ORACLE = _OSM_REPLICATION_ORACLE_TEMPLATE.format(
+    **_OSM_REPLICATION_GOLDEN
+)
 
 
 @register(
@@ -1525,13 +1577,15 @@ def osm_replication_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFra
     """The FULL replication pipeline under the driver hash
     (streaming/osm_replication.py): bootstrap the four element/index/
     derived stores from the fixture, apply one combined changeset (way
-    retag shrinking its vertex list, relation member-shrink, relation
-    delete, relation create) through apply_changeset's bucket-pruned
-    O(diff + blast radius) path, then census the result — INCLUDING
-    maintained-vs-from-scratch mismatch counts for BOTH reverse
-    indexes (node→ways, member→relations) and BOTH derived tables,
-    which must be 0 for the hash to pass. Replaces trust in the
-    incremental machinery with a value check of its fixpoint."""
+    retag shrinking its vertex list, way DELETE cascading into the
+    gid-keyed ways_metadata FK child — ways_metadata.ddl:6 ON DELETE
+    CASCADE — relation member-shrink, relation delete, relation
+    create) through apply_changeset's bucket-pruned O(diff + blast
+    radius) path, then census the result — INCLUDING maintained-vs-
+    from-scratch mismatch counts for BOTH reverse indexes (node→ways,
+    member→relations) and BOTH derived tables, and the metadata orphan
+    count, all of which must be 0 for the hash to pass. Replaces trust
+    in the incremental machinery with a value check of its fixpoint."""
     c = _replication_census(spark)
     return spark.range(1).select(
         *[F.lit(v).cast("bigint").alias(k) for k, v in c.items()]

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.merge import ParquetMergeTable
+from ..operators.merge import ParquetMergeTable, cascade_delete
 from ..sources.osm import typed_elements
 from ..sources.osm_diff import (
     _OSC_COLUMNS,
@@ -75,13 +75,19 @@ def osc_elements_from_text(
         for pdf in batches:
             for i in range(len(pdf)):
                 content = pdf[text_col].iloc[i]
-                src = str(pdf[path_col].iloc[i]) if path_col else ""
-                base = 0 if path_col else (doc_seq << 40)
-                doc_seq += 1
+                if path_col:
+                    src, base = str(pdf[path_col].iloc[i]), 0
+                else:
+                    # counter applies ONLY here: without a path the
+                    # (doc_seq << 40) high bits order documents within
+                    # the partition
+                    src, base = "", doc_seq << 40
+                    doc_seq += 1
                 rows = []
                 for pos, row in enumerate(
                     _iter_osc_rows(io.BytesIO(content.encode("utf-8")))
                 ):
+                    assert pos < (1 << 40), "osc document exceeds 2^40 rows"
                     row["src_path"] = src
                     row["src_pos"] = base + pos
                     rows.append(row)
@@ -110,10 +116,19 @@ class OsmReplicationPipeline:
         derive: Callable[[DataFrame], DataFrame],
         n_buckets: int | None = 8,
         derive_relations: Callable[[DataFrame], DataFrame] | None = None,
+        way_children: list[ParquetMergeTable] | None = None,
     ) -> None:
         self.spark = spark
         self.derive = derive
         self.derive_relations = derive_relations
+        # FK children of the ways store (the reference's ways_metadata,
+        # `/root/reference/sql/ways_metadata.ddl:6` ON DELETE CASCADE):
+        # way-keyed tables maintained OUTSIDE this pipeline (e.g. the
+        # enrichment CLI's upserts) whose rows must disappear when their
+        # way does. apply_changeset cascades every way delete into them
+        # via operators.merge.cascade_delete (children-first commit
+        # order; see its docstring for the crash-consistency argument).
+        self.way_children = list(way_children or [])
         self.nodes = ParquetMergeTable(spark, f"{root}/nodes", key="id", n_buckets=n_buckets)
         self.ways = ParquetMergeTable(spark, f"{root}/ways", key="id", n_buckets=n_buckets)
         # node_id → sorted array of referencing way ids: the reverse
@@ -264,7 +279,13 @@ class OsmReplicationPipeline:
         self.node_ways.delete(emptied, txn_app="osc", txn_version=v_del)
 
         self.ways.upsert(w_up, txn_app="osc", txn_version=v_up)
-        self.ways.delete(w_del, txn_app="osc", txn_version=v_del)
+        # way delete cascades into the FK children (ways_metadata):
+        # children-first under the same per-table txn marks, so a way
+        # deleted by a changeset takes its metadata rows with it —
+        # the DDL's ON DELETE CASCADE, replay-safe.
+        cascade_delete(
+            self.ways, w_del, self.way_children, txn_app="osc", txn_version=v_del
+        )
 
         # ---- blast-radius recompute, probed not scanned ----
         diff_nodes = net.filter(F.col("kind") == "node").select("id")

@@ -918,3 +918,89 @@ def test_crashed_batch_replay_relation_side(base, spark, tmp_path, crash_at):
     want = {(r.id, r.n_members) for r in derive_rels(rels).collect()}
     got = {(r.id, r.n_members) for r in pipe.derived_rels.read().collect()}
     assert got == want
+
+
+def test_way_delete_cascades_into_metadata(base, spark, tmp_path):
+    """J5 / `/root/reference/sql/ways_metadata.ddl:6` ON DELETE CASCADE,
+    composed end-to-end through the .osc replication path: a
+    gid-keyed ways_metadata ParquetMergeTable is registered as an FK
+    child of the ways store; a changeset deleting a way must remove its
+    metadata row in the same batch, a changeset deleting a
+    metadata-less way must still commit cleanly, and replaying the
+    batch is a per-table no-op."""
+    from ariadne_cartograph_spark.operators.merge import ParquetMergeTable
+    from ariadne_cartograph_spark.streaming.osm_replication import (
+        OsmReplicationPipeline,
+    )
+
+    def derive(geoms):
+        return geoms.select("id", F.size("geom").alias("n_pts"))
+
+    meta = ParquetMergeTable(spark, str(tmp_path / "ways_metadata"), key="gid", n_buckets=4)
+    pipe = OsmReplicationPipeline(
+        spark, str(tmp_path / "repl"), derive, n_buckets=4, way_children=[meta]
+    )
+    p0 = split_elements(base)
+    pipe.bootstrap(p0["nodes"], p0["ways"])
+    # the enrichment CLI's metadata table: one row per way
+    meta.upsert(
+        p0["ways"].select(
+            F.col("id").alias("gid"),
+            (F.pmod(F.col("id"), F.lit(97)) / 97.0).cast("float").alias("popularity"),
+        )
+    )
+    n_ways0 = pipe.ways.read().count()
+    assert meta.read().count() == n_ways0
+
+    osc = f"""<osmChange version="0.6">
+      <delete><way id="{RETAGGED_WAY}" version="2"/></delete>
+    </osmChange>"""
+    p = tmp_path / "del.osc"
+    p.write_text(osc)
+    diff = read_osc_elements(spark, str(p)).localCheckpoint(eager=True)
+    pipe.apply_changeset(diff, batch_id=1)
+
+    # both tables consistent: way gone AND its metadata row gone
+    assert pipe.ways.read().filter(F.col("id") == RETAGGED_WAY).count() == 0
+    assert meta.read().filter(F.col("gid") == RETAGGED_WAY).count() == 0
+    assert meta.read().count() == n_ways0 - 1
+    # no orphans: every metadata gid still references a live way
+    orphans = meta.read().join(
+        pipe.ways.read().select(F.col("id").alias("gid")), "gid", "left_anti"
+    )
+    assert orphans.count() == 0
+
+    # replay: per-table txn marks skip everything, snapshot unchanged
+    v_meta = meta._current()[0]
+    v_ways = pipe.ways._current()[0]
+    pipe.apply_changeset(diff, batch_id=1)
+    assert meta._current()[0] == v_meta
+    assert pipe.ways._current()[0] == v_ways
+    assert meta.read().count() == n_ways0 - 1
+
+
+def test_cascade_delete_helper_orders_children_first(spark, tmp_path):
+    """Unit contract of operators.merge.cascade_delete: child rows keyed
+    by a DIFFERENT key column name ('gid') are deleted alongside the
+    parent ('id'), absent keys are a clean commit, and the txn replay
+    guard spans both tables."""
+    from ariadne_cartograph_spark.operators.merge import (
+        ParquetMergeTable,
+        cascade_delete,
+    )
+
+    parent = ParquetMergeTable(spark, str(tmp_path / "ways"), key="id", n_buckets=4)
+    child = ParquetMergeTable(spark, str(tmp_path / "meta"), key="gid", n_buckets=4)
+    parent.upsert(spark.createDataFrame([(i, f"w{i}") for i in range(10)], "id long, name string"))
+    # child covers only half the parents (metadata is optional)
+    child.upsert(spark.createDataFrame([(i, float(i)) for i in range(0, 10, 2)], "gid long, popularity double"))
+
+    keys = spark.createDataFrame([(2,), (3,), (99,)], "id long")  # 3 has no metadata, 99 absent
+    assert cascade_delete(parent, keys, [child], txn_app="t", txn_version=1)
+    assert {r.id for r in parent.read().collect()} == {0, 1, 4, 5, 6, 7, 8, 9}
+    assert {r.gid for r in child.read().collect()} == {0, 4, 6, 8}
+
+    # replay under the same txn mark: both tables untouched
+    vp, vc = parent._current()[0], child._current()[0]
+    assert not cascade_delete(parent, keys, [child], txn_app="t", txn_version=1)
+    assert (parent._current()[0], child._current()[0]) == (vp, vc)
