@@ -1817,26 +1817,36 @@ def docs_incremental_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     at b=8/r=4 on this corpus."""
     import tempfile
 
-    from pyspark.sql.window import Window
-
     from ..streaming.docs import incremental_near_dup_filter
 
     docs = load_table(spark, sf_dir, "documents")
-    # id-ordered quartile batches derived IN DATA (ntile over id order),
-    # not from a driver-side count() — the batch boundaries stay lazy.
-    # Measured and left alone: checkpointing the window once (~22 s vs
-    # 24 s at sf1) or re-fanning it out to 32 partitions (~40 s — the
-    # store appends then shatter into 32 tiny files per batch) does not
-    # beat the simple form; per-micro-batch job overhead dominates at
-    # harness scale, and the real streaming path gets its batches from
-    # the source, not from this window.
-    docs_b = docs.withColumn(
-        "__batch", F.ntile(4).over(Window.orderBy("doc_id"))
+    # Id-ordered ~quartile batches from THREE boundary ids (one
+    # distributed approx-percentile agg, collected driver-side — 3 ints,
+    # model-sized). The kept set is boundary-independent: offline-rule
+    # equality holds for ANY id-ordered split, so approximate quartiles
+    # are as correct as exact ones. This replaces the earlier
+    # ntile-over-global-order window, whose single-partition sort of the
+    # whole table re-executed in every batch's lineage AND every kept
+    # join (~8× per run — 27 s → 16 s at sf1); with boundary literals
+    # each batch is a doc_id range predicate PUSHED to the parquet scan,
+    # so a batch reads only its own row groups — the shape a real
+    # streaming source gives for free.
+    b1, b2, b3 = (
+        int(v)
+        for v in docs.agg(
+            F.percentile_approx("doc_id", [0.25, 0.5, 0.75], 10000)
+        ).first()[0]
     )
+    ranges = [
+        F.col("doc_id") <= b1,
+        (F.col("doc_id") > b1) & (F.col("doc_id") <= b2),
+        (F.col("doc_id") > b2) & (F.col("doc_id") <= b3),
+        F.col("doc_id") > b3,
+    ]
     store = tempfile.mkdtemp(prefix="acs_inc_dedup_")
     kept_frames = []
-    for i in range(1, 5):
-        batch = docs_b.filter(F.col("__batch") == i).drop("__batch")
+    for pred in ranges:
+        batch = docs.filter(pred)
         kept_frames.append(
             incremental_near_dup_filter(spark, batch, store).select("doc_id", "source")
         )

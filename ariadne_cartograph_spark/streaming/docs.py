@@ -143,6 +143,13 @@ def _dropped_ids(
             F.col(f"b.{id_col}").alias("old_id"),
         )
         .distinct()
+        # AQE coalesces the distinct's output to ONE partition when the
+        # pair ids compress small, and the checkpoint freezes that — the
+        # verify join's array_intersect CPU then runs single-threaded
+        # (measured 2.8 s → 0.6 s per sf1 batch). Re-spread by new_id
+        # before freezing: a candidate-sized shuffle, and harmless at
+        # real scale where the distinct already spans many partitions.
+        .repartition(spark.sparkContext.defaultParallelism, "new_id")
         .localCheckpoint(eager=True)
     )
 
@@ -217,8 +224,15 @@ def incremental_near_dup_filter(
     are verified with exact Jaccard on the stored shingle sets,
     fetched by candidate id only (see ``_dropped_ids``).
     """
+    from ..sources.tables import fan_out
+
+    # fan_out BEFORE the index projection: a micro-batch often arrives
+    # as one split (a single file, one kafka partition) while the
+    # shingle+minhash projection is pure CPU — measured 4.9 s → 1.5 s
+    # per 50k-doc batch at sf1 on local[32]. The store writes below
+    # re-narrow so the fan-out never multiplies store file counts.
     idx_new = _index_batch(
-        batch, id_col, text_col, n_hashes, bands, shingle_size
+        fan_out(batch), id_col, text_col, n_hashes, bands, shingle_size
     ).localCheckpoint(eager=True)
 
     dropped = (
@@ -230,13 +244,20 @@ def incremental_near_dup_filter(
     )
     kept = batch.join(dropped, id_col, "left_anti")
 
-    idx_new.select(id_col, "band_idx", "band_hash").write.mode("append").parquet(
-        os.path.join(store_dir, "bands")
-    )
+    # coalesce/repartition before the appends: the fan-out above is for
+    # projection CPU, not for the store layout — without re-narrowing,
+    # every batch would append parallelism-many band files and up to
+    # parallelism × N_BUCKETS shingle files (tiny-file creep the next
+    # batches re-read). Both inputs are checkpointed, so this costs a
+    # batch-sized merge, not a recompute.
+    idx_new.select(id_col, "band_idx", "band_hash").coalesce(4).write.mode(
+        "append"
+    ).parquet(os.path.join(store_dir, "bands"))
     (
         idx_new.filter(F.col("band_idx") == 0)
         .select(F.col(id_col), F.col("sh"))
         .withColumn("__bucket", _bucket(F.col(id_col)))
+        .repartition("__bucket")  # one file per bucket per batch
         .write.mode("append")
         .partitionBy("__bucket")
         .parquet(os.path.join(store_dir, "shingles"))

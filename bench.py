@@ -71,7 +71,10 @@ REGRESSION_FACTOR = 2.0
 SF1_ENGINE_FENCES: dict[str, float] = {
     "agg_approx_distinct": 5.2,  # loaded-run value; idle 5.0
     "corpus_multimodal_curation": 11.8,
-    "docs_incremental_dedup_parity": 27.1,
+    # r11 re-pin: batch ranges replace the ntile global sort, fan_out
+    # before the shingle projection, pair_ids re-spread before its
+    # checkpoint (25.6 s → 12.8 s warm at sf1)
+    "docs_incremental_dedup_parity": 13.5,
     "geo_line_simplify": 9.1,
     "ngram_jaccard_near_dup": 15.9,
     "simhash_near_dup": 13.8,
