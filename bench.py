@@ -81,7 +81,9 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     "similarity_ann_ivfpq": 5.5,  # loaded-run value; idle 4.9
     "text_rolling_fingerprint": 9.6,  # loaded-run value; idle 7.0
     "text_winnow_fingerprint_md5": 4.7,  # loaded-run value; idle 2.5
-    "trajectory_jaccard_pairs": 27.2,
+    # r11 re-pin: bitmask all-pairs route for the dense-similarity
+    # regime (26.3 s → 2.5 s warm at sf1; fence keeps cold-JIT margin)
+    "trajectory_jaccard_pairs": 6.0,
     "ways_enrichment_pipeline": 11.1,
     "window_running_total": 10.5,
 }

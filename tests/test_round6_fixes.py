@@ -135,7 +135,9 @@ def _traj_points(spark, hot_cell_every=True, dup_ratio=0.0, seed=5):
 
 def test_trajectory_auto_routes_and_matches_count_plan(spark, monkeypatch):
     pts = _traj_points(spark, hot_cell_every=True)
-    # the hot cell makes max_df = n → max_df² ≥ Σ df → prefix route
+    # tiny universe + hot cell (dense similarity): the bitmask
+    # all-pairs gate fires FIRST (n_reps²/2 ≤ Σdf² and ≤ 50 cells),
+    # so ngram_join_strategy is never consulted
     strategies = []
     real = D.ngram_join_strategy
 
@@ -148,14 +150,21 @@ def test_trajectory_auto_routes_and_matches_count_plan(spark, monkeypatch):
     auto = _pairs_set(
         TJ.trajectory_jaccard_pairs(pts, "traj_id", "lng", "lat", cell_deg=10.0), "jaccard"
     )
+    assert strategies == []  # bitmask route won
+    # disable the bitmask gate: the hot cell makes max_df² ≥ Σ df →
+    # prefix route, byte-identical rows
+    monkeypatch.setattr(TJ, "_BITMASK_MAX_CELLS", 0)
+    prefix = _pairs_set(
+        TJ.trajectory_jaccard_pairs(pts, "traj_id", "lng", "lat", cell_deg=10.0), "jaccard"
+    )
     assert strategies == ["prefix"]
-    # force the count plan → identical rows
+    # force the count plan → identical rows again
     monkeypatch.setattr(TJ, "ngram_join_strategy", lambda *a, **k: "count")
     count = _pairs_set(
         TJ.trajectory_jaccard_pairs(pts, "traj_id", "lng", "lat", cell_deg=10.0), "jaccard"
     )
     D.release_caches()
-    assert auto == count
+    assert auto == prefix == count
     assert auto
 
 
