@@ -124,17 +124,75 @@ def http_tiles(
     mode: str,
     tile_size: int = 256,
     headers: dict | None = None,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    rate_limit_per_s: float | None = None,
+    timeout_s: float = 30.0,
 ) -> DataFrame:
     """Fetch distinct tiles over HTTP (reference S2 semantics, URL
     ${x}/${y}/${z} Template — `dataproviders.py:96`). Executor-side,
-    one GET per distinct tile; failures → NULL img (P11 fixed)."""
+    one *logical* GET per distinct tile; failures → NULL img (P11
+    fixed).
+
+    Egress politeness (a planet-scale import fans this map out across
+    every executor — an impolite fetch loop is a self-inflicted DDoS
+    on the tile service):
+
+    - transient failures (connection errors, 5xx, 429) retry up to
+      ``max_retries`` times with exponential backoff starting at
+      ``backoff_s`` (deterministic doubling), honoring a numeric
+      ``Retry-After`` response header when the server sends one;
+    - permanent client errors (404 and other non-429 4xx) do NOT
+      retry — they are NULL immediately;
+    - ``rate_limit_per_s`` paces requests *per partition* (token
+      spacing between consecutive GETs, retries included). Cluster-wide
+      egress is then bounded by partitions × rate: size the partition
+      count of ``needed`` to the service's documented budget.
+    """
     distinct = needed.select("z", "x", "y").distinct()
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         try:
             import requests
         except ImportError:
             requests = None
+        min_interval = 1.0 / rate_limit_per_s if rate_limit_per_s else 0.0
+        last_req = 0.0
+
+        def get_with_retry(url: str) -> bytes | None:
+            nonlocal last_req
+            delay = backoff_s
+            for attempt in range(max_retries + 1):
+                if min_interval:
+                    wait = last_req + min_interval - _time.monotonic()
+                    if wait > 0:
+                        _time.sleep(wait)
+                resp = None
+                try:
+                    last_req = _time.monotonic()
+                    resp = requests.get(url, headers=headers, timeout=timeout_s)
+                except Exception:
+                    resp = None  # connection-level failure: retryable
+                if resp is not None:
+                    if resp.status_code < 400:
+                        return resp.content
+                    if resp.status_code != 429 and resp.status_code < 500:
+                        return None  # permanent client error: no retry
+                if attempt == max_retries:
+                    return None  # NULL propagation, not a crash
+                retry_after = None
+                if resp is not None:
+                    ra = resp.headers.get("Retry-After")
+                    try:
+                        retry_after = float(ra) if ra is not None else None
+                    except ValueError:
+                        retry_after = None
+                _time.sleep(retry_after if retry_after is not None else delay)
+                delay *= 2
+            return None
+
         for pdf in batches:
             rows = []
             for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"]):
@@ -143,12 +201,7 @@ def http_tiles(
                     url = Template(url_template).substitute(
                         {"x": int(x), "y": int(y), "z": int(z)}
                     )
-                    try:
-                        resp = requests.get(url, headers=headers, timeout=30)
-                        resp.raise_for_status()
-                        img = resp.content
-                    except Exception:
-                        img = None  # NULL propagation, not a crash
+                    img = get_with_retry(url)
                 rows.append(
                     {
                         "z": int(z),

@@ -29,16 +29,24 @@ class _TileServer:
     def __init__(self, tile_size: int = 64):
         self.tile_size = tile_size
         self.requests: list[tuple[str, str | None]] = []
+        self.request_times: list[float] = []
         self.missing: set[tuple[int, int, int]] = set()
+        # (z,x,y) -> [remaining_failures, status]: fail with `status`
+        # that many times, then serve normally (429/5xx retry contract)
+        self.flaky: dict[tuple[int, int, int], list] = {}
+        self.retry_after: str | None = None
         self.lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):
+                import time as _t
+
                 with outer.lock:
                     outer.requests.append(
                         (self.path, self.headers.get("Authorization"))
                     )
+                    outer.request_times.append(_t.monotonic())
                 try:
                     _, z, x, y = self.path.strip("/").split("/")
                     z, x, y = int(z), int(x), int(y)
@@ -48,6 +56,16 @@ class _TileServer:
                 if (z, x, y) in outer.missing:
                     self.send_error(404)
                     return
+                with outer.lock:
+                    state = outer.flaky.get((z, x, y))
+                    if state and state[0] > 0:
+                        state[0] -= 1
+                        self.send_response(state[1])
+                        if outer.retry_after is not None:
+                            self.send_header("Retry-After", outer.retry_after)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
                 body = synth_tile_array(x, y, z, "L", outer.tile_size).tobytes()
                 self.send_response(200)
                 self.send_header("Content-Length", str(len(body)))
@@ -123,6 +141,54 @@ def test_http_tiles_fetch_failure_propagates_null(spark, server):
         bytes(rows[(12, 5, 7)])
         == synth_tile_array(5, 7, 12, "L", server.tile_size).tobytes()
     )
+
+
+def test_http_tiles_retries_transient_failures(spark, server):
+    """A tile that 503s twice then succeeds must come back with correct
+    bytes; a tile that 429s forever must exhaust max_retries and yield
+    NULL; a permanent 404 must NOT be retried. Attempt counts asserted
+    server-side — the one-logical-GET-per-distinct-tile contract
+    becomes (1 + observed transient failures) physical requests."""
+    server.flaky[(12, 1, 1)] = [2, 503]   # two transient failures
+    server.flaky[(12, 2, 2)] = [99, 429]  # always throttled
+    server.missing.add((12, 3, 3))        # permanent
+    server.retry_after = "0.05"           # keep the test fast
+    needed = spark.createDataFrame(
+        [(12, 1, 1), (12, 2, 2), (12, 3, 3), (12, 4, 4)], "z int, x long, y long"
+    )
+    rows = {
+        (r.z, r.x, r.y): r.img
+        for r in http_tiles(
+            spark, needed, server.url_template, "L", server.tile_size,
+            max_retries=3, backoff_s=0.05,
+        ).collect()
+    }
+    assert bytes(rows[(12, 1, 1)]) == synth_tile_array(1, 1, 12, "L", server.tile_size).tobytes()
+    assert rows[(12, 2, 2)] is None       # retries exhausted
+    assert rows[(12, 3, 3)] is None       # permanent, no retry
+    assert bytes(rows[(12, 4, 4)]) == synth_tile_array(4, 4, 12, "L", server.tile_size).tobytes()
+    paths = Counter(p for p, _ in server.requests)
+    assert paths["/tiles/12/1/1"] == 3    # 2 failures + 1 success
+    assert paths["/tiles/12/2/2"] == 4    # 1 + max_retries attempts
+    assert paths["/tiles/12/3/3"] == 1    # 404 never retried
+    assert paths["/tiles/12/4/4"] == 1
+
+
+def test_http_tiles_rate_limit_paces_requests(spark, server):
+    """rate_limit_per_s spaces consecutive GETs within a partition:
+    5 tiles in ONE partition at 20 req/s must take >= 4 x 50 ms of
+    wall clock between first and last server-side arrival."""
+    needed = spark.createDataFrame(
+        [(12, i, i) for i in range(5)], "z int, x long, y long"
+    ).coalesce(1)
+    tiles = http_tiles(
+        spark, needed, server.url_template, "L", server.tile_size,
+        rate_limit_per_s=20.0,
+    ).collect()
+    assert len(tiles) == 5 and all(t.img is not None for t in tiles)
+    assert len(server.request_times) == 5
+    spread = max(server.request_times) - min(server.request_times)
+    assert spread >= 4 * 0.05 * 0.8, f"requests not paced: {spread:.3f}s"
 
 
 def test_cli_url_path_hits_live_server_with_config_headers(spark, server, tmp_path):
