@@ -458,27 +458,40 @@ def scan_tag_index_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..sources.layout import indexed_tag_predicate, write_tag_indexed
+    from ..sources.layout import (
+        TAG_INDEX_LAYOUT_VERSION,
+        indexed_tag_predicate,
+        write_tag_indexed,
+    )
     from ..sources.osm import read_osm_elements, split_elements
 
     # Content-keyed fixture path (like ensure_osc_fixture, but the
     # content is a parquet layout, so the key is a digest of the
     # source file + index config rather than a byte compare): repeated
     # bench/rehearsal/driver runs reuse one directory instead of
-    # leaking a fresh mkdtemp per invocation; a regenerated fixture or
-    # changed key list gets a NEW directory, never a stale read. The
-    # write goes to a scratch dir and publishes with an atomic rename,
-    # so concurrent drivers race to an identical result, not a
-    # half-written directory.
+    # leaking a fresh mkdtemp per invocation; a regenerated fixture,
+    # changed key list, or bumped on-disk layout version gets a NEW
+    # directory, never a stale read. The cache roots under a per-user
+    # 0700 subdirectory (the default tempdir is world-readable and
+    # shared across users). The write goes to a scratch dir and
+    # publishes with an atomic rename, so concurrent drivers race to
+    # an identical result, not a half-written directory.
     keys = ["highway", "amenity", "building"]
     st = os.stat(_OSM_PATH)
     digest = hashlib.md5(
-        f"{_OSM_PATH}:{st.st_size}:{st.st_mtime_ns}:{keys}".encode()
+        f"{_OSM_PATH}:{st.st_size}:{st.st_mtime_ns}:{keys}"
+        f":layout_v{TAG_INDEX_LAYOUT_VERSION}".encode()
     ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_tag_index_{digest}")
+    cache_root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cache_{os.getuid()}"
+    )
+    os.makedirs(cache_root, mode=0o700, exist_ok=True)
+    path = os.path.join(cache_root, f"tag_index_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ways = split_elements(read_osm_elements(spark, _OSM_PATH))["ways"]
-        scratch = tempfile.mkdtemp(prefix="spark_graft_tag_index_w_")
+        # scratch under the same per-user root: keeps the publish
+        # rename same-filesystem and the partial write private
+        scratch = tempfile.mkdtemp(prefix="tag_index_w_", dir=cache_root)
         write_tag_indexed(ways, scratch, keys=keys)
         try:
             os.rename(scratch, path)

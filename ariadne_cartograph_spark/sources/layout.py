@@ -266,6 +266,13 @@ def with_tag_key_index(
     return out
 
 
+# Layout version of write_tag_indexed's on-disk format: BUMP whenever
+# the presence-column naming, sort order, or any other at-rest shape
+# changes, so content-keyed fixture caches (scan_tag_index_pruned)
+# can fold it into their digest and never reuse a stale layout.
+TAG_INDEX_LAYOUT_VERSION = 1
+
+
 def write_tag_indexed(
     df: DataFrame,
     path: str,

@@ -66,9 +66,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# fan_out's default target. A CONSTANT, not defaultParallelism, on
+# purpose: partial-sum grouping for double avg/sum aggregates downstream
+# varies with the partition count, and a host-dependent default could
+# flip a last-ulp float value hash between machines with different core
+# counts (the f32 output policy absorbs one grouping, not every
+# grouping). 32 matches the driver's local[32]; callers on big clusters
+# pass min_partitions explicitly.
+_FAN_OUT_DEFAULT = 32
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Ensure at least ``min_partitions`` (default: the cluster's
-    defaultParallelism) partitions ahead of a CPU-bound projection
+    """Ensure at least ``min_partitions`` (default: the deterministic
+    ``_FAN_OUT_DEFAULT``) partitions ahead of a CPU-bound projection
     (hashing, regex, shingling). Columnar text compresses hard, so a
     scan can produce far fewer splits than cores while the projection
     is compute-dominated — e.g. the sf1 documents table is one 860 KB
@@ -76,7 +86,7 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     hashing. The repartition ships only the (tiny) compressed-at-rest
     rows; it's a no-op when the scan already splits enough, so at real
     multi-TB scale (thousands of natural splits) nothing is added."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    target = min_partitions or _FAN_OUT_DEFAULT
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
