@@ -300,6 +300,73 @@ WINDOW_ORDER_R11: list[str] = [
 # Round 11: the evidence-refresh rotation goes live (amended, see above).
 WINDOW_ORDER = WINDOW_ORDER_R11
 
+# Round-12 window, PRE-STAGED (the standing insurance pattern):
+# generated from CORRECTNESS_r01..r10 last-hash ages with r11 = the
+# live window above. After r11 lands, the only r1-stale entry is
+# scalar_case_when (dropped from R11 to fit the replication entry) and
+# the oldest cohort is the 37-entry r8 window — so R12 = the 9 anchors
+# + scalar_case_when + the r8 cohort + the oldest r9 entries, with
+# sole-carrier tag repairs (geo_line_simplify / scan_tag_index_pruned
+# re-enter because no out-of-window entry carries P2 / S9).
+# Invariants asserted by tests/test_catalog_window.py; swap with
+# `WINDOW_ORDER = WINDOW_ORDER_R12` at r12 start and re-validate at
+# sf0.01 before committing.
+WINDOW_ORDER_R12: list[str] = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "ways_enrichment_pipeline",
+    "merge_upsert_metadata",
+    "events_stream_batch_parity",
+    "docs_incremental_dedup_parity",
+    "scalar_json_extract",
+    "set_union_all_counts",
+    "osm_ingest_feature_tables",
+    "scalar_case_when",
+    # the r8 cohort — oldest driver hashes after r11
+    "dedup_cluster_resolution",
+    "dedup_keep_best_quality",
+    "embedding_semantic_dedup",
+    "events_click_purchase_interval",
+    "events_median_normalize",
+    "geo_tile_projection",
+    "merge_optimize_pruned_scan",
+    "merge_upsert_bucketed",
+    "minhash_lsh_near_dup",
+    "multimodal_audio_stats",
+    "multimodal_frame_means",
+    "multimodal_image_stats",
+    "multimodal_resize_pipeline",
+    "ngram_jaccard_skewed_corpus",
+    "osm_ingest_pbf_parity",
+    "osm_topology_edges",
+    "osm_turn_restrictions",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "sessionize_bounds",
+    "simhash_near_dup",
+    "similarity_ann_ivf",
+    "similarity_ann_ivfpq",
+    "similarity_topk_cosine",
+    "text_bigram_lm_quality",
+    "text_bm25_topk",
+    "text_bpe_merge_train",
+    "text_fingerprint_exact_dedup",
+    "text_gopher_quality_filters",
+    "text_hybrid_retrieval_rrf",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_rolling_fingerprint",
+    "trajectory_jaccard_pairs",
+    "trajectory_topk_similar",
+    # oldest r9 entries
+    "geo_point_in_polygon",
+    "docs_stream_topk_parity",
+    "q21_waiting_supplier",
+    # sole oracled carriers of P2 / S9 (also in the r11 window)
+    "geo_line_simplify",
+    "scan_tag_index_pruned",
+]
+
 
 def _ordered() -> dict[str, CatalogEntry]:
     _load_all()
