@@ -56,6 +56,7 @@ def main() -> int:
     only = set(flags.get("--only", "").split(",")) - {""}
     skip_oracle = ORACLE_QUADRATIC | (set(flags.get("--skip-oracle", "").split(",")) - {""})
 
+    from ariadne_cartograph_spark.operators.dedup import release_caches
     from ariadne_cartograph_spark.session import get_spark
     from ariadne_cartograph_spark.plans.catalog import REGISTRY, get_queries
     from ariadne_cartograph_spark.plans.oracle_harness import compare, duckdb_connection
@@ -94,6 +95,14 @@ def main() -> int:
             n_fail += 1
             print(f"# {name}: {type(exc).__name__}: {exc}"[:600], file=sys.stderr)
         dt = round(time.time() - t0, 2)
+        # Release the dedup/similarity modules' persisted frames
+        # between entries (run_catalog_parity does the same): without
+        # this, 100+ prior entries' cached blocks accumulate in
+        # executor storage memory and the late-alphabet near-dup
+        # entries measure eviction/GC pressure instead of their plans —
+        # r11 saw ngram_jaccard_near_dup at 37.4s in-context vs
+        # 16.7-24.2s isolated on the same day with untouched code.
+        release_caches()
         # Split clocks (r8 advice): `sec` is wall total (plan build +
         # engine + oracle); engine_sec is the Spark collect alone,
         # oracle_sec the DuckDB execution alone — so a slow entry is
