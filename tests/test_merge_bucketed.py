@@ -486,3 +486,61 @@ def test_read_keys_prunes_to_probed_buckets(spark, tmp_path):
     plain.upsert(spark.createDataFrame(rows, "gid long, val double"))
     got_p = plain.read_keys(probe)
     assert {(r.gid, r.val) for r in got_p.collect()} == {(3, 3.0), (17, 17.0)}
+
+
+def test_model_random_cascade_delete_two_children(spark, tmp_path):
+    """Model-based cascade check (`sql/ways_metadata.ddl:6` ON DELETE
+    CASCADE): a seeded random sequence of parent upserts, child upserts
+    (children only ever reference live parents, under DIFFERENT key
+    column names), and cascade_deletes runs against a pure-Python
+    model. After every op: exact content match for all three tables
+    AND the FK invariant — no child key references an absent parent."""
+    import random
+
+    from ariadne_cartograph_spark.operators.merge import (
+        ParquetMergeTable,
+        cascade_delete,
+    )
+
+    rng = random.Random(4242)
+    parent = ParquetMergeTable(spark, str(tmp_path / "ways"), key="id", n_buckets=4)
+    meta = ParquetMergeTable(spark, str(tmp_path / "meta"), key="gid", n_buckets=4)
+    stats = ParquetMergeTable(spark, str(tmp_path / "stats"), key="way_id")  # plain layout
+    m_parent, m_meta, m_stats = {}, {}, {}
+
+    for step in range(12):
+        kind = rng.choice(["p_up", "p_up", "c_up", "cascade"])
+        if kind == "p_up":
+            rows = list({rng.randrange(20): rng.random() for _ in range(rng.randrange(1, 5))}.items())
+            parent.upsert(spark.createDataFrame(rows, "id long, w double"))
+            m_parent.update(dict(rows))
+        elif kind == "c_up" and m_parent:
+            keys = [rng.choice(sorted(m_parent)) for _ in range(rng.randrange(1, 4))]
+            rows = list({k: float(k % 7) for k in keys}.items())
+            meta.upsert(spark.createDataFrame(rows, "gid long, popularity double"))
+            m_meta.update(dict(rows))
+            stats.upsert(spark.createDataFrame(rows, "way_id long, greenery double"))
+            m_stats.update(dict(rows))
+        elif kind == "cascade":
+            keys = sorted({rng.randrange(24) for _ in range(rng.randrange(1, 4))})
+            cascade_delete(
+                parent,
+                spark.createDataFrame([(k,) for k in keys], "id long"),
+                [meta, stats],
+                txn_app="model",
+                txn_version=step,
+            )
+            for k in keys:
+                m_parent.pop(k, None)
+                m_meta.pop(k, None)
+                m_stats.pop(k, None)
+        # exact content vs model
+        got_p = {r.id: r.w for r in (parent.read().collect() if parent.read() is not None else [])}
+        got_m = {r.gid: r.popularity for r in (meta.read().collect() if meta.read() is not None else [])}
+        got_s = {r.way_id: r.greenery for r in (stats.read().collect() if stats.read() is not None else [])}
+        assert got_p == m_parent, f"step {step} parent"
+        assert got_m == m_meta, f"step {step} meta"
+        assert got_s == m_stats, f"step {step} stats"
+        # FK invariant: no child row references an absent parent
+        assert set(got_m) <= set(got_p), f"step {step} meta orphans"
+        assert set(got_s) <= set(got_p), f"step {step} stats orphans"
