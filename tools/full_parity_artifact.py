@@ -14,6 +14,8 @@ import json
 import sys
 import time
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 
 def main() -> int:
     args = sys.argv[1:]
