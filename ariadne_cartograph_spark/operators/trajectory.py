@@ -310,7 +310,7 @@ def trajectory_jaccard_pairs(
     sum_sq = fstats["sum_sq"] or 0
     n_reps = n_fp if member is not None else n
     if (
-        universe <= _BITMASK_MAX_CELLS
+        0 < universe <= _BITMASK_MAX_CELLS  # empty corpus: no pairs, any route
         and n_reps <= _BITMASK_MAX_REPS
         and n_reps * n_reps / 2 <= sum_sq
     ):

@@ -409,3 +409,22 @@ def test_cosine_topk_blocked_equals_crossjoin(spark):
     ra = {(r["q_vec_id"], r["vec_id"], r["cosine"], r["rank"]) for r in a.collect()}
     rb = {(r["q_vec_id"], r["vec_id"], r["cosine"], r["rank"]) for r in b.collect()}
     assert ra == rb
+
+
+def test_trajectory_pairs_empty_and_singleton_corpus(spark):
+    """Edge guard for the bitmask gate: an EMPTY point frame (universe
+    0 — would make the mask width 0) and a single-trajectory corpus
+    (no pairs possible) must both return empty cleanly."""
+    empty = spark.createDataFrame([], "traj_id long, lng double, lat double")
+    assert (
+        TJ.trajectory_jaccard_pairs(empty, "traj_id", "lng", "lat", cell_deg=10.0).count()
+        == 0
+    )
+    one = spark.createDataFrame(
+        [(1, 11.0, 6.0), (1, 21.0, 6.0)], "traj_id long, lng double, lat double"
+    )
+    assert (
+        TJ.trajectory_jaccard_pairs(one, "traj_id", "lng", "lat", cell_deg=10.0).count()
+        == 0
+    )
+    D.release_caches()
