@@ -145,16 +145,20 @@ ORDER BY id_a, id_b
 """,
 )
 def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Direct count-based join: this corpus is measured-uniform (max
-    # shingle df ≈ 25), where the count plan is the cheapest — and
-    # keeping the r1 plan keeps the bench number comparable round over
-    # round. Unknown corpora should use ngram_jaccard_pairs_auto (the
-    # ngram_jaccard_skewed_corpus entry demonstrates it routing to the
-    # prefix-filter plan under boilerplate skew).
+    # Measured auto-router (collapse gate + count/prefix selection,
+    # operators/dedup.ngram_jaccard_pairs_auto): on the uniform sf0.1
+    # corpus the gate skips and this IS the r1 count plan (two 1-row
+    # stats aggregates of overhead); on the 10x-replica sf1 stress set
+    # every shingle df is 10x, so the ungated count join ground through
+    # 113M intermediate pairs for 250k results — the exact-dup collapse
+    # cuts that 100x (17.4s -> ~2s for the intersection stage).
+    # Lossless either way (route equality pinned in
+    # tests/test_round6_fixes.py); the skewed-corpus entry demonstrates
+    # the third (prefix) route under boilerplate skew.
     # fan_out: the shingle/signature pass is CPU-bound and the
     # compressed text scan under-splits (see text_rolling_fingerprint)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return D.ngram_jaccard_pairs(
+    return D.ngram_jaccard_pairs_auto(
         docs, "doc_id", "text", shingle_size=3, threshold=_JACCARD_THRESHOLD
     ).orderBy("id_a", "id_b")
 

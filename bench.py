@@ -76,7 +76,12 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # checkpoint (25.6 s → 12.8 s warm at sf1)
     "docs_incremental_dedup_parity": 13.5,
     "geo_line_simplify": 9.1,
-    "ngram_jaccard_near_dup": 15.9,
+    # r11 re-pin: entry switched to the measured auto-router — on the
+    # 10x replica the exact-dup collapse cuts the count join's
+    # intermediate pairs 100x (113M -> ~1M; 16.7 s -> 3.3 s warm).
+    # Costs two 1-row measurement jobs (~0.3-0.8 s) at sf0.1 where the
+    # gate skips — the right trade at scale.
+    "ngram_jaccard_near_dup": 4.5,
     "simhash_near_dup": 13.8,
     "similarity_ann_ivfpq": 5.5,  # loaded-run value; idle 4.9
     "text_rolling_fingerprint": 9.6,  # loaded-run value; idle 7.0
