@@ -649,14 +649,24 @@ def ngram_jaccard_join_two_tables(
     (benchmarks are small) enters the join as a broadcast when AQE
     sizes permit; thresholds are intentionally low (0.1 default):
     decontamination wants partial-overlap hits, not near-identity.
+
+    Each side independently runs the measured exact-dup collapse gate
+    (:func:`_exact_dup_collapse`): on k-fold duplicated corpora (the
+    10× replica stress set) shingling runs k× narrower and the
+    candidate volume falls k_L·k_R× — pairs are scored once per
+    (rep_L, rep_R) and expanded back through the member maps (exact
+    collapse, so every expanded pair's jaccard equals its rep pair's).
+    Lossless: dup-free sides skip both the collapse and the expansion.
     """
+    left_r, member_l = _exact_dup_collapse(left, left_id, text_col)
+    right_r, member_r = _exact_dup_collapse(right, right_id, text_col)
     sh_l = _track_persist(
-        left.select(
+        left_r.select(
             F.col(left_id), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
         ).withColumn("n_sh", F.size("sh"))
     )
     sh_r = _track_persist(
-        right.select(
+        right_r.select(
             F.col(right_id), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
         ).withColumn("n_sh", F.size("sh"))
     )
@@ -669,7 +679,7 @@ def ngram_jaccard_join_two_tables(
     )
     sl = sh_l.select(F.col(left_id), F.col("n_sh").alias("n_l"))
     sr = sh_r.select(F.col(right_id), F.col("n_sh").alias("n_r"))
-    return (
+    rep_pairs = (
         inter.join(sl, left_id)
         .join(sr, right_id)
         .withColumn(
@@ -680,6 +690,29 @@ def ngram_jaccard_join_two_tables(
         .filter(F.col("jaccard") >= threshold)
         .select(left_id, right_id, "jaccard")
     )
+    # Cross-table expansion: the two id spaces are independent, so each
+    # rep pair simply fans out over both member maps — no intra-cluster
+    # case (that's a self-join concern, _expand_collapsed_pairs).
+    out = rep_pairs
+    if member_l is not None:
+        out = (
+            out.withColumnRenamed(left_id, "__rep_l")
+            .join(
+                member_l.select(F.col(left_id), F.col("__rep").alias("__rep_l")),
+                "__rep_l",
+            )
+            .drop("__rep_l")
+        )
+    if member_r is not None:
+        out = (
+            out.withColumnRenamed(right_id, "__rep_r")
+            .join(
+                member_r.select(F.col(right_id), F.col("__rep").alias("__rep_r")),
+                "__rep_r",
+            )
+            .drop("__rep_r")
+        )
+    return out.select(left_id, right_id, "jaccard")
 
 
 def ngram_join_strategy(

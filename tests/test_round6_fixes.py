@@ -428,3 +428,42 @@ def test_trajectory_pairs_empty_and_singleton_corpus(spark):
         == 0
     )
     D.release_caches()
+
+
+def test_two_table_join_collapse_row_identical(spark, monkeypatch):
+    """ngram_jaccard_join_two_tables' per-side collapse (the
+    decontamination shape) must be row-identical to the naive plan on
+    corpora where BOTH sides carry exact duplicates — including
+    cross-table identical texts (jaccard 1.0 pairs) and duplicated
+    sub-shingle-length docs (empty shingle sets: no pairs, either way)."""
+    rng = random.Random(17)
+    corpus_rows, bench_rows = [], []
+    texts = [" ".join(rng.choice(WORDS) for _ in range(rng.randint(6, 12))) for _ in range(25)]
+    nid = 0
+    for t in texts:
+        for _ in range(rng.randint(1, 4)):  # duplicated corpus side
+            corpus_rows.append((nid, t)); nid += 1
+    for t in texts[:10]:                    # bench shares some texts exactly
+        for _ in range(rng.randint(1, 3)):
+            bench_rows.append((1000 + nid, t)); nid += 1
+    for _ in range(4):                      # short dup docs on both sides
+        corpus_rows.append((nid, "tiny")); nid += 1
+        bench_rows.append((1000 + nid, "tiny")); nid += 1
+    corpus = spark.createDataFrame(corpus_rows, "corpus_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+
+    def pairs():
+        return {
+            (r["corpus_id"], r["bench_id"], round(float(r["jaccard"]), 9))
+            for r in D.ngram_jaccard_join_two_tables(
+                corpus, bench, "corpus_id", "bench_id", "text", threshold=0.1
+            ).collect()
+        }
+
+    collapsed = pairs()
+    monkeypatch.setattr(D, "_COLLAPSE_MIN_DUP_RATIO", -1.0)  # force naive
+    naive = pairs()
+    D.release_caches()
+    assert collapsed == naive
+    assert any(j == 1.0 for _, _, j in collapsed)  # cross-table exact dups present
+    assert all(a < 1000 <= b for a, b, _ in collapsed)  # id spaces respected
