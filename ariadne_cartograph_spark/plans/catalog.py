@@ -298,7 +298,7 @@ WINDOW_ORDER_R11: list[str] = [
 ]
 
 # Round 11: the evidence-refresh rotation goes live (amended, see above).
-WINDOW_ORDER = WINDOW_ORDER_R11
+# (kept for tests/test_catalog_window.py invariants; R12 live below)
 
 # Round-12 window, PRE-STAGED (the standing insurance pattern):
 # generated from CORRECTNESS_r01..r10 last-hash ages with r11 = the
@@ -366,6 +366,10 @@ WINDOW_ORDER_R12: list[str] = [
     "geo_line_simplify",
     "scan_tag_index_pruned",
 ]
+
+# Round 12: the evidence-refresh rotation goes live — all 50 entries
+# hash-validated as a unit at sf0.01 before this assignment landed.
+WINDOW_ORDER = WINDOW_ORDER_R12
 
 
 def _ordered() -> dict[str, CatalogEntry]:
