@@ -166,7 +166,6 @@ def _prefix_pairs(
 def _bitmask_allpairs(
     exploded: DataFrame,
     freq: DataFrame,
-    rep_sig: DataFrame,
     traj_col: str,
     threshold: float,
     n_cells_universe: int,
@@ -197,14 +196,19 @@ def _bitmask_allpairs(
         (F.col("__pos") / 64).cast("int").alias("__w"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias("__bit"),
     )
-    masks = bits.groupBy(traj_col).agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        *[
-            F.bit_or(
-                F.when(F.col("__w") == w, F.col("__bit")).otherwise(F.lit(0).cast("long"))
-            ).alias(f"__m{w}")
-            for w in range(n_words)
-        ],
+    # persisted: masks feeds BOTH sides of the all-pairs join (the
+    # repartitioned probe side and the broadcast side) — without it
+    # the bit-packing aggregation over the exploded relation runs twice
+    masks = _track_persist(
+        bits.groupBy(traj_col).agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            *[
+                F.bit_or(
+                    F.when(F.col("__w") == w, F.col("__bit")).otherwise(F.lit(0).cast("long"))
+                ).alias(f"__m{w}")
+                for w in range(n_words)
+            ],
+        )
     )
     # AQE would coalesce the (universe-bounded-width, rep-count-rows)
     # aggregate to one partition; the nested-loop popcount work must
@@ -319,7 +323,7 @@ def trajectory_jaccard_pairs(
         # and bitmask popcounts beat array intersections per pair —
         # measured 30.3 s → ~3 s for the sf1 rep-pair stage
         rep_pairs = _bitmask_allpairs(
-            exploded, freq, rep_sig, traj_col, threshold, universe
+            exploded, freq, traj_col, threshold, universe
         )
     elif ngram_join_strategy(max_df, total, sum_sq) == "prefix":
         rep_pairs = _prefix_pairs(exploded, freq, rep_sig, traj_col, threshold)

@@ -486,6 +486,19 @@ def scan_tag_index_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"spark_graft_cache_{os.getuid()}"
     )
     os.makedirs(cache_root, mode=0o700, exist_ok=True)
+    # makedirs applies mode only on CREATE: the parent is world-writable
+    # /tmp and the name is predictable, so verify we own the directory
+    # and re-tighten the bits — failing loudly beats silently using a
+    # cache root another local user pre-created (and could poison).
+    root_st = os.stat(cache_root)
+    if root_st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"cache root {cache_root} is owned by uid {root_st.st_uid}, "
+            f"not the current user (uid {os.getuid()}); refusing to use "
+            "a cache directory another user controls"
+        )
+    if (root_st.st_mode & 0o777) != 0o700:
+        os.chmod(cache_root, 0o700)
     path = os.path.join(cache_root, f"tag_index_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ways = split_elements(read_osm_elements(spark, _OSM_PATH))["ways"]

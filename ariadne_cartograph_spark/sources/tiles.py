@@ -189,6 +189,13 @@ def http_tiles(
                         retry_after = float(ra) if ra is not None else None
                     except ValueError:
                         retry_after = None
+                    # The header is server-controlled: clamp so a
+                    # malformed negative value can't crash the executor
+                    # task (time.sleep raises on negatives — the
+                    # "failures → NULL, not a crash" contract) and a
+                    # hostile/buggy huge value can't hang the slot.
+                    if retry_after is not None:
+                        retry_after = max(0.0, min(retry_after, 60.0))
                 _time.sleep(retry_after if retry_after is not None else delay)
                 delay *= 2
             return None

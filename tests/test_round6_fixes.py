@@ -67,8 +67,11 @@ def _pairs_set(df, metric):
 def test_collapse_gate_row_identical(spark, monkeypatch, fn, metric):
     df = _corpus_with_dups(spark)
     collapsed = _pairs_set(fn(df), metric)
-    # force the gate to always skip → the naive (no-collapse) plan
-    monkeypatch.setattr(D, "_COLLAPSE_MIN_DUP_RATIO", -1.0)
+    # force the gate to always skip → the naive (no-collapse) plan.
+    # ratio=1.0 makes the skip condition n_fp >= 0 (always true);
+    # -1.0 — the r11 advice finding — made it n_fp >= 2n (never true),
+    # i.e. it forced COLLAPSE and compared the collapsed plan to itself.
+    monkeypatch.setattr(D, "_COLLAPSE_MIN_DUP_RATIO", 1.0)
     naive = _pairs_set(fn(df), metric)
     D.release_caches()
     assert collapsed == naive
@@ -173,7 +176,9 @@ def test_trajectory_collapse_gate_row_identical(spark, monkeypatch):
     collapsed = _pairs_set(
         TJ.trajectory_jaccard_pairs(pts, "traj_id", "lng", "lat", cell_deg=10.0), "jaccard"
     )
-    monkeypatch.setattr(TJ, "_COLLAPSE_MIN_DUP_RATIO", -1.0)
+    # 1.0 → skip condition always true → genuine naive plan (the r11
+    # advice finding: -1.0 forced collapse, comparing it to itself)
+    monkeypatch.setattr(TJ, "_COLLAPSE_MIN_DUP_RATIO", 1.0)
     naive = _pairs_set(
         TJ.trajectory_jaccard_pairs(pts, "traj_id", "lng", "lat", cell_deg=10.0), "jaccard"
     )
@@ -461,7 +466,9 @@ def test_two_table_join_collapse_row_identical(spark, monkeypatch):
         }
 
     collapsed = pairs()
-    monkeypatch.setattr(D, "_COLLAPSE_MIN_DUP_RATIO", -1.0)  # force naive
+    # 1.0 → gate always skips → genuine naive plan (the r11 advice
+    # finding: -1.0 forced collapse, comparing it to itself)
+    monkeypatch.setattr(D, "_COLLAPSE_MIN_DUP_RATIO", 1.0)
     naive = pairs()
     D.release_caches()
     assert collapsed == naive
