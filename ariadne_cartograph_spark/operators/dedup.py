@@ -1053,86 +1053,36 @@ def _expand_collapsed_pairs(
     return cross.unionByName(intra)
 
 
-def simhash_md5_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def _packed_block_pairs(
+    sigs: DataFrame, id_col: str, sig_col: str, max_hamming: int
 ) -> DataFrame:
-    """simhash_near_dup_pairs twin on the md5 bit scheme: pigeonhole
-    block equi-join over (max_hamming+1) 16-bit blocks (lossless — any
-    pair within Hamming k agrees on ≥1 whole block), exact Hamming
-    filter. Output (id_a, id_b, hamming) is value-hash checkable
-    against a DuckDB oracle recomputing the same bits. Exact duplicates
-    are collapsed before the block join and re-expanded after (see
-    _exact_dup_collapse) — output unchanged, candidate work k²-fold
-    smaller on k-fold duplicated corpora."""
+    """Shared pigeonhole-block Hamming verify over PACKED 64-bit
+    signatures: explode (max_hamming+1) bit-blocks (lossless — any
+    pair within Hamming k agrees on ≥1 whole block), equi-join on
+    (block index, block value), popcount-XOR exact verify. The
+    signature travels the candidate shuffle as ONE long (8 bytes) and
+    the verify is a single whole-stage-codegen ``bit_count(xor)`` —
+    the trajectory bitmask lesson (operators/trajectory.py) applied to
+    the Hamming family; the md5 twin previously shipped a 64-element
+    bit array per side and re-aggregated it per candidate.
+
+    ``sigs`` is persisted here: (a) the self-join consumes it twice, and
+    (b) without the lineage break InferFiltersFromConstraints derives
+    ``isnotnull(<signature>)`` from the inner-join keys and pushes the
+    ENTIRE signature expression down into the parquet scan's data
+    filter — measured 92 s (vs 2 s persisted) at the sf1 replica, where
+    the md5 vote pipeline re-ran per scanned row per side. The frame is
+    (id, 1 long) per doc — model-sized relative to executor memory."""
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    df, member = _exact_dup_collapse(df, id_col, text_col)
-    s = simhash_md5(df.select(id_col, text_col), text_col)
-    blocks_arr = F.array(
-        *[
-            F.aggregate(
-                F.slice("sim_bits", j * width + 1, width),
-                F.lit(0).cast("long"),
-                lambda acc, b: acc * 2 + b,  # big-endian pack — order-consistent
-            )
-            for j in range(n_blocks)
-        ]
-    )
-    blocks = s.select(
+    sigs = _track_persist(sigs)
+    blocks = sigs.select(
         F.col(id_col),
-        F.col("sim_bits"),
-        F.posexplode(blocks_arr).alias("blk_idx", "blk_val"),
-    )
-    a = blocks.alias("a")
-    # shuffle_hash: SF-scaling self-join — see lsh_candidate_pairs.
-    b = blocks.hint("shuffle_hash").alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk_idx") == F.col("b.blk_idx"))
-            & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sim_bits").alias("bits_a"),
-            F.col("b.sim_bits").alias("bits_b"),
-        )
-        .distinct()
-    )
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, d: acc + d,
-    )
-    rep_pairs = (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
-    return _expand_collapsed_pairs(
-        rep_pairs, member, id_col, "hamming", F.lit(0).cast("long")
-    )
-
-
-def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
-) -> DataFrame:
-    """Pairs with simhash Hamming distance ≤ max_hamming via the
-    pigeonhole block join over (max_hamming+1) bit-blocks. Exact
-    duplicates are collapsed/re-expanded as in the md5 twin."""
-    n_blocks = max_hamming + 1
-    width = 64 // n_blocks
-    df, member = _exact_dup_collapse(df, id_col, text_col)
-    s = simhash(df.select(id_col, text_col), text_col)
-    blocks = s.select(
-        F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                    F.shiftright(F.col(sig_col), i * width).bitwiseAND(
                         F.lit((1 << width) - 1).cast("long")
                     )
                     for i in range(n_blocks)
@@ -1153,17 +1103,67 @@ def simhash_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col(f"a.{sig_col}").alias("sh_a"),
+            F.col(f"b.{sig_col}").alias("sh_b"),
         )
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    rep_pairs = (
+    return (
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_md5_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """simhash_near_dup_pairs twin on the md5 bit scheme: the 64-bit
+    vote array is packed into ONE long right after signature
+    computation, then rides the shared popcount block join
+    (_packed_block_pairs). Output (id_a, id_b, hamming) is value-hash
+    checkable against a DuckDB oracle recomputing the same bits —
+    packing is lossless (bit i of the array ↔ bit i of the long), so
+    Hamming over the packed XOR equals the old per-element array sum.
+    Exact duplicates are collapsed before the block join and
+    re-expanded after (see _exact_dup_collapse) — output unchanged,
+    candidate work k²-fold smaller on k-fold duplicated corpora."""
+    df, member = _exact_dup_collapse(df, id_col, text_col)
+    s = simhash_md5(df.select(id_col, text_col), text_col)
+    # bit i of sim_bits → mask 1<<i; the 64 distinct power-of-two masks
+    # (one negative) sum without overflow, satisfying ANSI mode — the
+    # same packing scheme as simhash()._pack.
+    masks = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(63)],
+        F.lit(-(1 << 63)).cast("long"),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            F.col("sim_bits"),
+            masks,
+            lambda bit, m: F.when(bit == 1, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sigs = s.select(F.col(id_col), packed.alias("__sig"))
+    rep_pairs = _packed_block_pairs(sigs, id_col, "__sig", max_hamming)
+    return _expand_collapsed_pairs(
+        rep_pairs, member, id_col, "hamming", F.lit(0).cast("long")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with simhash Hamming distance ≤ max_hamming via the
+    pigeonhole block join over (max_hamming+1) bit-blocks
+    (_packed_block_pairs). Exact duplicates are collapsed/re-expanded
+    as in the md5 twin."""
+    df, member = _exact_dup_collapse(df, id_col, text_col)
+    s = simhash(df.select(id_col, text_col), text_col)
+    rep_pairs = _packed_block_pairs(s, id_col, "simhash", max_hamming)
     return _expand_collapsed_pairs(
         rep_pairs, member, id_col, "hamming", F.lit(0).cast("long")
     )

@@ -144,22 +144,52 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    summary = {
+    # History-preserving merge (r11 verdict): the artifact carries
+    # note_r* narrative keys (top-level and per-entry) that a full
+    # regeneration used to drop and --only used to clobber wholesale.
+    # Merge over the existing file: unknown top-level keys survive,
+    # per-entry unknown keys (notes) survive a re-measure, and --only
+    # keeps every untouched entry.
+    prev: dict = {}
+    try:
+        with open(out_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = {}
+    merged_entries = dict(prev.get("entries") or {})
+    for name, fresh in results.items():
+        old = merged_entries.get(name)
+        if isinstance(old, dict):
+            fresh = {**{k: v for k, v in old.items() if k not in fresh}, **fresh}
+        merged_entries[name] = fresh
+    known = {
+        "sf_dir", "n_entries", "n_fail", "n_hash_checked", "n_spark_only",
+        "total_sec", "total_engine_sec", "total_oracle_sec",
+        "engine_regressions", "entries",
+    }
+    summary = {k: v for k, v in prev.items() if k not in known}
+    summary.update({
         "sf_dir": sf_dir,
-        "n_entries": len(results),
+        "n_entries": len(merged_entries),
+        # n_fail counts THIS run's failures; stale-entry statuses from a
+        # prior run are visible per entry, not re-counted here.
         "n_fail": n_fail,
-        "n_hash_checked": sum(1 for r in results.values() if r["status"] in ("ok", "FAIL")),
-        "n_spark_only": sum(1 for r in results.values() if r["status"] == "spark_only"),
-        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "n_hash_checked": sum(
+            1 for r in merged_entries.values() if r["status"] in ("ok", "FAIL")
+        ),
+        "n_spark_only": sum(
+            1 for r in merged_entries.values() if r["status"] == "spark_only"
+        ),
+        "total_sec": round(sum(r["sec"] for r in merged_entries.values()), 1),
         "total_engine_sec": round(
-            sum(r["engine_sec"] or 0.0 for r in results.values()), 1
+            sum(r["engine_sec"] or 0.0 for r in merged_entries.values()), 1
         ),
         "total_oracle_sec": round(
-            sum(r["oracle_sec"] or 0.0 for r in results.values()), 1
+            sum(r["oracle_sec"] or 0.0 for r in merged_entries.values()), 1
         ),
         "engine_regressions": regressions,
-        "entries": results,
-    }
+        "entries": merged_entries,
+    })
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: v for k, v in summary.items() if k != "entries"}))
