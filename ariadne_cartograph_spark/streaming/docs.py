@@ -48,10 +48,16 @@ from pyspark.sql import functions as F
 from ..functions.text import hashed_word_shingles
 from ..operators.dedup import _minhash_from_shingles
 
-# Shingle-store partition fanout. 64 keeps local directories small;
-# at cluster scale this is the knob that bounds per-batch pruning
-# granularity (candidate ids hit ~min(|candidates|, 64) partitions).
-N_BUCKETS = 64
+# Shingle-store partition fanout — the knob that bounds per-batch
+# pruning granularity (candidate ids hit ~min(|candidates|, N_BUCKETS)
+# partitions). 16 over 64: every batch's shingle append pays one
+# partition-directory commit per bucket DRIVER-SIDE (the 4-batch sf1
+# replay is driver-overhead bound, ~90 jobs), and on crawl corpora the
+# candidate set hits most buckets anyway, so finer pruning bought
+# nothing the semi-join + min/max skipping don't already give. At
+# cluster scale raise it with the store size; correctness is
+# bucket-count independent (the bucket id is recomputed from the key).
+N_BUCKETS = 16
 
 
 def _bucket(col: F.Column) -> F.Column:
@@ -142,14 +148,24 @@ def _dropped_ids(
             F.col(f"a.{id_col}").alias("new_id"),
             F.col(f"b.{id_col}").alias("old_id"),
         )
-        .distinct()
-        # AQE coalesces the distinct's output to ONE partition when the
-        # pair ids compress small, and the checkpoint freezes that — the
-        # verify join's array_intersect CPU then runs single-threaded
-        # (measured 2.8 s → 0.6 s per sf1 batch). Re-spread by new_id
-        # before freezing: a candidate-sized shuffle, and harmless at
-        # real scale where the distinct already spans many partitions.
+        # repartition BEFORE distinct: hash partitioning on new_id
+        # satisfies the distinct's ClusteredDistribution(new_id, old_id)
+        # (subset rule), so the aggregate runs exchange-free on the
+        # repartitioned data — ONE shuffle where distinct-then-
+        # repartition paid two, and the output is already spread by
+        # new_id for the verify join (this loop is driver-overhead
+        # bound at local scale: ~90 jobs per 4-batch replay, so every
+        # elided exchange is an AQE materialization saved).
         .repartition(spark.sparkContext.defaultParallelism, "new_id")
+        .distinct()
+        # The explicit repartition above also pins the spread the
+        # checkpoint freezes: without it AQE coalesced the distinct's
+        # output to ONE partition when the pair ids compressed small,
+        # and the verify join's intersect CPU ran single-threaded
+        # (measured 2.8 s → 0.6 s per sf1 batch). Eager on purpose:
+        # lazy localCheckpoints measured SLOWER here (both this frame
+        # and idx_new are referenced twice inside their first
+        # consumer's plan, which defeats single-pass materialization).
         .localCheckpoint(eager=True)
     )
 
@@ -188,7 +204,24 @@ def _dropped_ids(
             )
             sh_old = sh_old.unionByName(stored_cand)
 
-    cands = pair_ids.join(sh_new, "new_id").join(sh_old, "old_id")
+    # Set-fingerprint short-circuit for the verify: on crawl-style
+    # corpora most LSH candidates are EXACT duplicates (the sf1 replica
+    # set: ~90% of ~114k pairs/batch), and the O(|a|·|b|) per-pair
+    # array_intersect is pure waste on them. One xxhash64 over the
+    # sorted shingle array per DOC (candidates:docs ~10:1 here) lets
+    # equal-fingerprint pairs verify as Jaccard 1.0 inside a CASE WHEN
+    # whose intersect branch never evaluates for them (CaseWhen
+    # evaluates branches lazily per row). size > 0 guards the
+    # empty-set pairs that reach the verify through shared NULL-filled
+    # bands — those must stay NULL-rejected (0/0), not fp-matched.
+    # Accuracy: a false drop needs an xxhash64 collision on the sorted
+    # set (2⁻⁶⁴) — the same accepted class as hashed_word_shingles.
+    set_fp = lambda c: F.xxhash64(F.array_sort(F.col(c)))  # noqa: E731
+    cands = (
+        pair_ids.join(sh_new.withColumn("__fp_n", set_fp("sh_new")), "new_id")
+        .join(sh_old.withColumn("__fp_o", set_fp("sh_old")), "old_id")
+        .withColumn("__fp_eq", F.col("__fp_n") == F.col("__fp_o"))
+    )
     inter = F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
     union = (F.size("sh_new") + F.size("sh_old")).cast("double") - inter
     # when(union > 0): two sub-shingle-length docs share their
@@ -196,8 +229,11 @@ def _dropped_ids(
     # verify — 0/0 must be NULL (pair rejected), not an ANSI
     # divide-by-zero that kills the foreachBatch (same guard as
     # operators/dedup.jaccard_verify).
+    jaccard = F.when(
+        F.col("__fp_eq") & (F.size("sh_new") > 0), F.lit(1.0)
+    ).otherwise(F.when(union > 0, inter / union))
     return (
-        cands.withColumn("jaccard", F.when(union > 0, inter / union))
+        cands.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("new_id").alias(id_col))
         .distinct()
