@@ -854,6 +854,61 @@ def embedding_near_dup_pairs(
     )
 
 
+# Exact-duplicate vector collapse gate for semantic_dedup — the
+# embedding-space twin of dedup._exact_dup_collapse. Skip when fewer
+# than this fraction of rows are exact vector duplicates (the collapse
+# joins cost more than they save on dup-free corpora), and NEVER
+# collapse above _VEC_COLLAPSE_MAX_THRESHOLD: a member's drop proof is
+# "cosine(member, rep) == 1.0 >= threshold", but the blocked scorer
+# computes an f32 cosine that can land at 0.99999994 for identical
+# vectors — at thresholds that close to 1 the uncollapsed plan must
+# decide.
+_VEC_COLLAPSE_MIN_DUP_RATIO = 0.02
+_VEC_COLLAPSE_MAX_THRESHOLD = 0.99
+
+# Memoized (n_rows, n_reps) per corpus plan — same contract as
+# _PAIR_COUNT_CACHE: the stats only pick between lossless physical
+# plans. Also supplies the row count the block-grid sizing used to pay
+# a separate corpus.count() action for.
+_VEC_STATS_CACHE: dict[tuple, tuple[int, int]] = {}
+_VEC_STATS_CACHE_MAX = 256
+
+
+def _vec_collapse_cols(id_col: str, vec_col: str):
+    """(__nz, __fp) grouping columns for the vector collapse. Non-zero
+    finite vectors fingerprint by xxhash64 of the array (a 2⁻⁶⁴
+    collision is the repo's accepted class); zero or NaN-bearing
+    vectors get a per-row fingerprint (their cosine with an identical
+    twin is 0 or NaN, NOT 1, so they must never collapse), and __nz in
+    the grouping key keeps the two populations apart."""
+    v = F.col(vec_col)
+    nz = F.exists(v, lambda x: x != F.lit(0.0)) & ~F.exists(v, F.isnan)
+    fp = F.when(nz, F.xxhash64(v)).otherwise(F.xxhash64(F.col(id_col)))
+    return nz.alias("__nz"), fp.alias("__fp")
+
+
+def _vec_dup_stats(corpus: DataFrame, id_col: str, vec_col: str) -> tuple[int, int]:
+    """(row count, distinct-vector/rep count) in ONE 1-row Spark job,
+    memoized by semantic plan hash."""
+    try:
+        key = (corpus.semanticHash(), id_col, vec_col)
+    except Exception:
+        key = None
+    if key is not None and key in _VEC_STATS_CACHE:
+        return _VEC_STATS_CACHE[key]
+    nz, fp = _vec_collapse_cols(id_col, vec_col)
+    row = corpus.select(nz, fp).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("__nz", "__fp").alias("__n_reps"),
+    ).first()
+    out = (row["__n"], row["__n_reps"])
+    if key is not None:
+        if len(_VEC_STATS_CACHE) >= _VEC_STATS_CACHE_MAX:
+            _VEC_STATS_CACHE.pop(next(iter(_VEC_STATS_CACHE)))
+        _VEC_STATS_CACHE[key] = out
+    return out
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
@@ -888,7 +943,45 @@ def semantic_dedup(
         corpus.select(F.col(id_col), F.col(vec_col)).orderBy(*order).limit(n_centroids).collect()
     )
     cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
-    assigned = corpus.select(
+
+    # Exact-duplicate vector collapse, gated on MEASURED duplication
+    # (one memoized 1-row job that also supplies the block-grid row
+    # count below, replacing the old corpus.count() action). On
+    # k-fold-replicated corpora every duplicate inflates the dominant
+    # cell's block count, and every block's vector list ships once per
+    # partner block through the pair join's Arrow exchange — collapse
+    # cuts that k² (sf1 replica: ~8 s → ~1 s engine-side). Lossless at
+    # threshold ≤ 0.99: identical vectors land in the same argmax cell,
+    # members inherit dropped=True from their smaller-id cosine-1.0
+    # rep, and a rep's own verdict depends only on other reps (any
+    # qualifying smaller-id member implies its rep qualifies at the
+    # same cosine with a smaller id still). Zero/NaN vectors never
+    # collapse (_vec_collapse_cols). Centroid selection stays on the
+    # FULL corpus so the quantizer is byte-identical either way.
+    n, n_reps = _vec_dup_stats(corpus, id_col, vec_col)
+    member = None
+    work = corpus
+    n_work = n
+    if (
+        threshold <= _VEC_COLLAPSE_MAX_THRESHOLD
+        and n_reps < n * (1.0 - _VEC_COLLAPSE_MIN_DUP_RATIO)
+    ):
+        from .dedup import _track_persist
+
+        nz, fp = _vec_collapse_cols(id_col, vec_col)
+        base = _track_persist(corpus.select(F.col(id_col), nz, fp))
+        reps = base.groupBy("__nz", "__fp").agg(F.min(id_col).alias("__rep"))
+        member = _track_persist(
+            base.join(reps, ["__nz", "__fp"]).select(
+                F.col(id_col).alias("__mid"), F.col("__rep")
+            )
+        )
+        work = corpus.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
+        n_work = n_reps
+
+    assigned = work.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _argmax_cell(_centroid_score_array(vec_col, cents)).alias("cell"),
@@ -906,8 +999,7 @@ def semantic_dedup(
     # is representation-stable (same convention as embedding_near_dup).
     import math
 
-    n = corpus.count()
-    n_blocks = max(1, math.ceil(n / 1024))
+    n_blocks = max(1, math.ceil(n_work / 1024))
     blocks = assigned.select(
         "cell", "id", "v", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).alias("b")
     )
@@ -949,13 +1041,29 @@ def semantic_dedup(
                 yield pd.DataFrame({"id": np.unique(np.concatenate(out))})
 
     dropped = bpairs.mapInPandas(score, "id long").distinct()
-    return (
+    rep_out = (
         assigned.select("cell", "id")
         .join(dropped.withColumn("__d", F.lit(1)), ["id"], "left")
         .select(
             "cell",
             "id",
             F.coalesce(F.col("__d") == 1, F.lit(False)).alias("is_dropped"),
+        )
+    )
+    if member is None:
+        return rep_out
+    # Re-expand the collapsed rows: every member inherits its rep's
+    # cell (identical vectors assign identically); non-rep members are
+    # dropped by construction (their rep is a smaller-id exact-dup
+    # neighbor at cosine 1.0 ≥ threshold), reps keep their verdict.
+    return (
+        member.join(rep_out, member["__rep"] == rep_out["id"])
+        .select(
+            "cell",
+            F.col("__mid").alias("id"),
+            F.when(F.col("__mid") != F.col("__rep"), F.lit(True))
+            .otherwise(F.col("is_dropped"))
+            .alias("is_dropped"),
         )
     )
 

@@ -416,13 +416,23 @@ FROM decided GROUP BY source, decision ORDER BY source, decision
 def corpus_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalize_text
 
+    from ..operators.dedup import _track_persist
+
     docs = load_table(spark, sf_dir, "documents")
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    q = docs.select(
-        "doc_id",
-        "source",
-        T.token_count("text").between(20, 5000).alias("q_ok"),
-        F.md5(normalize_text("text")).alias("fp"),
+    # Persisted: q is consumed twice (the keeper groupBy and the final
+    # decision join), and without the break each consumer re-runs the
+    # normalize+md5 scan — and the inner join on fp would let
+    # InferFiltersFromConstraints push isnotnull(<md5 expression>) into
+    # the parquet scan as a data filter (the simhash lesson). The frame
+    # is (id, source, bool, 32-char fp) per doc — scan-output-sized.
+    q = _track_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            T.token_count("text").between(20, 5000).alias("q_ok"),
+            F.md5(normalize_text("text")).alias("fp"),
+        )
     )
     keep_fp = q.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     sem = (
