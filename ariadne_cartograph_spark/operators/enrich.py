@@ -122,15 +122,29 @@ def _sample_values(
     return out
 
 
-def sample_tile_values(
-    spark: SparkSession, ways: DataFrame, provider: Provider
-) -> DataFrame:
-    """ways(gid, geom) → (gid, value) one row per vertex."""
-    coords = ways.select(
-        "gid", F.posexplode("geom").alias("pos", "pt")
-    ).select(
+def explode_way_coords(ways: DataFrame) -> DataFrame:
+    """ways(gid, geom) → one (gid, lng, lat) row per vertex. Zoom- and
+    provider-independent, so a multi-provider pipeline can materialize
+    it ONCE and share it across every enrichment pass (the reference
+    walks the ways cursor once per provider; see update_ways_metadata
+    .run's one-pass loop)."""
+    return ways.select("gid", F.posexplode("geom").alias("pos", "pt")).select(
         "gid", F.col("pt.lng").alias("lng"), F.col("pt.lat").alias("lat")
     )
+
+
+def sample_tile_values(
+    spark: SparkSession,
+    ways: DataFrame,
+    provider: Provider,
+    coords: DataFrame | None = None,
+) -> DataFrame:
+    """ways(gid, geom) → (gid, value) one row per vertex. ``coords``:
+    an optional pre-exploded (gid, lng, lat) frame (explode_way_coords)
+    — pass a persisted one to share the explode across providers; the
+    output is identical either way."""
+    if coords is None:
+        coords = explode_way_coords(ways)
     tx, ty, px, py = lnglat_to_tile_pixel("lng", "lat", provider.zoom, provider.tile_size)
     keyed = coords.select(
         "gid",
@@ -172,12 +186,16 @@ def sample_tile_values(
 
 
 def enrich_ways(
-    spark: SparkSession, ways: DataFrame, provider: Provider
+    spark: SparkSession,
+    ways: DataFrame,
+    provider: Provider,
+    coords: DataFrame | None = None,
 ) -> DataFrame:
     """Full E1: per-way exact median of sampled values, normalized by
     the global max median (update_ways_metadata.py:29-33). Returns
-    (gid, <provider.name>) with values in [0,1]."""
-    sampled = sample_tile_values(spark, ways, provider)
+    (gid, <provider.name>) with values in [0,1]. ``coords`` as in
+    sample_tile_values."""
+    sampled = sample_tile_values(spark, ways, provider, coords=coords)
     # NOTE: the static plan shows the gmax broadcast side repeating the
     # whole sampling subtree, but runtime ReuseExchange/ReuseSubquery
     # dedupes the identical shuffle stages — measured FASTER than an

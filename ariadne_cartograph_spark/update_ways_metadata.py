@@ -86,6 +86,19 @@ def run(
     url_templates = url_templates or {}
     table = ParquetMergeTable(spark, out_path, key="gid", n_buckets=n_buckets)
     written: dict[str, int] = {}
+    # One-pass sharing across providers: the ways lineage (for osm:
+    # sources, the whole XML parse + topology build) and the vertex
+    # explode are provider-independent — materialize the exploded
+    # coordinate frame ONCE and hand it to every enrichment instead of
+    # re-executing the import per provider (the reference holds the
+    # ways cursor rows in memory across its provider loop; this is the
+    # distributed analog). Output per provider is pinned identical to
+    # the unshared path in tests/test_enrichment.py.
+    coords = None
+    if len(provider_names) > 1:
+        from .operators.enrich import explode_way_coords
+
+        coords = explode_way_coords(ways).localCheckpoint(eager=True)
     for name in provider_names:
         if name not in PROVIDERS:
             raise ValueError(f"unknown provider {name!r}; have {sorted(PROVIDERS)}")
@@ -101,7 +114,7 @@ def run(
                     sp, needed, _u, _p.mode, _p.tile_size, headers=_h
                 ),
             )
-        vals = enrich_ways(spark, ways, provider).withColumnRenamed(
+        vals = enrich_ways(spark, ways, provider, coords=coords).withColumnRenamed(
             provider.name, column
         )
         # Materialize the enrichment ONCE: upsert references the frame

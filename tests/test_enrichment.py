@@ -162,3 +162,24 @@ def test_all_zero_tiles_normalize_to_nan(spark):
     got = {r.gid: r.zeroed for r in enrich_ways(spark, ways, prov).collect()}
     assert set(got) == {1, 2}
     assert all(_m.isnan(v) for v in got.values()), got
+
+
+def test_shared_coords_pinned_equal(spark, ways_df):
+    """The one-pass multi-provider path (update_ways_metadata.run
+    materializes explode_way_coords once and hands it to every
+    enrich_ways call) must be row-identical to the unshared path, per
+    provider — the share is a physical reuse, never a semantic one."""
+    from ariadne_cartograph_spark.operators.enrich import explode_way_coords
+
+    coords = explode_way_coords(ways_df).localCheckpoint(eager=True)
+    for provider in (STRAVA_PROVIDER, GMAPS_GREENERY_PROVIDER):
+        solo = {
+            r.gid: r[provider.name]
+            for r in enrich_ways(spark, ways_df, provider).collect()
+        }
+        shared = {
+            r.gid: r[provider.name]
+            for r in enrich_ways(spark, ways_df, provider, coords=coords).collect()
+        }
+        assert solo == shared
+        assert solo  # non-vacuous
