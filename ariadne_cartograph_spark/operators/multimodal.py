@@ -126,6 +126,13 @@ def decode_media(payload: bytes, width: int, height: int, channels: int) -> np.n
         return arr.reshape(arr.shape[0], arr.shape[1], -1)
     except Exception:
         pass
+    if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        # Stdlib PNG path (sources/tiles.decode_png) — real decode for
+        # the one codec this container can honestly support without PIL.
+        from ..sources.tiles import decode_png
+
+        arr = decode_png(bytes(payload))
+        return arr.reshape(arr.shape[0], arr.shape[1], -1)
     need = width * height * channels
     arr = np.frombuffer(bytes(payload), dtype=np.uint8)
     if len(arr) < need:

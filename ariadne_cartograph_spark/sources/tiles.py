@@ -67,6 +67,88 @@ def synth_tile_array(x: int, y: int, z: int, mode: str, tile_size: int) -> np.nd
     raise ValueError(f"unknown mode {mode}")
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type → samples per pixel (spec §11.2.2); palette and
+# 16-bit depths are out of scope for map tiles (raise clearly below).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(img: bytes) -> np.ndarray:
+    """Minimal stdlib PNG decoder (zlib + struct — public spec,
+    RFC 2083 / ISO 15948): 8-bit depth, non-interlaced, color types
+    greyscale / RGB / grey+alpha / RGBA, all five scanline filters
+    (None, Sub, Up, Average, Paeth) reconstructed vectorized per row.
+    Covers what real XYZ tile servers emit; palette/16-bit/interlaced
+    payloads raise NotImplementedError rather than mis-decode. Returns
+    HxW (grey) or HxWxC uint8."""
+    import struct
+    import zlib
+
+    if img[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(img):
+        (length,), ctype = struct.unpack(">I", img[pos:pos + 4]), img[pos + 4:pos + 8]
+        data = img[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}: "
+                    "only 8-bit non-interlaced grey/RGB/LA/RGBA supported"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline payload size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(height):
+        line, f = lines[r].copy(), int(filters[r])
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub: mod-256 addition is associative → per-
+            # channel cumsum instead of a per-byte Python loop
+            cur = line
+            for c in range(ch):
+                cur[c::ch] = np.cumsum(cur[c::ch]) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: data-dependent left
+            # recursion (floor div / conditional predictor) — loop
+            cur = line
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0  # left
+                b = prev[i]  # up
+                if f == 3:
+                    cur[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[i - ch] if i >= ch else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[r] = cur
+        prev = out[r]
+    arr = out.astype(np.uint8)
+    return arr.reshape(height, width) if ch == 1 else arr.reshape(height, width, ch)
+
+
 def decode_tile(img: bytes, mode: str, tile_size: int) -> np.ndarray:
     """bytes → HxW (L) or HxWx3 (RGB) uint8 array."""
     if mode in ("L", "RGB"):
@@ -75,16 +157,17 @@ def decode_tile(img: bytes, mode: str, tile_size: int) -> np.ndarray:
             return arr.reshape(tile_size, tile_size)
         return arr.reshape(tile_size, tile_size, 3)
     if mode == "png":
+        # Real codec first when available; else the stdlib decoder
+        # above (same output for the supported tile shapes — pinned by
+        # round-trip tests in tests/test_png_decode.py).
         try:
             from io import BytesIO
 
             from PIL import Image  # noqa: F401  (not present in this container)
-        except ImportError as e:  # multimodal decode stub (SURVEY.md north star)
-            raise NotImplementedError(
-                "PNG decode requires an image codec (PIL); this environment "
-                "ships none — use raw 'L'/'RGB' tiles or install PIL."
-            ) from e
-        return np.asarray(Image.open(BytesIO(img)))
+
+            return np.asarray(Image.open(BytesIO(img)))
+        except ImportError:
+            return decode_png(img)
     raise ValueError(f"unknown mode {mode}")
 
 

@@ -73,11 +73,15 @@ FENCE_SF = 0.1
 # in the entry).
 SF1_ENGINE_FENCES: dict[str, float] = {
     "agg_approx_distinct": 5.2,  # loaded-run value; idle 5.0
-    "corpus_multimodal_curation": 11.8,
+    # r12 re-pin: persisted fingerprint frame + the semantic_dedup
+    # vector collapse (12.7 s → 8.5 s isolated min)
+    "corpus_multimodal_curation": 8.8,
     # r11 re-pin: batch ranges replace the ntile global sort, fan_out
     # before the shingle projection, pair_ids re-spread before its
     # checkpoint (25.6 s → 12.8 s warm at sf1)
-    "docs_incremental_dedup_parity": 13.5,
+    # r12 re-pin: set-fingerprint verify short-circuit, single-shuffle
+    # pair distinct, 16-bucket store (15.1 s → 10.9 s isolated min)
+    "docs_incremental_dedup_parity": 11.2,
     "geo_line_simplify": 9.1,
     # r11 re-pin: entry switched to the measured auto-router — on the
     # 10x replica the exact-dup collapse cuts the count join's
@@ -85,14 +89,21 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # Costs two 1-row measurement jobs (~0.3-0.8 s) at sf0.1 where the
     # gate skips — the right trade at scale.
     "ngram_jaccard_near_dup": 4.5,
-    "simhash_near_dup": 13.8,
+    # r12 re-pin: popcount-packed Hamming verify + persisted signature
+    # frames in the block join (10.5 s → 3.2 s isolated min)
+    "simhash_near_dup": 3.5,
     "similarity_ann_ivfpq": 5.5,  # loaded-run value; idle 4.9
     "text_rolling_fingerprint": 9.6,  # loaded-run value; idle 7.0
     "text_winnow_fingerprint_md5": 4.7,  # loaded-run value; idle 2.5
     # r11 re-pin: bitmask all-pairs route for the dense-similarity
     # regime (26.3 s → 2.5 s warm at sf1; fence keeps cold-JIT margin)
     "trajectory_jaccard_pairs": 6.0,
-    "ways_enrichment_pipeline": 11.1,
+    # r12 re-pin 11.1 -> 15.0: the entry collects 1.47M rows and its
+    # engine clock swings ~3x with JVM/GC state (A/B on the unchanged
+    # r11 commit reproduced the same 10-31s spread; ab_entry
+    # count-consumer min 3.4s). The fence now sits above the stable
+    # warm minimum, not the single best draw.
+    "ways_enrichment_pipeline": 15.0,
     "window_running_total": 10.5,
 }
 
