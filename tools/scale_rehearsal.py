@@ -48,6 +48,57 @@ ORACLE_QUADRATIC = {
 }
 
 
+def merge_summary(
+    prev: dict,
+    results: dict[str, dict],
+    sf_dir: str,
+    n_fail: int,
+    regressions: dict,
+) -> dict:
+    """History-preserving artifact merge (r11 verdict): the artifact
+    carries note_r* narrative keys (top-level and per-entry) that a
+    full regeneration used to drop and --only used to clobber
+    wholesale. Unknown top-level keys survive, per-entry unknown keys
+    (notes) survive a re-measure, and a partial run keeps every
+    untouched entry; the summary statistics are recomputed over the
+    MERGED entry set. Unit-tested in tests/test_rehearsal_merge.py."""
+    merged_entries = dict(prev.get("entries") or {})
+    for name, fresh in results.items():
+        old = merged_entries.get(name)
+        if isinstance(old, dict):
+            fresh = {**{k: v for k, v in old.items() if k not in fresh}, **fresh}
+        merged_entries[name] = fresh
+    known = {
+        "sf_dir", "n_entries", "n_fail", "n_hash_checked", "n_spark_only",
+        "total_sec", "total_engine_sec", "total_oracle_sec",
+        "engine_regressions", "entries",
+    }
+    summary = {k: v for k, v in prev.items() if k not in known}
+    summary.update({
+        "sf_dir": sf_dir,
+        # n_fail counts THIS run's failures; stale-entry statuses from a
+        # prior run are visible per entry, not re-counted here.
+        "n_fail": n_fail,
+        "n_entries": len(merged_entries),
+        "n_hash_checked": sum(
+            1 for r in merged_entries.values() if r["status"] in ("ok", "FAIL")
+        ),
+        "n_spark_only": sum(
+            1 for r in merged_entries.values() if r["status"] == "spark_only"
+        ),
+        "total_sec": round(sum(r["sec"] for r in merged_entries.values()), 1),
+        "total_engine_sec": round(
+            sum(r["engine_sec"] or 0.0 for r in merged_entries.values()), 1
+        ),
+        "total_oracle_sec": round(
+            sum(r["oracle_sec"] or 0.0 for r in merged_entries.values()), 1
+        ),
+        "engine_regressions": regressions,
+        "entries": merged_entries,
+    })
+    return summary
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a.split("=")[0]: a.split("=", 1)[1] for a in sys.argv[1:] if "=" in a and a.startswith("--")}
@@ -144,52 +195,13 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    # History-preserving merge (r11 verdict): the artifact carries
-    # note_r* narrative keys (top-level and per-entry) that a full
-    # regeneration used to drop and --only used to clobber wholesale.
-    # Merge over the existing file: unknown top-level keys survive,
-    # per-entry unknown keys (notes) survive a re-measure, and --only
-    # keeps every untouched entry.
     prev: dict = {}
     try:
         with open(out_path) as f:
             prev = json.load(f)
     except (OSError, ValueError):
         prev = {}
-    merged_entries = dict(prev.get("entries") or {})
-    for name, fresh in results.items():
-        old = merged_entries.get(name)
-        if isinstance(old, dict):
-            fresh = {**{k: v for k, v in old.items() if k not in fresh}, **fresh}
-        merged_entries[name] = fresh
-    known = {
-        "sf_dir", "n_entries", "n_fail", "n_hash_checked", "n_spark_only",
-        "total_sec", "total_engine_sec", "total_oracle_sec",
-        "engine_regressions", "entries",
-    }
-    summary = {k: v for k, v in prev.items() if k not in known}
-    summary.update({
-        "sf_dir": sf_dir,
-        "n_entries": len(merged_entries),
-        # n_fail counts THIS run's failures; stale-entry statuses from a
-        # prior run are visible per entry, not re-counted here.
-        "n_fail": n_fail,
-        "n_hash_checked": sum(
-            1 for r in merged_entries.values() if r["status"] in ("ok", "FAIL")
-        ),
-        "n_spark_only": sum(
-            1 for r in merged_entries.values() if r["status"] == "spark_only"
-        ),
-        "total_sec": round(sum(r["sec"] for r in merged_entries.values()), 1),
-        "total_engine_sec": round(
-            sum(r["engine_sec"] or 0.0 for r in merged_entries.values()), 1
-        ),
-        "total_oracle_sec": round(
-            sum(r["oracle_sec"] or 0.0 for r in merged_entries.values()), 1
-        ),
-        "engine_regressions": regressions,
-        "entries": merged_entries,
-    })
+    summary = merge_summary(prev, results, sf_dir, n_fail, regressions)
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: v for k, v in summary.items() if k != "entries"}))
