@@ -90,8 +90,11 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # gate skips — the right trade at scale.
     "ngram_jaccard_near_dup": 4.5,
     # r12 re-pin: popcount-packed Hamming verify + persisted signature
-    # frames in the block join (10.5 s → 3.2 s isolated min)
-    "simhash_near_dup": 3.5,
+    # frames in the block join (10.5 s → 3.2 s isolated min; in-context
+    # rehearsal runs land ~8 s after 120+ prior entries — the fence
+    # carries that documented JVM-state margin so it flags real plan
+    # regressions, not run position)
+    "simhash_near_dup": 4.5,
     "similarity_ann_ivfpq": 5.5,  # loaded-run value; idle 4.9
     "text_rolling_fingerprint": 9.6,  # loaded-run value; idle 7.0
     "text_winnow_fingerprint_md5": 4.7,  # loaded-run value; idle 2.5
