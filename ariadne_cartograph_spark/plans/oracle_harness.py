@@ -161,6 +161,7 @@ def run_catalog_parity(
     from .catalog import REGISTRY, get_queries
 
     from ..operators.dedup import release_caches
+    from ..session import release_session_state
 
     get_queries()  # force module load
     reports = []
@@ -175,6 +176,7 @@ def run_catalog_parity(
             # near-dup builders persist shingle frames; release between
             # queries so a 78-entry sweep doesn't accumulate caches
             release_caches()
+            release_session_state(spark)
     finally:
         con.close()
     return reports

@@ -56,6 +56,23 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def release_session_state(spark: SparkSession) -> None:
+    """Drop this session's temporary views — between sweep entries.
+
+    Streaming parity entries drain availableNow memory sinks into
+    uuid-named temp views that stay registered (rows pinned in driver
+    memory) after the entry collects them; across a 162-entry sweep or
+    a min-of-N bench loop that is real heap pressure. Harness-only:
+    every caller (scale_rehearsal, run_catalog_parity, ab_entry, bench)
+    owns its session and recreates any view it needs per entry."""
+    try:
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+    except Exception:
+        pass
+
+
 def get_spark(
     app_name: str = "ariadne-cartograph-spark",
     cpus: int | None = None,
@@ -77,6 +94,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner's periodic driver GC defaults to 30min — longer
+        # than a whole 162-entry sweep, so shuffle files, broadcast
+        # blocks, and localCheckpoint RDDs whose references are long
+        # gone pile up and the late-alphabet entries measure eviction/GC
+        # pressure instead of their plans (the r11 "in-context 2.2x"
+        # phantom-flag class). 5min bounds the accumulation.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

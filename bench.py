@@ -113,7 +113,7 @@ SF1_ENGINE_FENCES: dict[str, float] = {
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from ariadne_cartograph_spark.session import get_spark
+    from ariadne_cartograph_spark.session import get_spark, release_session_state
     from ariadne_cartograph_spark.plans.catalog import get_headline
 
     spark = get_spark("bench")
@@ -179,6 +179,7 @@ def main() -> int:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
                 release_caches()
+                release_session_state(spark)
                 runs = []
                 break
             runs.append(round(time.time() - t0, 3))
@@ -186,6 +187,7 @@ def main() -> int:
             # them between runs so each run measures the query cold
             # rather than accumulating cached partitions.
             release_caches()
+            release_session_state(spark)
         if not runs:
             continue
         timings[name] = min(runs)

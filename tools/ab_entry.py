@@ -29,6 +29,7 @@ def main() -> int:
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
     from ariadne_cartograph_spark.operators.dedup import release_caches
+    from ariadne_cartograph_spark.session import release_session_state
     from ariadne_cartograph_spark.plans.catalog import REGISTRY, get_queries
     from ariadne_cartograph_spark.session import get_spark
 
@@ -51,6 +52,7 @@ def main() -> int:
         n = fn(spark, sf_dir).count()
         runs.append(round(time.time() - t0, 3))
         release_caches()
+        release_session_state(spark)
         print(f"# run{i}: {runs[-1]}s ({n} rows)", file=sys.stderr)
     print(
         f"{name} @ {sf_dir}: min {min(runs)}s of {runs}"
