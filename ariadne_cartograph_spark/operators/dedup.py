@@ -1241,6 +1241,114 @@ def repeated_span_coverage(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span REMOVAL — the rewrite half of the
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), at k-token window granularity:
+    a token is removed when ANY k-token window containing it occurs in
+    ≥ ``min_docs`` distinct documents. This is the conservative
+    remove-all-copies variant (the paper discusses both; keeping one
+    copy needs an arbitrary keeper choice, removing all is the
+    anti-memorization default). ``repeated_span_coverage`` is the
+    matching detection/signal operator.
+
+    Returns (id_col, n_tok, n_removed, clean_md5): token counts plus an
+    md5 of the cleaned text (tokens re-joined with single spaces), so
+    the output stays count-sized however large the corpus is.
+
+    Scale design: NO token string ever enters a shuffle and no window
+    function runs over the token stream. One explode emits (id, pos,
+    xxhash64-of-k-window) longs for the n−k+1 window starts; the
+    repeated set is one map-side-combinable groupBy on the 8-byte hash;
+    a left-semi join keeps only the REPEATED window starts (sparse on
+    clean corpora); their k-token coverage intervals expand ROW-LOCALLY
+    (`flatten(transform(starts, s → sequence(s, s+k−1)))` — window
+    starts satisfy s+k−1 ≤ n by construction, so no clamp) after a
+    groupBy(id) gathers each doc's starts; the cleaned text is rebuilt
+    against the original row with `array_except` (hash-set build, O(n +
+    #covered) per doc — no quadratic blowup on boilerplate-heavy docs)
+    in one doc-count-sized join. Shuffled bytes are O(#windows·16) +
+    O(#repeated-starts·16), independent of token text size.
+    """
+    from ..functions.text import _bind
+
+    toks = F.split(F.col(text_col), r"\s+")
+    grams = _bind(
+        toks,
+        lambda t: _bind(
+            F.transform(t, lambda x: F.xxhash64(x)),
+            lambda th: F.when(
+                F.size(th) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(th) - k + 1),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(th, i + j) for j in range(k)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        ),
+    )
+    ex = _track_persist(
+        df.select(F.col(id_col), F.posexplode(grams).alias("p0", "g")).select(
+            id_col, (F.col("p0") + 1).alias("tpos"), "g"
+        )
+    )
+    rep = (
+        ex.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    starts = (
+        ex.join(rep, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("tpos").alias("starts"))
+    )
+    covered = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("starts"),
+                    lambda s: F.sequence(s, s + F.lit(k - 1)),
+                )
+            )
+        )
+    )
+    kept = _bind(
+        toks,
+        lambda t: _bind(
+            F.coalesce(covered, F.array().cast("array<bigint>")),
+            lambda cov: F.struct(
+                F.size(t).cast("bigint").alias("n_tok"),
+                F.size(cov).cast("bigint").alias("n_removed"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_except(
+                                F.sequence(F.lit(1), F.size(t)).cast(
+                                    "array<bigint>"
+                                ),
+                                cov,
+                            ),
+                            lambda i: F.element_at(t, i.cast("int")),
+                        ),
+                        " ",
+                    )
+                ).alias("clean_md5"),
+            ),
+        ),
+    )
+    return df.join(starts, id_col, "left").select(
+        F.col(id_col), kept.alias("r")
+    ).select(id_col, "r.n_tok", "r.n_removed", "r.clean_md5")
+
+
 def chunk_exact_dedup(
     df: DataFrame,
     text_col: str,

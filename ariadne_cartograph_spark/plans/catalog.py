@@ -326,7 +326,11 @@ WINDOW_ORDER_R12: list[str] = [
     "dedup_cluster_resolution",
     "dedup_keep_best_quality",
     "embedding_semantic_dedup",
-    "events_click_purchase_interval",
+    # (events_click_purchase_interval, q3_shipping_priority and
+    # q5_region_revenue — all r11-driver-hashed with rich cumulative
+    # evidence — rotated out mid-r12 for the three NEW entries at the
+    # window's end; tag coverage re-asserted, 50-entry unit
+    # re-hash-validated at sf0.01 before the amendment landed.)
     "events_median_normalize",
     "geo_tile_projection",
     "merge_optimize_pruned_scan",
@@ -340,8 +344,6 @@ WINDOW_ORDER_R12: list[str] = [
     "osm_ingest_pbf_parity",
     "osm_topology_edges",
     "osm_turn_restrictions",
-    "q3_shipping_priority",
-    "q5_region_revenue",
     "sessionize_bounds",
     "simhash_near_dup",
     "similarity_ann_ivf",
@@ -365,6 +367,12 @@ WINDOW_ORDER_R12: list[str] = [
     # sole oracled carriers of P2 / S9 (also in the r11 window)
     "geo_line_simplify",
     "scan_tag_index_pruned",
+    # new in (continued) r12 — never driver-hashed: repeated-span
+    # REMOVAL (the Lee-et-al rewrite half), UNPIVOT/Expand, and the
+    # bit-exact distributed-PCA projection
+    "text_repeated_span_removal",
+    "agg_unpivot_lineitem_measures",
+    "embedding_pca_project",
 ]
 
 # Round 12: the evidence-refresh rotation goes live — all 50 entries

@@ -360,6 +360,53 @@ def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-document repeated-span REMOVAL (operators/dedup.
+# remove_repeated_spans): the rewrite half of exact-substring dedup —
+# tokens covered by any cross-doc-repeated k-window are cut and the
+# cleaned text is re-emitted (as an md5, keeping output count-sized).
+# The oracle replays with gram STRINGS and a ROWS-frame window max —
+# identical absent a 2^-64 xxhash64 collision.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repeated_span_removal",
+    tags=["W6", "U5"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+w AS (
+  SELECT doc_id, i AS tpos, t[i] AS tok,
+         CASE WHEN i <= len(t) - {_SPAN_K} + 1
+              THEN concat_ws(' ', list_slice(t, i, i + {_SPAN_K} - 1)) END AS gram
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+rep AS (
+  SELECT gram FROM w WHERE gram IS NOT NULL
+  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT doc_id, tpos, tok,
+         max(CASE WHEN gram IN (SELECT gram FROM rep) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY tpos
+                 ROWS BETWEEN {_SPAN_K - 1} PRECEDING AND CURRENT ROW) AS covered
+  FROM w)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(covered) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN covered = 0 THEN tok END, ' '
+                               ORDER BY tpos), '')) AS clean_md5
+FROM cov GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_spans(
+        docs, "doc_id", "text", k=_SPAN_K, min_docs=2
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # Cross-modal curation capstone: documents ⋈ embeddings (shared id
 # space) under a prioritized decision rule — quality_fail > text_dup >
 # semantic_dup > kept. The composite a real training-data pipeline

@@ -1158,6 +1158,45 @@ def agg_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_unpivot_lineitem_measures",
+    tags=["A5", "P14"],
+    oracle="""
+SELECT l_returnflag, measure,
+       CAST(round(sum(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS total,
+       count(*) AS n
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+""",
+)
+def agg_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (A5): `DataFrame.unpivot` compiles to a single
+    Expand node — ONE scan of the four measure columns fanned to
+    (measure, value) rows before the hash aggregate, where the oracle's
+    UNION ALL formulation scans the table four times. At 100 TB that is
+    a 4× scan saving; the aggregate stays map-side combinable on the
+    (flag, measure) key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return (
+        li.unpivot("l_returnflag", measures, "measure", "value")
+        .groupBy("l_returnflag", "measure")
+        .agg(
+            money_sum("value").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+@register(
     "explode_priority_words",
     tags=["P4", "P14"],
     oracle="""

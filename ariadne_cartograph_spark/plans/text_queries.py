@@ -1511,6 +1511,49 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Distributed PCA projection (U3+U4, operators/pca.py): the
+# dimensionality-reduction front-end of an embedding pipeline. Train =
+# one Arrow-batched Gram pass (d² int64 state per partition, model-
+# sized collect) + fixed-init quantized power iteration on the driver;
+# project = exact integer dot product against the trained direction.
+# All cross-row arithmetic is integer, so the oracle replays the WHOLE
+# train (Gram + 3 unrolled iterations) bit-exactly in DuckDB — the
+# same contract as the trained-IVF k-means entry.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_pca_project",
+    tags=["U3", "U4"],
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(floor(x * 1024.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+g AS MATERIALIZED (
+  SELECT i, j, sum(e.q[i] * e.q[j]) AS s
+  FROM e, generate_series(1, 64) AS u1(i), generate_series(1, 64) AS u2(j)
+  GROUP BY i, j),
+it1 AS (SELECT i, s AS u FROM g WHERE j = 1),
+v1 AS (SELECT i, CAST(floor(u * 32768.0 / (SELECT max(abs(u)) FROM it1) + 0.5) AS BIGINT) AS v FROM it1),
+it2 AS (SELECT g.i, sum(g.s * v1.v) AS u FROM g JOIN v1 ON v1.i = g.j GROUP BY g.i),
+v2 AS (SELECT i, CAST(floor(u * 32768.0 / (SELECT max(abs(u)) FROM it2) + 0.5) AS BIGINT) AS v FROM it2),
+it3 AS (SELECT g.i, sum(g.s * v2.v) AS u FROM g JOIN v2 ON v2.i = g.j GROUP BY g.i),
+v3 AS (SELECT i, CAST(floor(u * 32768.0 / (SELECT max(abs(u)) FROM it3) + 0.5) AS BIGINT) AS v FROM it3)
+SELECT e.vec_id, e.label, CAST(sum(e.q[v3.i] * v3.v) AS BIGINT) AS pc1
+FROM e, v3
+GROUP BY e.vec_id, e.label
+ORDER BY e.vec_id
+""",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_power_project
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return pca_power_project(emb, ["vec_id", "label"], "embedding").orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
 # Temperature-scaled domain mixture resample (U5/W1): the α-smoothing
 # sampler used to rebalance multi-domain pretraining corpora (public
 # scheme — exponential smoothing as in XLM/mT5 data sampling). Domain
