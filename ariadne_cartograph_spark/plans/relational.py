@@ -1158,6 +1158,47 @@ def agg_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_join_part_names",
+    tags=["J6", "W6", "U5"],
+    oracle="""
+WITH n AS (
+  SELECT p_name AS s, count(*) AS cnt, sum(p_partkey) AS sumk
+  FROM part GROUP BY p_name),
+cross_pairs AS (
+  SELECT CAST(levenshtein(a.s, b.s) AS INT) AS dist,
+         a.cnt * b.cnt AS n_pairs,
+         a.cnt * b.sumk + b.cnt * a.sumk AS key_checksum
+  FROM n a, n b
+  WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 2),
+same AS (
+  SELECT 0 AS dist, cnt * (cnt - 1) // 2 AS n_pairs,
+         (cnt - 1) * sumk AS key_checksum
+  FROM n WHERE cnt >= 2)
+SELECT dist,
+       CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+       CAST(sum(key_checksum) AS BIGINT) AS key_checksum
+FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same)
+GROUP BY dist
+ORDER BY dist
+""",
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (operators/fuzzy.py, PassJoin pigeonhole
+    candidates): all part pairs whose names are within Levenshtein
+    distance 2, aggregated per distance. The oracle verifies by BRUTE
+    FORCE over the distinct-name universe (a different candidate
+    scheme than the engine's PassJoin segments — the completeness of
+    the pigeonhole generation is exactly what it cross-checks) and
+    re-expands pair counts with the same group-size algebra; collapsing
+    first keeps the oracle linear in table rows, so the entry
+    hash-checks at every scale including the sf1 replica."""
+    from ..operators.fuzzy import fuzzy_pair_stats
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_pair_stats(part, "p_partkey", "p_name", d=2).orderBy("dist")
+
+
+@register(
     "agg_unpivot_lineitem_measures",
     tags=["A5", "P14"],
     oracle="""

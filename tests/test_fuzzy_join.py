@@ -1,0 +1,108 @@
+"""operators/fuzzy.py — PassJoin edit-distance self-join.
+
+Pins the aggregated (dist, n_pairs, key_checksum) output against an
+independent pure-Python brute force (full quadratic DP levenshtein) on
+adversarial corpora: duplicates, length spreads, pairs at exactly the
+threshold, and edits placed to destroy every shared q-gram (the case a
+q-gram count filter would miss — the pigeonhole segments must not)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from ariadne_cartograph_spark.operators.fuzzy import fuzzy_pair_stats
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(rows, d):
+    agg = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        dist = _lev(sa, sb)
+        if dist <= d:
+            n, k = agg.get(dist, (0, 0))
+            agg[dist] = (n + 1, k + ia + ib)
+    return agg
+
+
+def _run(spark, rows, d):
+    df = spark.createDataFrame(rows, "pk long, name string")
+    out = fuzzy_pair_stats(df, "pk", "name", d=d).collect()
+    return {r["dist"]: (r["n_pairs"], r["key_checksum"]) for r in out}
+
+
+def test_matches_brute_force_with_duplicates(spark):
+    rows = [
+        (1, "red widget"),
+        (2, "red widget"),
+        (3, "red widget"),
+        (4, "rad widget"),
+        (5, "red wadget"),
+        (6, "blue bolt"),
+        (7, "blue boat"),
+        (8, "completely different"),
+    ]
+    assert _run(spark, rows, 2) == _brute(rows, 2)
+
+
+def test_qgram_destroying_edits_still_found(spark):
+    # two edits at positions 3 and 6 of an 8-char string destroy every
+    # 3-gram; the pigeonhole segments must still produce the candidate
+    rows = [(1, "abcdefgh"), (2, "abXdeYgh"), (3, "zzzzzzzz")]
+    got = _run(spark, rows, 2)
+    assert got == _brute(rows, 2)
+    assert got[2][0] == 1  # the pair was found at distance exactly 2
+
+
+def test_length_spread_and_threshold_boundary(spark):
+    rows = [
+        (10, "alpha"),
+        (11, "alphas"),      # dist 1 (insert)
+        (12, "alphases"),    # dist 3 from "alpha" — outside d=2
+        (13, "alpas"),       # dist 1 from "alpha" (delete h)... verify via brute
+        (14, "beta"),
+    ]
+    assert _run(spark, rows, 2) == _brute(rows, 2)
+
+
+def test_random_corpus_matches_brute(spark):
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcde"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(6, 12))) for _ in range(15)]
+    rows = []
+    pk = 0
+    for s in base:
+        for _ in range(rng.randint(1, 3)):
+            pk += 1
+            # mutate 0-3 characters
+            t = list(s)
+            for _ in range(rng.randint(0, 3)):
+                t[rng.randrange(len(t))] = rng.choice(alphabet)
+            rows.append((pk, "".join(t)))
+    assert _run(spark, rows, 2) == _brute(rows, 2)
+
+
+def test_partition_independence(spark):
+    rows = [(i, s) for i, s in enumerate(["gear big", "gear bag", "gear big", "bolt red", "bolt rod", "tiny gizmo"], 1)]
+    base = None
+    for parts in (1, 5):
+        df = spark.createDataFrame(rows, "pk long, name string").repartition(parts)
+        got = {
+            r["dist"]: (r["n_pairs"], r["key_checksum"])
+            for r in fuzzy_pair_stats(df, "pk", "name", d=2).collect()
+        }
+        base = got if base is None else base
+        assert got == base
+    assert base == _brute(rows, 2)
