@@ -377,6 +377,71 @@ WINDOW_ORDER_R12: list[str] = [
     "events_gapfill_locf",
 ]
 
+
+# Round-13 window, PRE-STAGED (the standing insurance pattern):
+# generated from CORRECTNESS_r01..r11 last-hash ages with r12 = the
+# live (amended) window above assumed hashed. Leads with the seven
+# r8-stale entries (incl. the five rotated out mid-r12 for the new
+# operators), then the r9 cohort, then coverage repairs
+# (osm_poi_nearest_edge / stream-dedup / session / replication /
+# set_except carry J4/T4/T2/S7-census/W5) and the seven sole-carrier
+# anchors. Invariants asserted by tests/test_catalog_window.py; swap
+# with `WINDOW_ORDER = WINDOW_ORDER_R13` at r13 start and re-validate
+# the 50-entry unit at sf0.01 BEFORE committing (the rounds-7/8
+# lesson). Pre-validated once at sf0.01 when staged this round.
+WINDOW_ORDER_R13: list[str] = [
+    "asof_purchase_after_signup",
+    "corpus_curation_funnel",
+    "events_click_purchase_interval",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "sessionize_bounds",
+    "text_bm25_topk",
+    "decontamination_overlap",
+    "events_exact_quantiles",
+    "events_funnel_conversion",
+    "events_stream_enrich_parity",
+    "events_stream_interval_join_parity",
+    "geo_zorder_key",
+    "graph_pagerank_trading",
+    "merge_change_feed",
+    "osm_polygon_way_area",
+    "osm_route_bfs_reach",
+    "osm_route_cost_matrix",
+    "osm_route_members",
+    "osm_style_feature_tables",
+    "osm_tag_key_frequency",
+    "osm_ways_enrichment_fixture",
+    "q11_important_parts",
+    "q12_late_by_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q22_wealthy_inactive",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "snapshot_change_feed",
+    "osm_poi_nearest_edge",
+    "events_stream_dedup_parity",
+    "events_stream_session_parity",
+    "osm_replication_pipeline_parity",
+    "set_except_nations",
+    "geo_line_simplify",
+    "merge_upsert_metadata",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "scalar_json_extract",
+    "scan_tag_index_pruned",
+    "ways_enrichment_pipeline",
+]
+
 # Round 12: the evidence-refresh rotation goes live — all 50 entries
 # hash-validated as a unit at sf0.01 before this assignment landed.
 WINDOW_ORDER = WINDOW_ORDER_R12

@@ -1159,6 +1159,7 @@ def agg_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fuzzy_join_part_names",
+    headline=True,
     tags=["J6", "W6", "U5"],
     oracle="""
 WITH n AS (

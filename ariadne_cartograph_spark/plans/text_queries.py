@@ -1524,6 +1524,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pca_project",
+    headline=True,
     tags=["U3", "U4"],
     oracle="""
 WITH e AS MATERIALIZED (

@@ -49,6 +49,14 @@ BASELINE_QUERIES: dict[str, float] = {
     "text_fingerprint_exact_dedup": 0.374,
     "text_token_topk_sketch": 0.739,  # r5: MG-sketch Arrow path fence
     "ways_enrichment_pipeline": 2.6,
+    # r12 continuation: first fences for the three new headline entries,
+    # pinned at their first clean-run minima (load ~2.5, same session
+    # that landed them). span_removal's spread is warm-up-sensitive
+    # (2.51 first run, 1.57 steady) — pinned near the steady min like
+    # its detection sibling.
+    "text_repeated_span_removal": 1.6,
+    "fuzzy_join_part_names": 0.86,
+    "embedding_pca_project": 1.2,
 }
 REGRESSION_FACTOR = 2.0
 # The scale the BASELINE_QUERIES fences were measured at. Runs at any
