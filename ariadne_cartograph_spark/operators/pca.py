@@ -118,6 +118,27 @@ def power_iteration(G: list[list[int]], iters: int = 3, v_scale: int = V_SCALE) 
     return v
 
 
+def project_direction(
+    df: DataFrame,
+    id_cols: list[str],
+    vec_col: str,
+    direction: list[int],
+    q_scale: int = Q_SCALE,
+) -> DataFrame:
+    """Project each row's quantized embedding onto an integer direction:
+    (id_cols..., pc1 bigint) — an exact integer dot product against d
+    literals, JVM-side, deterministic across engines/partitionings."""
+    q = quantize_vec(F.col(vec_col), q_scale)
+    qdf = df.select(*id_cols, q.alias("q"))
+    pw = F.array(*[F.lit(int(c)).cast("long") for c in direction])
+    score = F.aggregate(
+        F.zip_with(F.col("q"), pw, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return qdf.select(*id_cols, score.alias("pc1"))
+
+
 def pca_power_project(
     df: DataFrame,
     id_cols: list[str],
@@ -126,19 +147,9 @@ def pca_power_project(
     v_scale: int = V_SCALE,
     iters: int = 3,
 ) -> DataFrame:
-    """Project each row's embedding onto the trained principal
-    direction: (id_cols..., pc1 bigint). The score is an exact integer
-    dot product of the quantized embedding against the trained integer
-    direction (d literals, JVM-side) — deterministic across engines,
-    partitionings and runs."""
+    """Train (Gram + power iteration) then project — see module doc."""
     q = quantize_vec(F.col(vec_col), q_scale)
-    qdf = df.select(*id_cols, q.alias("q"))
+    qdf = df.select(q.alias("q"))
     G = gram_matrix(qdf, "q")
     p = power_iteration(G, iters=iters, v_scale=v_scale)
-    pw = F.array(*[F.lit(int(c)).cast("long") for c in p])
-    score = F.aggregate(
-        F.zip_with(F.col("q"), pw, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return qdf.select(*id_cols, score.alias("pc1"))
+    return project_direction(df, id_cols, vec_col, p, q_scale)

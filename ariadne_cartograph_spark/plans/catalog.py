@@ -337,7 +337,6 @@ WINDOW_ORDER_R12: list[str] = [
     "merge_upsert_bucketed",
     "minhash_lsh_near_dup",
     "multimodal_audio_stats",
-    "multimodal_frame_means",
     "multimodal_image_stats",
     "multimodal_resize_pipeline",
     "ngram_jaccard_skewed_corpus",
@@ -375,6 +374,9 @@ WINDOW_ORDER_R12: list[str] = [
     "embedding_pca_project",
     "fuzzy_join_part_names",
     "events_gapfill_locf",
+    # streaming-Gram PCA twin (multimodal_frame_means rotated out —
+    # r8-hashed, U3 tag carried by its three multimodal siblings here)
+    "embedding_stream_pca_parity",
 ]
 
 

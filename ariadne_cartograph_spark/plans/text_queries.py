@@ -1522,11 +1522,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "embedding_pca_project",
-    headline=True,
-    tags=["U3", "U4"],
-    oracle="""
+_PCA_ORACLE = """
 WITH e AS MATERIALIZED (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(floor(x * 1024.0 + 0.5) AS BIGINT)) AS q
@@ -1545,13 +1541,52 @@ SELECT e.vec_id, e.label, CAST(sum(e.q[v3.i] * v3.v) AS BIGINT) AS pc1
 FROM e, v3
 GROUP BY e.vec_id, e.label
 ORDER BY e.vec_id
-""",
+"""
+
+
+@register(
+    "embedding_pca_project",
+    headline=True,
+    tags=["U3", "U4"],
+    oracle=_PCA_ORACLE,
 )
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pca import pca_power_project
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return pca_power_project(emb, ["vec_id", "label"], "embedding").orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Streaming/incremental PCA twin (streaming/pca.py): the Gram is an
+# associative int64 aggregate, so per-micro-batch partials accumulated
+# over an availableNow file stream sum to EXACTLY the offline Gram —
+# trained direction and projections bit-identical, pinned against the
+# SAME oracle as the batch entry. The production shape for model-state
+# maintenance over an append-only embedding store: d² driver state,
+# retrain without replaying history.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_stream_pca_parity",
+    tags=["T6", "U3", "U4"],
+    oracle=_PCA_ORACLE,
+)
+def embedding_stream_pca_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.pca import power_iteration, project_direction
+    from ..streaming.pca import stage_embeddings_as_stream_source, streaming_gram
+
+    stage = tempfile.mkdtemp(prefix="acs_stream_pca_")
+    stage_embeddings_as_stream_source(spark, sf_dir, stage, n_files=4)
+    G = streaming_gram(spark, stage)
+    p = power_iteration(G)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return project_direction(emb, ["vec_id", "label"], "embedding", p).orderBy(
+        "vec_id"
+    )
 
 
 # --------------------------------------------------------------------------

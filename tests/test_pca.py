@@ -102,3 +102,21 @@ def test_iteration_float_semantics_match_sql_formula():
     got = math.floor(u * float(V_SCALE) / m + 0.5)
     want = math.floor((float(u) * 32768.0) / float(m) + 0.5)
     assert got == want
+
+
+def test_streaming_gram_equals_batch_gram(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ariadne_cartograph_spark.streaming.pca import streaming_gram
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(120, 8).astype(np.float32) * 0.3
+    rows = [(i, 0, [float(v) for v in x]) for i, x in enumerate(X)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    batch_G = gram_matrix(
+        df.select(quantize_vec(F.col("embedding")).alias("q")), "q"
+    )
+    for n_files in (1, 5):
+        stage = str(tmp_path / f"stage{n_files}")
+        df.repartition(n_files).write.mode("overwrite").parquet(stage)
+        assert streaming_gram(spark, stage) == batch_G
