@@ -811,3 +811,47 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_slots - n_obs).cast("bigint").alias("n_gaps"),
         (total_cents / F.lit(100.0)).alias("locf_total"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# TIME-valued RANGE frame (the W3 frame kind the numeric range-frame
+# entry doesn't exercise): trailing 24-hour per-user count + money sum
+# at every event. The frame key is epoch MICROSECONDS as BIGINT
+# (functions/time.micros ↔ DuckDB epoch_us) so both engines bound the
+# frame on the identical integer key — no truncation-granularity or
+# interval-semantics drift. Ties (equal keys) are frame-inclusive by
+# RANGE semantics, so the result is deterministic without a tiebreak.
+# Scale: one hash(user) exchange + one in-partition sort; the running
+# frame is O(1) amortized per row (sliding aggregate state).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_time_range_frame",
+    tags=["W3", "T2"],
+    oracle="""
+SELECT event_id,
+       count(*) OVER w AS n_24h,
+       CAST(round(sum(CAST(value AS DECIMAL(27,2))) OVER w, 2) AS DOUBLE) AS sum_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.money import money
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.round(F.sum(money("value")).over(w), 2).cast("double").alias("sum_24h"),
+    ).orderBy("event_id")
