@@ -81,6 +81,12 @@ FENCE_SF = 0.1
 # in the entry).
 SF1_ENGINE_FENCES: dict[str, float] = {
     "agg_approx_distinct": 5.2,  # loaded-run value; idle 5.0
+    # r12-continuation first pins for the two heaviest NEW entries.
+    # span_removal's fence is its worst case by construction: the 10x
+    # replica makes EVERY doc a duplicate, so coverage (and the
+    # repeated-starts explode) is total; clean corpora cost less.
+    "text_repeated_span_removal": 13.0,
+    "window_time_range_frame": 10.0,  # 1M output rows — output-bound
     # r12 re-pin: persisted fingerprint frame + the semantic_dedup
     # vector collapse (12.7 s → 8.5 s isolated min)
     "corpus_multimodal_curation": 8.8,
