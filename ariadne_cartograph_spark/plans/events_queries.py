@@ -855,3 +855,41 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_24h"),
         F.round(F.sum(money("value")).over(w), 2).cast("double").alias("sum_24h"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# INTERPOLATED percentiles (A5 depth — quantile_cont semantics; the
+# exact-quantile entry is quantile_disc): both engines compute
+# a + (b−a)·frac at rank (n−1)·q. The interpolation is float math, so
+# per the float-parity policy the outputs are cast to FLOAT (f32) —
+# last-ulp f64 differences between engines cannot flip the hash.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_quantile_cont",
+    tags=["A5"],
+    oracle="""
+SELECT event_type,
+       CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q,
+       CAST(unnest(quantile_cont(value, [0.25, 0.5, 0.75, 0.9])) AS FLOAT) AS qv
+FROM events GROUP BY event_type ORDER BY event_type, q
+""",
+)
+def events_quantile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = [0.25, 0.5, 0.75, 0.9]
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("qv")
+    )
+    pairs = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(q).cast("double") for q in qs]).alias("q"),
+            F.transform(F.col("qv"), lambda x: x.cast("float")).alias("qv"),
+        )
+    )
+    return (
+        agg.select("event_type", pairs.alias("p"))
+        .select("event_type", F.col("p.q").alias("q"), F.col("p.qv").alias("qv"))
+        .orderBy("event_type", "q")
+    )

@@ -2699,3 +2699,64 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Array / higher-order-function scalar surface (P14 depth): per-order
+# quantity arrays exercised through the HOF family — sort, distinct,
+# fold (aggregate ↔ list_sum), index-lambda transform over a generated
+# sequence (adjacent gaps), slice, and join — with every value integer
+# so the hash is exact. One shuffle (the collect_list groupBy); all HOF
+# work is row-local codegen after it.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_array_funcs",
+    tags=["P14", "A5"],
+    oracle="""
+WITH a AS (
+  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS arr
+  FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey,
+       CAST(len(arr) AS BIGINT) AS n_items,
+       CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct_qty,
+       CAST(list_sum(arr) AS BIGINT) AS qty_sum,
+       CASE WHEN len(arr) > 1 THEN
+         CAST(list_max(list_transform(range(1, len(arr)),
+                                      i -> arr[i + 1] - arr[i])) AS BIGINT)
+       END AS max_gap,
+       array_to_string(list_transform(arr[1:3], x -> CAST(x AS VARCHAR)), ',')
+         AS first3
+FROM a ORDER BY l_orderkey
+""",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = F.col("arr")
+    n = F.size(arr)
+    gaps = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.element_at(arr, i + 1) - F.element_at(arr, i),
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.col("l_quantity").cast("long"))
+            ).alias("arr")
+        )
+        .select(
+            "l_orderkey",
+            n.cast("bigint").alias("n_items"),
+            F.size(F.array_distinct(arr)).cast("bigint").alias("n_distinct_qty"),
+            F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "qty_sum"
+            ),
+            F.when(n > 1, F.array_max(gaps)).cast("bigint").alias("max_gap"),
+            F.array_join(
+                F.transform(F.slice(arr, 1, 3), lambda x: x.cast("string")), ","
+            ).alias("first3"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -85,7 +85,12 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # span_removal's fence is its worst case by construction: the 10x
     # replica makes EVERY doc a duplicate, so coverage (and the
     # repeated-starts explode) is total; clean corpora cost less.
-    "text_repeated_span_removal": 13.0,
+    # Re-pinned 13.0 → 19.0 the same day: idle isolated mins spread
+    # 12.5–18.6 s with scan-split config (16m maxPartitionBytes vs
+    # default single-file scan); the first pin was the best draw. The
+    # in-context full-sweep reading (29.3 s at run position ~150) is
+    # run-position JVM state, the documented class.
+    "text_repeated_span_removal": 19.0,
     "window_time_range_frame": 10.0,  # 1M output rows — output-bound
     # r12 re-pin: persisted fingerprint frame + the semantic_dedup
     # vector collapse (12.7 s → 8.5 s isolated min)

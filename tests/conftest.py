@@ -22,3 +22,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_CORRECT
+
+
+@pytest.fixture(scope="session")
+def spark_session_for_hypothesis():
+    # hypothesis forbids function-scoped fixtures inside @given; alias
+    # the session-scoped spark fixture under a distinct name
+    return get_spark("tests", cpus=8, shuffle_partitions=8)

@@ -106,3 +106,25 @@ def test_partition_independence(spark):
         base = got if base is None else base
         assert got == base
     assert base == _brute(rows, 2)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _corpus(draw):
+    # tiny alphabet + short strings maximize segment-boundary and
+    # position-window collisions — the regime where an off-by-one in
+    # the pigeonhole enumeration would actually drop a pair
+    n = draw(st.integers(3, 10))
+    return [
+        (i + 1, draw(st.text(alphabet="ab", min_size=3, max_size=9)))
+        for i in range(n)
+    ]
+
+
+@settings(max_examples=12, deadline=None)
+@given(_corpus())
+def test_hypothesis_matches_brute(spark_session_for_hypothesis, rows):
+    spark = spark_session_for_hypothesis
+    assert _run(spark, rows, 2) == _brute(rows, 2)
