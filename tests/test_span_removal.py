@@ -129,3 +129,30 @@ def test_partition_independence(spark):
         else:
             assert got == base
     assert base == _py_reference(docs, k=4)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _span_corpus(draw):
+    # small vocab + short docs + k=3: maximizes cross-doc window
+    # collisions, boundary windows (n == k, n == k-1), and overlapping
+    # coverage intervals — the regimes where an off-by-one in the
+    # start-expansion or the n<k guard would corrupt the rewrite
+    vocab = ["a", "b", "c"]
+    n_docs = draw(st.integers(2, 8))
+    docs = {}
+    for i in range(1, n_docs + 1):
+        n_tok = draw(st.integers(1, 12))
+        docs[i] = " ".join(
+            draw(st.sampled_from(vocab)) for _ in range(n_tok)
+        )
+    return docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(_span_corpus())
+def test_hypothesis_matches_reference(spark_session_for_hypothesis, docs):
+    spark = spark_session_for_hypothesis
+    assert _run(spark, docs, k=3) == _py_reference(docs, k=3)
