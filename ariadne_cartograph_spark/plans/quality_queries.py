@@ -677,3 +677,69 @@ def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_lm_doc_scores(docs, "doc_id", "text", alpha=1.0).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch assembly + padding-waste accounting (north-star
+# corpus assembly: the efficiency analysis behind training batching —
+# padding waste = Σ(batch_max_len − doc_len) over each batch). Buckets
+# are FIXED-WIDTH length classes (floor(n_tok/64) — scan-local column
+# math, never a global ntile sort); within a bucket the batch
+# assignment is the deterministic (n_tok, doc_id) order chopped into
+# 32-doc batches. The only ordered operation is a per-bucket
+# row_number — partitioned by bucket, so the sort is bounded per
+# bucket, not global. All-integer output → exact hash at every scale.
+# --------------------------------------------------------------------------
+
+_BATCH_SIZE = 32
+_LEN_BUCKET = 64
+
+
+@register(
+    "corpus_length_bucket_batches",
+    tags=["U5", "W3", "A5"],
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tok FROM documents),
+b AS (
+  SELECT doc_id, n_tok, CAST(n_tok // {_LEN_BUCKET} AS INT) AS bucket FROM t),
+r AS (
+  SELECT bucket, n_tok,
+         CAST((row_number() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id) - 1)
+              // {_BATCH_SIZE} AS BIGINT) AS batch_id
+  FROM b)
+SELECT bucket, batch_id,
+       count(*) AS n_docs,
+       CAST(max(n_tok) AS BIGINT) AS batch_max_len,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS padding_waste
+FROM r GROUP BY bucket, batch_id
+ORDER BY bucket, batch_id
+""",
+)
+def corpus_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tok")
+    ).withColumn(
+        "bucket", F.floor(F.col("n_tok") / _LEN_BUCKET).cast("int")
+    )
+    w = W.partitionBy("bucket").orderBy("n_tok", "doc_id")
+    r = t.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / _BATCH_SIZE).cast("bigint"),
+    )
+    return (
+        r.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").cast("bigint").alias("batch_max_len"),
+            F.sum("n_tok").cast("bigint").alias("sum_tok"),
+            (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok"))
+            .cast("bigint")
+            .alias("padding_waste"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
