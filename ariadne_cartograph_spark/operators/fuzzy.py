@@ -51,7 +51,19 @@ def fuzzy_pair_stats(
     """All unordered row pairs with levenshtein(str_a, str_b) ≤ d,
     aggregated per distance: (dist, n_pairs, key_checksum) where
     key_checksum = Σ (id_a + id_b) over the pairs. Distance-0 pairs
-    (identical strings) are computed purely from group aggregates."""
+    (identical strings) are computed purely from group aggregates.
+
+    Completeness: pairs with at least one string LONGER than d chars
+    ride the pigeonhole segment join (the long side's d+1 segments are
+    all non-empty, so the unhit-segment witness is enumerable); pairs
+    where BOTH strings have length ≤ d ride a direct pair join over
+    the short-string universe — when every non-empty segment of a
+    short string is edited, the witness segment is EMPTY and the probe
+    side (substring lengths ≥ 1) can never produce it. That regime is
+    confined to both-short pairs: editing all len(r) chars costs
+    len(r), leaving ≤ d − len(r) insertions, so the partner's length
+    is also ≤ d. The short universe is |Σ|^d-bounded distinct strings
+    (model-sized for bounded d), broadcast on one side."""
     names = df.groupBy(F.col(str_col).alias("s")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col(id_col)).alias("sumk"),
@@ -65,8 +77,12 @@ def fuzzy_pair_stats(
     m = F.length("s")
     lo = F.greatest(F.floor((m - d) / (d + 1)).cast("int"), F.lit(1))
     hi = F.least(F.floor((m + d + d) / (d + 1)).cast("int"), m.cast("int"))
+    # (length ≥ 1 guard: for the empty string, Spark's sequence(1, 0)
+    # is DESCENDING [1, 0] and would enumerate bogus empty substrings;
+    # length-0 strings can only pair within the both-short regime
+    # handled below, so they need no probe substrings at all)
     subs = (
-        names.select(
+        names.filter(F.length("s") >= 1).select(
             "s",
             F.explode(
                 F.flatten(
@@ -85,7 +101,7 @@ def fuzzy_pair_stats(
         )
         .select(F.col("s").alias("t"), F.col("g.seg").alias("seg"), F.col("g.pos").alias("tpos"))
     )
-    cand = (
+    seg_cand = (
         segs.join(subs, "seg")
         .filter(
             (F.col("s") != F.col("t"))
@@ -95,8 +111,16 @@ def fuzzy_pair_stats(
         .select(
             F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
         )
-        .distinct()
     )
+    # both-short regime (see docstring): direct pair enumeration over
+    # the distinct strings of length ≤ d — broadcast nested-loop over a
+    # model-sized set, never a data-scale cross product.
+    shorts = names.select("s").filter(F.length("s") <= d)
+    short_cand = shorts.join(
+        F.broadcast(shorts.select(F.col("s").alias("t"))),
+        F.col("s") < F.col("t"),
+    ).select(F.col("s").alias("x"), F.col("t").alias("y"))
+    cand = seg_cand.unionByName(short_cand).distinct()
     verified = cand.select(
         "x", "y", F.levenshtein("x", "y").alias("dist")
     ).filter(F.col("dist") <= d)

@@ -62,16 +62,34 @@ def gram_matrix(df: DataFrame, qvec_col: str = "q") -> list[list[int]]:
     partition, d² (i, j, s) rows per partition, one map-side-combinable
     groupBy, a model-sized driver collect. Integer sums are associative,
     so the result is independent of partitioning (test-pinned).
+
+    Overflow envelope ENFORCED, not just documented (r12 advice): numpy
+    int64 matmuls and Spark long sums both wrap silently, and the 2⁶³
+    assert in power_iteration cannot see a Gram entry that already
+    wrapped during accumulation. Each partition therefore tracks
+    Σ_batches n_rows·max|q|² in unbounded Python ints and asserts it
+    BEFORE every matmul (bounding the per-batch product, the partition
+    accumulator, and its emitted partials), then ships the bound as a
+    sentinel (i=0, j=0) row; the driver re-asserts the cross-partition
+    total — |G_ij| ≤ Σ_p bound_p < 2⁶³ proves no int64 anywhere in the
+    pipeline could have wrapped.
     """
     import numpy as np
 
     def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = None
+        bound = 0  # unbounded Python int: Σ n_rows · max|q|² this partition
         for pdf in it:
             vals = pdf[qvec_col].values
             if len(vals) == 0:
                 continue
             X = np.stack([np.asarray(v, dtype=np.int64) for v in vals])
+            max_q = int(np.abs(X).max())
+            bound += len(vals) * max_q * max_q
+            assert bound < 2**63, (
+                "int64 Gram envelope exceeded in-partition "
+                f"(sum n·max|q|^2 = {bound}) — lower q_scale or rows"
+            )
             g = X.T @ X
             acc = g if acc is None else acc + g
         if acc is not None:
@@ -80,6 +98,15 @@ def gram_matrix(df: DataFrame, qvec_col: str = "q") -> list[list[int]]:
             yield pd.DataFrame(
                 {"i": ii.ravel() + 1, "j": jj.ravel() + 1, "s": acc.ravel()}
             )
+            # sentinel row: this partition's proven envelope bound,
+            # keyed by partition id so Spark's int64 sum never combines
+            # two sentinels (the cross-partition total is summed on the
+            # driver in unbounded Python ints — a wrapped Spark sum
+            # could otherwise sneak past the driver assert)
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame({"i": [0], "j": [pid], "s": [bound]})
 
     rows = (
         df.select(qvec_col)
@@ -90,9 +117,16 @@ def gram_matrix(df: DataFrame, qvec_col: str = "q") -> list[list[int]]:
     )
     if not rows:
         return []
+    total_bound = sum(int(r["s"]) for r in rows if r["i"] == 0)
+    assert total_bound < 2**63, (
+        "int64 Gram envelope exceeded across partitions "
+        f"(sum n·max|q|^2 = {total_bound}) — lower q_scale or rows"
+    )
     d = max(r["i"] for r in rows)
     G = [[0] * d for _ in range(d)]
     for r in rows:
+        if r["i"] == 0:
+            continue
         G[r["i"] - 1][r["j"] - 1] = int(r["s"])
     return G
 

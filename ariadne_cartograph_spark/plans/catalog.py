@@ -423,11 +423,13 @@ WINDOW_ORDER_R13: list[str] = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q20_promotion_suppliers",
-    "q22_wealthy_inactive",
     "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
+    # (q4_order_priority / q7_nation_volume / q8_market_share /
+    # q22_wealthy_inactive — r9-driver-hashed, pure A5/J6 tags carried
+    # by 14+ other window entries — displaced at r13 start for the four
+    # r12-continuation entries at the window's end, per the r12
+    # verdict's task #1; the amended 50-entry unit re-hash-validated at
+    # sf0.01 before the swap landed.)
     "q9_product_profit",
     "snapshot_change_feed",
     "osm_poi_nearest_edge",
@@ -442,11 +444,22 @@ WINDOW_ORDER_R13: list[str] = [
     "scalar_json_extract",
     "scan_tag_index_pruned",
     "ways_enrichment_pipeline",
+    # r12-continuation entries that shipped without a driver-window
+    # slot (sweep + sf1-rehearsal green since r12, never driver-hashed
+    # — r12 verdict task #1): array/HOF scalar surface, interpolated
+    # percentiles, TIME-valued RANGE frame, length-bucketed batch
+    # assembly.
+    "scalar_array_funcs",
+    "events_quantile_cont",
+    "window_time_range_frame",
+    "corpus_length_bucket_batches",
 ]
 
-# Round 12: the evidence-refresh rotation goes live — all 50 entries
-# hash-validated as a unit at sf0.01 before this assignment landed.
-WINDOW_ORDER = WINDOW_ORDER_R12
+# Round 13: the evidence-refresh rotation goes live (amended at r13
+# start to rotate in the four undriven r12-continuation entries) — all
+# 50 entries hash-validated as a unit at sf0.01 before this assignment
+# landed.
+WINDOW_ORDER = WINDOW_ORDER_R13
 
 
 def _ordered() -> dict[str, CatalogEntry]:

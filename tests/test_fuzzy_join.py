@@ -64,6 +64,31 @@ def test_qgram_destroying_edits_still_found(spark):
     assert got[2][0] == 1  # the pair was found at distance exactly 2
 
 
+def test_both_short_strings_regression(spark):
+    # r12 advice: strings no longer than d have EMPTY pigeonhole
+    # segments that the substring probe (lengths >= 1) can never
+    # produce, so [(1,'ab'),(2,'xy')] at d=2 returned [] while
+    # lev('ab','xy')=2. The both-short regime now rides a direct pair
+    # join over the (tiny) short-string universe.
+    rows = [(1, "ab"), (2, "xy")]
+    got = _run(spark, rows, 2)
+    assert got == _brute(rows, 2)
+    assert got[2][0] == 1
+
+    # mixed lengths around the d boundary, incl. the empty string and
+    # short<->long pairs (which must keep riding the segment join)
+    rows = [
+        (1, ""),
+        (2, "a"),
+        (3, "ab"),
+        (4, "xy"),
+        (5, "abcd"),
+        (6, "abce"),
+        (7, "wxyz"),
+    ]
+    assert _run(spark, rows, 2) == _brute(rows, 2)
+
+
 def test_length_spread_and_threshold_boundary(spark):
     rows = [
         (10, "alpha"),
@@ -115,10 +140,13 @@ from hypothesis import given, settings, strategies as st
 def _corpus(draw):
     # tiny alphabet + short strings maximize segment-boundary and
     # position-window collisions — the regime where an off-by-one in
-    # the pigeonhole enumeration would actually drop a pair
+    # the pigeonhole enumeration would actually drop a pair.
+    # min_size=1 (< d+1) deliberately covers the both-short regime
+    # where pigeonhole segments go empty (the r12 advice found
+    # min_size=3 exactly masked that broken regime).
     n = draw(st.integers(3, 10))
     return [
-        (i + 1, draw(st.text(alphabet="ab", min_size=3, max_size=9)))
+        (i + 1, draw(st.text(alphabet="ab", min_size=1, max_size=9)))
         for i in range(n)
     ]
 

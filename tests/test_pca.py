@@ -93,6 +93,23 @@ def test_int64_envelope_assertion():
         power_iteration(G)
 
 
+def test_gram_envelope_enforced_in_accumulation(spark):
+    # r12 advice: the power-iteration assert cannot see a Gram entry
+    # that already wrapped during the int64 X.T@X accumulation — the
+    # partial itself must enforce sum(n·max|q|^2) < 2^63. Two rows of
+    # ~sqrt(2^63) exceed the envelope and must raise, not wrap.
+    from ariadne_cartograph_spark.operators.pca import gram_matrix
+
+    big = 3_100_000_000  # big^2 > 2^63 / 2
+    df = spark.createDataFrame([([big, 0],), ([big, 0],)], "q array<long>")
+    with pytest.raises(Exception, match="envelope"):
+        gram_matrix(df.repartition(1), "q")
+
+    # well inside the envelope: exact, sentinel rows stripped
+    small = spark.createDataFrame([([3, 4],), ([1, 2],)], "q array<long>")
+    assert gram_matrix(small, "q") == [[10, 14], [14, 20]]
+
+
 def test_iteration_float_semantics_match_sql_formula():
     # floor(u * 32768.0 / m + 0.5) with huge ints: Python must follow
     # the same IEEE sequence the oracle uses (int->double once, exact
