@@ -1241,41 +1241,21 @@ def repeated_span_coverage(
     )
 
 
-def remove_repeated_spans(
+def _span_removal_plan(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 8,
-    min_docs: int = 2,
+    k: int,
+    min_docs: int,
+    cnt_col: str | None = None,
 ) -> DataFrame:
-    """Cross-document repeated-span REMOVAL — the rewrite half of the
-    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
-    Data Makes Language Models Better"), at k-token window granularity:
-    a token is removed when ANY k-token window containing it occurs in
-    ≥ ``min_docs`` distinct documents. This is the conservative
-    remove-all-copies variant (the paper discusses both; keeping one
-    copy needs an arbitrary keeper choice, removing all is the
-    anti-memorization default). ``repeated_span_coverage`` is the
-    matching detection/signal operator.
-
-    Returns (id_col, n_tok, n_removed, clean_md5): token counts plus an
-    md5 of the cleaned text (tokens re-joined with single spaces), so
-    the output stays count-sized however large the corpus is.
-
-    Scale design: NO token string ever enters a shuffle and no window
-    function runs over the token stream. One explode emits (id, pos,
-    xxhash64-of-k-window) longs for the n−k+1 window starts; the
-    repeated set is one map-side-combinable groupBy on the 8-byte hash;
-    a left-semi join keeps only the REPEATED window starts (sparse on
-    clean corpora); their k-token coverage intervals expand ROW-LOCALLY
-    (`flatten(transform(starts, s → sequence(s, s+k−1)))` — window
-    starts satisfy s+k−1 ≤ n by construction, so no clamp) after a
-    groupBy(id) gathers each doc's starts; the cleaned text is rebuilt
-    against the original row with `array_except` (hash-set build, O(n +
-    #covered) per doc — no quadratic blowup on boilerplate-heavy docs)
-    in one doc-count-sized join. Shuffled bytes are O(#windows·16) +
-    O(#repeated-starts·16), independent of token text size.
-    """
+    """The shared span-removal plan (see :func:`remove_repeated_spans`
+    for semantics and scale notes). When ``cnt_col`` is given, the input
+    rows are exact-duplicate-cluster REPRESENTATIVES carrying their
+    cluster cardinality: a gram's distinct-document count is then the
+    SUM of cardinalities over distinct (gram, rep) — identical to
+    ``countDistinct(id)`` over the uncollapsed corpus, because every
+    copy of a text contains exactly the same grams."""
     from ..functions.text import _bind
 
     toks = F.split(F.col(text_col), r"\s+")
@@ -1294,17 +1274,28 @@ def remove_repeated_spans(
             ).otherwise(F.array().cast("array<bigint>")),
         ),
     )
+    extra = [F.col(cnt_col)] if cnt_col else []
     ex = _track_persist(
-        df.select(F.col(id_col), F.posexplode(grams).alias("p0", "g")).select(
-            id_col, (F.col("p0") + 1).alias("tpos"), "g"
+        df.select(F.col(id_col), *extra, F.posexplode(grams).alias("p0", "g")).select(
+            id_col, *([cnt_col] if cnt_col else []), (F.col("p0") + 1).alias("tpos"), "g"
         )
     )
-    rep = (
-        ex.groupBy("g")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("g")
-    )
+    if cnt_col is None:
+        rep = (
+            ex.groupBy("g")
+            .agg(F.countDistinct(id_col).alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("g")
+        )
+    else:
+        rep = (
+            ex.groupBy("g", id_col)
+            .agg(F.first(cnt_col).alias("__c"))
+            .groupBy("g")
+            .agg(F.sum("__c").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("g")
+        )
     starts = (
         ex.join(rep, "g", "left_semi")
         .groupBy(id_col)
@@ -1347,6 +1338,79 @@ def remove_repeated_spans(
     return df.join(starts, id_col, "left").select(
         F.col(id_col), kept.alias("r")
     ).select(id_col, "r.n_tok", "r.n_removed", "r.clean_md5")
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    _stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Cross-document repeated-span REMOVAL — the rewrite half of the
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), at k-token window granularity:
+    a token is removed when ANY k-token window containing it occurs in
+    ≥ ``min_docs`` distinct documents. This is the conservative
+    remove-all-copies variant (the paper discusses both; keeping one
+    copy needs an arbitrary keeper choice, removing all is the
+    anti-memorization default). ``repeated_span_coverage`` is the
+    matching detection/signal operator.
+
+    Returns (id_col, n_tok, n_removed, clean_md5): token counts plus an
+    md5 of the cleaned text (tokens re-joined with single spaces), so
+    the output stays count-sized however large the corpus is.
+
+    Scale design: NO token string ever enters a shuffle and no window
+    function runs over the token stream. One explode emits (id, pos,
+    xxhash64-of-k-window) longs for the n−k+1 window starts; the
+    repeated set is one map-side-combinable groupBy on the 8-byte hash;
+    a left-semi join keeps only the REPEATED window starts (sparse on
+    clean corpora); their k-token coverage intervals expand ROW-LOCALLY
+    (`flatten(transform(starts, s → sequence(s, s+k−1)))` — window
+    starts satisfy s+k−1 ≤ n by construction, so no clamp) after a
+    groupBy(id) gathers each doc's starts; the cleaned text is rebuilt
+    against the original row with `array_except` (hash-set build, O(n +
+    #covered) per doc — no quadratic blowup on boilerplate-heavy docs)
+    in one doc-count-sized join. Shuffled bytes are O(#windows·16) +
+    O(#repeated-starts·16), independent of token text size.
+
+    GATED exact-duplicate doc collapse (the family's standard gate —
+    ``_exact_dup_collapse`` pattern, measured + memoized probe): on
+    duplicated corpora (crawl data; the 10× sf1 replica is the
+    by-construction worst case) every copy of a text re-pays the window
+    explode, the gram groupBy and the md5 rebuild. When the probe
+    measures ≥2% exact-text duplication, distinct texts collapse to
+    their min-id representative FIRST; gram doc-counts weight each rep
+    by its cluster cardinality (lossless — see
+    :func:`_span_removal_plan`), and per-doc outputs re-expand by one
+    count-sized join (identical texts → identical (n_tok, n_removed,
+    clean_md5)). Output is row-identical either way; the gate only
+    changes the physical plan. ``_stats``: precomputed (n, n_fp) probe
+    stats, for callers that fold the probe into a combined job and for
+    the route-equality tests."""
+    if _stats is None:
+        (_stats,) = _dup_gate_stats([(df, text_col)])
+    n, n_fp = _stats
+    if n_fp >= n * (1.0 - _COLLAPSE_MIN_DUP_RATIO):
+        return _span_removal_plan(df, id_col, text_col, k, min_docs)
+    base = _track_persist(
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp"))
+    )
+    reps = base.groupBy("__fp").agg(
+        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__cnt")
+    )
+    member = base.join(reps, "__fp").select(F.col(id_col), F.col("__rep"))
+    rep_df = df.join(
+        reps.select(F.col("__rep").alias(id_col), F.col("__cnt")), id_col
+    )
+    rep_out = _span_removal_plan(
+        rep_df, id_col, text_col, k, min_docs, cnt_col="__cnt"
+    )
+    return member.join(
+        rep_out.withColumnRenamed(id_col, "__rep"), "__rep"
+    ).select(F.col(id_col), "n_tok", "n_removed", "clean_md5")
 
 
 def chunk_exact_dedup(

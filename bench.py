@@ -81,16 +81,15 @@ FENCE_SF = 0.1
 # in the entry).
 SF1_ENGINE_FENCES: dict[str, float] = {
     "agg_approx_distinct": 5.2,  # loaded-run value; idle 5.0
-    # r12-continuation first pins for the two heaviest NEW entries.
-    # span_removal's fence is its worst case by construction: the 10x
-    # replica makes EVERY doc a duplicate, so coverage (and the
-    # repeated-starts explode) is total; clean corpora cost less.
-    # Re-pinned 13.0 → 19.0 the same day: idle isolated mins spread
-    # 12.5–18.6 s with scan-split config (16m maxPartitionBytes vs
-    # default single-file scan); the first pin was the best draw. The
-    # in-context full-sweep reading (29.3 s at run position ~150) is
-    # run-position JVM state, the documented class.
-    "text_repeated_span_removal": 19.0,
+    # r13 re-pin: gated exact-dup doc collapse in front of the window
+    # explode (r12 verdict task #3) — on the all-duplicate 10x replica
+    # the explode/groupBy/md5 now run once per distinct text, not per
+    # copy: isolated collect-mode mins settled at [7.6, 4.8, 4.3, 4.1]
+    # (was 12.5–18.6 s spread at r12). Fence carries the documented
+    # in-context JVM-state margin over the 4.1 s min, the simhash
+    # precedent. At sf0.1 (0.16% dups) the gate skips and the naive
+    # plan is unchanged; the probe is memoized by plan hash.
+    "text_repeated_span_removal": 6.0,
     "window_time_range_frame": 10.0,  # 1M output rows — output-bound
     # r12 re-pin: persisted fingerprint frame + the semantic_dedup
     # vector collapse (12.7 s → 8.5 s isolated min)

@@ -131,6 +131,58 @@ def test_partition_independence(spark):
     assert base == _py_reference(docs, k=4)
 
 
+def test_collapse_route_equals_naive(spark, monkeypatch):
+    # r12 verdict task #3: the gated exact-dup doc collapse must be
+    # row-identical to the naive plan. Corpus mixes k-fold duplicated
+    # docs (some fully covered, some partially), unique docs sharing a
+    # span with a dup cluster, and sub-k shorts — the regimes where a
+    # mis-weighted gram doc-count would flip a min_docs decision.
+    import ariadne_cartograph_spark.operators.dedup as D
+
+    shared = "s1 s2 s3 s4 s5"
+    rows = []
+    for c in range(6):  # 6 clusters of 3 identical docs
+        rows += [(c * 10 + j, f"cluster {c} body x{c} y{c} {shared} tail{c}") for j in range(3)]
+    rows += [(100, f"unique doc sharing {shared} only once here")]
+    rows += [(101, "completely unique text with no repeats at all")]
+    rows += [(102, "tiny"), (103, "tiny")]  # sub-k duplicated shorts
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    collapsed_df = remove_repeated_spans(df, "doc_id", "text", k=4)
+    # genuine-route check (the r11 vacuous-test lesson): the collapsed
+    # plan re-expands through the __rep member join; naive must not.
+    assert "__rep" in collapsed_df._jdf.queryExecution().optimizedPlan().toString()
+    collapsed = {r["doc_id"]: (r["n_tok"], r["n_removed"], r["clean_md5"])
+                 for r in collapsed_df.collect()}
+
+    monkeypatch.setattr(D, "_COLLAPSE_MIN_DUP_RATIO", 1.0)  # force naive
+    naive_df = remove_repeated_spans(df, "doc_id", "text", k=4)
+    assert "__rep" not in naive_df._jdf.queryExecution().optimizedPlan().toString()
+    naive = {r["doc_id"]: (r["n_tok"], r["n_removed"], r["clean_md5"])
+             for r in naive_df.collect()}
+    D.release_caches()
+
+    assert collapsed == naive
+    docs = {i: t for i, t in rows}
+    assert collapsed == _py_reference(docs, k=4)
+    assert any(v[1] > 0 for v in collapsed.values())
+
+
+def test_collapse_weighted_min_docs_single_cluster(spark, monkeypatch):
+    # one text duplicated twice and NOTHING else repeated: the gram's
+    # doc-count comes entirely from one cluster's cardinality (nd = 2
+    # via the __cnt weight, not via two distinct reps) — the case a
+    # collapse that forgot to weight reps would get wrong.
+    import ariadne_cartograph_spark.operators.dedup as D
+
+    same = "a b c d e f"
+    docs = {1: same, 2: same, 3: "other words entirely different here now"}
+    got = _run(spark, docs, k=4)
+    D.release_caches()
+    assert got == _py_reference(docs, k=4)
+    assert got[1][1] == 6  # fully covered despite a single distinct rep
+
+
 from hypothesis import given, settings, strategies as st
 
 
