@@ -141,6 +141,62 @@ def assign_pois_to_edges(
     )
 
 
+# Above this many polygons the broadcast plan stops being safe (ring
+# arrays average hundreds of bytes per polygon — 25k polygons is
+# already tens of MB of broadcast) and the containment join routes
+# through grid-cell bucketing. Routing only changes the PHYSICAL plan:
+# both routes apply the identical bbox prefilter + ray-crossing test.
+PIP_BROADCAST_MAX_POLYGONS = 25_000
+
+# Row-count memo for the routing gate, same contract as
+# similarity._PAIR_COUNT_CACHE: a stale count can only mis-pick between
+# two exact plans, never change results.
+_PIP_COUNT_CACHE: dict[int, int] = {}
+
+
+def _polygon_rows(polygons: DataFrame, hint: int | None) -> int:
+    """Polygon-side cardinality for routing: caller hint, else parquet
+    footer statistics (zero jobs — the cosine_topk footer-stats gate),
+    else ONE memoized count job."""
+    from .similarity import _footer_rows
+
+    if hint is not None:
+        return hint
+    exact, upper = _footer_rows(polygons)
+    if exact is not None:
+        return exact
+    if upper is not None and upper <= PIP_BROADCAST_MAX_POLYGONS:
+        return upper  # even the pessimistic bound fits the broadcast
+    try:
+        key = polygons.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _PIP_COUNT_CACHE:
+        return _PIP_COUNT_CACHE[key]
+    n = polygons.count()
+    if key is not None:
+        if len(_PIP_COUNT_CACHE) >= 256:
+            _PIP_COUNT_CACHE.pop(next(iter(_PIP_COUNT_CACHE)))
+        _PIP_COUNT_CACHE[key] = n
+    return n
+
+
+def _pip_filtered(cand: DataFrame, lng: str, lat: str) -> DataFrame:
+    """The shared verify: bbox prefilter BEFORE the exact ray-crossing
+    test, so the per-pair cost for the overwhelmingly-common miss is
+    four comparisons, not an edge scan; both stages are pure column
+    math inside whole-stage codegen."""
+    from ..functions.geometry import point_in_polygon
+
+    plng, plat = F.col(lng), F.col(lat)
+    return cand.filter(
+        (plng >= F.col("__bb.min_lng"))
+        & (plng <= F.col("__bb.max_lng"))
+        & (plat >= F.col("__bb.min_lat"))
+        & (plat <= F.col("__bb.max_lat"))
+    ).filter(point_in_polygon(plng, plat, F.col("__geom"), F.col("__holes")))
+
+
 def points_in_polygons(
     points: DataFrame,
     polygons: DataFrame,
@@ -148,38 +204,84 @@ def points_in_polygons(
     lng: str = "lng",
     lat: str = "lat",
     poly_id: str = "poly_id",
+    strategy: str = "auto",
+    polygons_count_hint: int | None = None,
+    cell_deg: float | None = None,
 ) -> DataFrame:
     """Spatial containment join (PostGIS ``ST_Contains`` analog over
     the planet_osm_polygon shape): one row per (point, containing
     polygon). ``polygons`` carries (poly_id, geom = outer ring,
     holes = array of hole rings, nullable).
 
-    Plan: broadcast the polygon side (zone/region tables are
-    dimension-sized; for a billion-polygon side, swap the broadcast for
-    the grid-cell bucketing of :func:`assign_pois_to_edges` — same
-    candidate structure, PIP instead of distance). A bbox prefilter
-    runs BEFORE the exact ray-crossing test so the per-pair cost for
-    the overwhelmingly-common miss is four comparisons, not an edge
-    scan; both stages are pure column math inside whole-stage codegen."""
-    from ..functions.geometry import bbox, point_in_polygon
+    ``strategy``: ``"broadcast"`` broadcasts the polygon side
+    (zone/region tables are dimension-sized); ``"grid"`` buckets both
+    sides into grid cells — the billion-polygon regime (census blocks,
+    land parcels) where no broadcast fits; ``"auto"`` (default) routes
+    at PIP_BROADCAST_MAX_POLYGONS from a caller hint or parquet-footer
+    statistics (zero jobs), else one memoized count job. Both routes
+    produce identical rows (route equality test-pinned); the choice is
+    physical only.
 
-    polys = F.broadcast(
-        polygons.select(
-            F.col(poly_id),
-            F.col("geom").alias("__geom"),
-            F.col("holes").alias("__holes"),
-            bbox("geom").alias("__bb"),
-        )
+    Grid plan (the assign_pois_to_edges cell machinery, PIP instead of
+    distance): every polygon replicates into each cell its bbox
+    touches; every point lands in its single cell (no neighbor ring —
+    containment implies the point's cell is inside the polygon's bbox
+    cell range, so each qualifying pair meets in exactly one cell and
+    needs no dedup); the equi-join on cell id is the shuffle key at
+    100 TB, with AQE handling density skew. ``cell_deg`` defaults to
+    the polygon side's AVERAGE bbox extent (one model-sized aggregate),
+    so a typical polygon replicates into ~1–4 cells; bbox-outlier
+    polygons pay proportional fan-out (the standard grid-index trade).
+    """
+    from ..functions.geometry import bbox
+
+    if strategy == "auto":
+        n = _polygon_rows(polygons, polygons_count_hint)
+        strategy = "broadcast" if n <= PIP_BROADCAST_MAX_POLYGONS else "grid"
+
+    pb = polygons.select(
+        F.col(poly_id),
+        F.col("geom").alias("__geom"),
+        F.col("holes").alias("__holes"),
+        bbox("geom").alias("__bb"),
     )
-    plng, plat = F.col(lng), F.col(lat)
-    return (
-        points.crossJoin(polys)
-        .filter(
-            (plng >= F.col("__bb.min_lng"))
-            & (plng <= F.col("__bb.max_lng"))
-            & (plat >= F.col("__bb.min_lat"))
-            & (plat <= F.col("__bb.max_lat"))
+    if strategy == "broadcast":
+        return (
+            _pip_filtered(points.crossJoin(F.broadcast(pb)), lng, lat)
+            .drop("__geom", "__holes", "__bb")
         )
-        .filter(point_in_polygon(plng, plat, F.col("__geom"), F.col("__holes")))
-        .drop("__geom", "__holes", "__bb")
+
+    if cell_deg is None:
+        row = pb.agg(
+            F.avg(F.col("__bb.max_lng") - F.col("__bb.min_lng")).alias("w"),
+            F.avg(F.col("__bb.max_lat") - F.col("__bb.min_lat")).alias("h"),
+        ).first()
+        cell_deg = max(float(row["w"] or 0.0), float(row["h"] or 0.0), 1e-9)
+    pe = pb.select(
+        poly_id,
+        "__geom",
+        "__holes",
+        "__bb",
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(
+                  sequence(cast(floor(__bb.min_lng / {cell_deg!r}) as long),
+                           cast(floor(__bb.max_lng / {cell_deg!r}) as long)),
+                  x -> transform(
+                    sequence(cast(floor(__bb.min_lat / {cell_deg!r}) as long),
+                             cast(floor(__bb.max_lat / {cell_deg!r}) as long)),
+                    y -> struct(x as cx, y as cy))))
+                """
+            )
+        ).alias("__cell"),
+    ).select(
+        poly_id, "__geom", "__holes", "__bb",
+        F.col("__cell.cx").alias("__cx"), F.col("__cell.cy").alias("__cy"),
+    )
+    p_cx, p_cy = grid_cell(F.col(lng), F.col(lat), cell_deg)
+    pt = points.withColumn("__cx", p_cx).withColumn("__cy", p_cy)
+    return (
+        _pip_filtered(pt.join(pe, ["__cx", "__cy"]), lng, lat)
+        .drop("__geom", "__holes", "__bb", "__cx", "__cy")
     )

@@ -1281,7 +1281,10 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((event_id % 1600) / 10.0) - 80.0").alias("lat"),
     )
     return (
-        points_in_polygons(pts, polys, point_id="event_id")
+        points_in_polygons(
+            pts, polys, point_id="event_id",
+            polygons_count_hint=len(_PIP_POLYGONS),
+        )
         .groupBy("poly_id")
         .agg(
             F.count(F.lit(1)).alias("n_points"),

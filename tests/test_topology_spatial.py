@@ -259,6 +259,85 @@ def test_points_in_polygons_join_matches_python(spark):
     assert got == want and len(want) > 30
 
 
+def _pip_fixture(spark, n_polys=60, n_pts=400, seed=11):
+    """Polygon grid with varied sizes + holes, random points — enough
+    hits/misses/boundary cells to exercise both containment routes."""
+    import random
+
+    rng = random.Random(seed)
+    polys_py = {}
+    for pid in range(1, n_polys + 1):
+        cx, cy = rng.uniform(-40, 40), rng.uniform(-40, 40)
+        w, h = rng.uniform(0.5, 8.0), rng.uniform(0.5, 8.0)
+        outer = [(cx, cy), (cx + w, cy), (cx + w, cy + h), (cx, cy + h), (cx, cy)]
+        holes = []
+        if pid % 4 == 0:
+            hw, hh = w / 4, h / 4
+            holes = [[(cx + hw, cy + hh), (cx + 2 * hw, cy + hh),
+                      (cx + 2 * hw, cy + 2 * hh), (cx + hw, cy + 2 * hh),
+                      (cx + hw, cy + hh)]]
+        polys_py[pid] = (outer, holes)
+    pts = [(i, rng.uniform(-45, 45), rng.uniform(-45, 45)) for i in range(n_pts)]
+    pt = "struct<lng:double,lat:double>"
+    polys = spark.createDataFrame(
+        [
+            (pid, [{"lng": x, "lat": y} for x, y in outer],
+             [[{"lng": x, "lat": y} for x, y in h] for h in holes])
+            for pid, (outer, holes) in polys_py.items()
+        ],
+        f"poly_id int, geom array<{pt}>, holes array<array<{pt}>>",
+    )
+    pts_df = spark.createDataFrame(pts, "pid int, lng double, lat double")
+    return pts_df, polys
+
+
+def test_points_in_polygons_grid_route_equals_broadcast(spark):
+    """r12 verdict task #4: the grid-cell route (billion-polygon
+    regime) must be row-identical to the broadcast route, including
+    holes and bbox-straddling points; the routes must be genuinely
+    different plans (cell equi-join vs broadcast nested loop)."""
+    from ariadne_cartograph_spark.operators.spatial import points_in_polygons
+
+    pts_df, polys = _pip_fixture(spark)
+    b_df = points_in_polygons(pts_df, polys, strategy="broadcast")
+    g_df = points_in_polygons(pts_df, polys, strategy="grid")
+    b_plan = b_df._jdf.queryExecution().executedPlan().toString()
+    g_plan = g_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in b_plan
+    assert "BroadcastNestedLoopJoin" not in g_plan  # genuine grid route
+    b = {(r["pid"], r["poly_id"]) for r in b_df.collect()}
+    g = {(r["pid"], r["poly_id"]) for r in g_df.collect()}
+    assert b == g and len(b) > 20
+    # output schemas identical (points cols + poly_id, same order)
+    assert b_df.columns == g_df.columns
+    # explicit cell size (scale knob) must not change the answer
+    g2 = points_in_polygons(pts_df, polys, strategy="grid", cell_deg=1.3)
+    assert {(r["pid"], r["poly_id"]) for r in g2.collect()} == b
+
+
+def test_points_in_polygons_auto_routes_on_cardinality(spark, monkeypatch):
+    """auto = broadcast for dimension-sized polygon tables, grid when
+    the side is too big to broadcast (forced here via the threshold —
+    the hint/footer/count ladder is the cosine_topk gate pattern)."""
+    import ariadne_cartograph_spark.operators.spatial as S
+
+    pts_df, polys = _pip_fixture(spark, n_polys=30, n_pts=150, seed=5)
+    base = {(r["pid"], r["poly_id"])
+            for r in S.points_in_polygons(pts_df, polys, strategy="broadcast").collect()}
+
+    # hint below threshold -> broadcast plan, jobless routing
+    a_df = S.points_in_polygons(pts_df, polys, polygons_count_hint=30)
+    assert "BroadcastNestedLoopJoin" in a_df._jdf.queryExecution().executedPlan().toString()
+    assert {(r["pid"], r["poly_id"]) for r in a_df.collect()} == base
+
+    # polygon side "too big to broadcast": threshold forced under the
+    # fixture's cardinality -> auto must take the grid route and agree
+    monkeypatch.setattr(S, "PIP_BROADCAST_MAX_POLYGONS", 10)
+    big_df = S.points_in_polygons(pts_df, polys)
+    assert "BroadcastNestedLoopJoin" not in big_df._jdf.queryExecution().executedPlan().toString()
+    assert {(r["pid"], r["poly_id"]) for r in big_df.collect()} == base
+
+
 def test_polygon_area_mercator_shoelace(spark):
     """Engine area vs an independent python replay of the same
     Mercator shoelace, plus a closed-form check: a Mercator-plane
