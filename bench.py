@@ -119,12 +119,13 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # r11 re-pin: bitmask all-pairs route for the dense-similarity
     # regime (26.3 s → 2.5 s warm at sf1; fence keeps cold-JIT margin)
     "trajectory_jaccard_pairs": 6.0,
-    # r12 re-pin 11.1 -> 15.0: the entry collects 1.47M rows and its
-    # engine clock swings ~3x with JVM/GC state (A/B on the unchanged
-    # r11 commit reproduced the same 10-31s spread; ab_entry
-    # count-consumer min 3.4s). The fence now sits above the stable
-    # warm minimum, not the single best draw.
-    "ways_enrichment_pipeline": 15.0,
+    # r13 re-pin 15.0 -> 11.0 (verdict task #5): the rehearsal clock
+    # for this entry is now the non-prunable xxhash64 digest consumer
+    # (scale_rehearsal.ENGINE_CLOCK_DIGEST), not the 1.47M-row Arrow
+    # collect that swung 10-31s with JVM state. Three consecutive
+    # fresh-process digest runs on an idle host: 12.0 / 11.2 / 10.0 s
+    # (collect tax, recorded separately as collect_sec: ~15-16 s).
+    "ways_enrichment_pipeline": 11.0,
     "window_running_total": 10.5,
 }
 

@@ -48,6 +48,29 @@ ORACLE_QUADRATIC = {
 }
 
 
+# Entries whose sf1 result set is large enough (1M+ rows) that the
+# compare()-side collect dominates the engine clock (r12: the
+# ways_enrichment 10-31s rehearsal spread was 1.47M rows of Arrow
+# collection over a ~3s plan). For these, engine_sec comes from a
+# DIGEST consumer measured first: xxhash64 over every output column,
+# counted — every column feeds the hash so Catalyst can neither prune
+# projections nor join-eliminate (the span-removal never-false-filter
+# lesson), all work stays JVM-side, and one long crosses to the
+# driver. The hash-parity collect still runs (its time
+# recorded separately as collect_sec).
+ENGINE_CLOCK_DIGEST = {
+    "ways_enrichment_pipeline",
+}
+
+
+def digest_consumer(df) -> None:
+    """Count-shaped, non-prunable: forces computation of every output
+    column for every row without collecting the rows."""
+    from pyspark.sql import functions as F
+
+    df.agg(F.count(F.xxhash64(*df.columns)).alias("n")).first()
+
+
 def merge_summary(
     prev: dict,
     results: dict[str, dict],
@@ -128,13 +151,21 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        engine_sec = oracle_sec = None
+        engine_sec = oracle_sec = collect_sec = None
         try:
             if entry.oracle is not None and name not in skip_oracle:
+                digest_sec = None
+                if name in ENGINE_CLOCK_DIGEST:
+                    t_d = time.time()
+                    digest_consumer(entry.fn(spark, sf_dir))
+                    digest_sec = round(time.time() - t_d, 3)
                 rep = compare(name, entry.fn(spark, sf_dir), entry.oracle, sf_dir, con=con)
                 status = "ok" if rep.ok else "FAIL"
                 rows = rep.spark_rows
                 engine_sec, oracle_sec = rep.spark_sec, rep.oracle_sec
+                if digest_sec is not None:
+                    collect_sec = engine_sec
+                    engine_sec = digest_sec
                 if not rep.ok:
                     n_fail += 1
                     print(rep.describe()[:600], file=sys.stderr)
@@ -170,6 +201,9 @@ def main() -> int:
             "status": status, "rows": rows, "sec": dt,
             "engine_sec": engine_sec, "oracle_sec": oracle_sec,
         }
+        if collect_sec is not None:
+            results[name]["collect_sec"] = collect_sec
+            results[name]["engine_clock"] = "digest"
         print(
             f"# {name}: {status} {rows} rows {dt}s"
             f" (engine {engine_sec}s / oracle {oracle_sec}s)",
