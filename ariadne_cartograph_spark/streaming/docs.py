@@ -27,11 +27,15 @@ is O(batch + candidates), never O(store):
   natural partition/bucket keys so each batch's probe is a co-located
   join against the store instead of a broadcast. No shingle arrays
   ride along, so the band join shuffles ids only.
-- ``shingles/`` — (doc_id, sh) partitioned by ``__bucket =
+- ``shingles/`` — (doc_id, sh, __fp, __n) partitioned by ``__bucket =
   pmod(xxhash64(doc_id), N_BUCKETS)``: exactly one row per document,
   read back ONLY for verified-candidate ids via a broadcast semi-join
   whose bucket key enables dynamic partition pruning — the scan
-  touches the candidate buckets, not the corpus.
+  touches the candidate buckets, not the corpus. ``__fp`` (xxhash64 of
+  the sorted shingle set) and ``__n`` (set size) are computed ONCE at
+  append so the per-batch verify decides exact-duplicate pairs on
+  narrow columns without re-sorting stored arrays (r13; store format
+  is internal — pre-r13 dirs lack the columns and are not readable).
 
 Each batch appends small files per bucket; a long-lived ingest
 compacts them periodically with ``sources.layout.compact_parquet_dir``
@@ -62,6 +66,14 @@ N_BUCKETS = 16
 
 def _bucket(col: F.Column) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
+
+
+def set_fingerprint(col: str) -> F.Column:
+    """xxhash64 over the sorted shingle set — the exact-duplicate
+    short-circuit key. Computed once per doc at store-append time and
+    persisted (``__fp``), so later batches never re-sort stored
+    arrays."""
+    return F.xxhash64(F.array_sort(F.col(col)))
 
 
 def _index_batch(
@@ -170,12 +182,19 @@ def _dropped_ids(
     )
 
     # One shingle row per doc via band_idx == 0 — a narrow filter, not
-    # a dropDuplicates shuffle.
+    # a dropDuplicates shuffle. The in-batch side computes its set
+    # fingerprint here; the stored side reads the PRECOMPUTED __fp off
+    # the store (r13 — previously every batch re-ran
+    # xxhash64(array_sort(sh)) over every fetched stored candidate).
     sh_new = idx_new.filter(F.col("band_idx") == 0).select(
-        F.col(id_col).alias("new_id"), F.col("sh").alias("sh_new")
+        F.col(id_col).alias("new_id"),
+        F.col("sh").alias("sh_new"),
+        set_fingerprint("sh").alias("__fp_n"),
     )
     sh_old = idx_new.filter(F.col("band_idx") == 0).select(
-        F.col(id_col).alias("old_id"), F.col("sh").alias("sh_old")
+        F.col(id_col).alias("old_id"),
+        F.col("sh").alias("sh_old"),
+        set_fingerprint("sh").alias("__fp_o"),
     )
     if os.path.isdir(sh_dir):
         cand_old = (
@@ -200,26 +219,31 @@ def _dropped_ids(
                     & (stored_sh[id_col] == cand_old["old_id"]),
                     "left_semi",
                 )
-                .select(F.col(id_col).alias("old_id"), F.col("sh").alias("sh_old"))
+                .select(
+                    F.col(id_col).alias("old_id"),
+                    F.col("sh").alias("sh_old"),
+                    F.col("__fp").alias("__fp_o"),
+                )
             )
             sh_old = sh_old.unionByName(stored_cand)
 
     # Set-fingerprint short-circuit for the verify: on crawl-style
     # corpora most LSH candidates are EXACT duplicates (the sf1 replica
     # set: ~90% of ~114k pairs/batch), and the O(|a|·|b|) per-pair
-    # array_intersect is pure waste on them. One xxhash64 over the
-    # sorted shingle array per DOC (candidates:docs ~10:1 here) lets
-    # equal-fingerprint pairs verify as Jaccard 1.0 inside a CASE WHEN
-    # whose intersect branch never evaluates for them (CaseWhen
-    # evaluates branches lazily per row). size > 0 guards the
-    # empty-set pairs that reach the verify through shared NULL-filled
-    # bands — those must stay NULL-rejected (0/0), not fp-matched.
-    # Accuracy: a false drop needs an xxhash64 collision on the sorted
-    # set (2⁻⁶⁴) — the same accepted class as hashed_word_shingles.
-    set_fp = lambda c: F.xxhash64(F.array_sort(F.col(c)))  # noqa: E731
+    # array_intersect is pure waste on them. Equal-fingerprint pairs
+    # verify as Jaccard 1.0 inside a CASE WHEN whose intersect branch
+    # never evaluates for them (CaseWhen evaluates branches lazily per
+    # row; a SPLIT plan — fp-only pairs decided before any array join —
+    # was A/B-measured SLOWER at sf1: the arrays never ballooned
+    # through a shuffle, so the split only added join passes).
+    # size > 0 guards the empty-set pairs that reach the verify through
+    # shared NULL-filled bands — those must stay NULL-rejected (0/0),
+    # not fp-matched. Accuracy: a false drop needs an xxhash64
+    # collision on the sorted set (2⁻⁶⁴) — the same accepted class as
+    # hashed_word_shingles.
     cands = (
-        pair_ids.join(sh_new.withColumn("__fp_n", set_fp("sh_new")), "new_id")
-        .join(sh_old.withColumn("__fp_o", set_fp("sh_old")), "old_id")
+        pair_ids.join(sh_new, "new_id")
+        .join(sh_old, "old_id")
         .withColumn("__fp_eq", F.col("__fp_n") == F.col("__fp_o"))
     )
     inter = F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
@@ -292,6 +316,8 @@ def incremental_near_dup_filter(
     (
         idx_new.filter(F.col("band_idx") == 0)
         .select(F.col(id_col), F.col("sh"))
+        .withColumn("__fp", set_fingerprint("sh"))
+        .withColumn("__n", F.size("sh"))
         .withColumn("__bucket", _bucket(F.col(id_col)))
         .repartition("__bucket")  # one file per bucket per batch
         .write.mode("append")

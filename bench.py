@@ -99,7 +99,15 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # checkpoint (25.6 s → 12.8 s warm at sf1)
     # r12 re-pin: set-fingerprint verify short-circuit, single-shuffle
     # pair distinct, 16-bucket store (15.1 s → 10.9 s isolated min)
-    "docs_incremental_dedup_parity": 11.2,
+    # r13 re-pin: the set fingerprint is PERSISTED in the shingle
+    # store (__fp/__n) so later batches stop re-sorting stored arrays
+    # — isolated min 13.7 → 10.6 same-day A/B (warm runs 10.6-11.4).
+    # Two alternatives were measured and REJECTED same-day: a
+    # same-session band-store cache of localCheckpointed deltas
+    # (13.3 vs 11.1 old — the parquet re-read was never the cost) and
+    # a split fp-then-arrays verify (17.4 — the arrays never balloon
+    # through a shuffle, the split only added join passes).
+    "docs_incremental_dedup_parity": 10.5,
     "geo_line_simplify": 9.1,
     # r11 re-pin: entry switched to the measured auto-router — on the
     # 10x replica the exact-dup collapse cuts the count join's
