@@ -84,3 +84,78 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return pr.select("node_id", F.col("pr").cast("float").alias("pr"))
+
+
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple graph given
+    as distinct ``(a, b)`` pairs with ``a < b`` (no self-loops).
+    Returns (node_id, n_triangles) for nodes in ≥1 triangle.
+
+    Public scheme: degree-ordered orientation (Schank & Wagner 2005 /
+    Latapy 2008 — the standard distributed triangle counter, e.g.
+    GraphX/Galois): direct every edge from its lower-(degree, id)
+    endpoint to the higher, enumerate wedges u→v1, u→v2 with
+    (deg,id)-order v1 < v2, and close them against the oriented edge
+    v1→v2. Every triangle is found exactly once, and wedge fan-out is
+    bounded by the ORIENTED out-degree ≤ O(√m) on any graph — hub
+    vertices never enumerate their quadratic neighbor pairs (the
+    reason naive id-ordered wedge enumeration dies on skewed graphs
+    at scale; id-ordering bounds nothing, a low-id hub still fans
+    out deg² wedges).
+
+    All shuffles are on vertex/edge keys (join + groupBy, AQE-skew
+    safe); counts are exact integers — a DuckDB oracle can enumerate
+    triangles with a different (id-ordered) scheme and match the hash,
+    cross-checking the orientation logic.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("a").alias("x"))
+        .unionByName(edges.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("dx"))
+    )
+    # orient by (degree, id): lower endpoint keeps the tail
+    e = (
+        edges.join(deg.withColumnRenamed("x", "a").withColumnRenamed("dx", "da"), "a")
+        .join(deg.withColumnRenamed("x", "b").withColumnRenamed("dx", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("u"), F.col("b").alias("v"),
+                    F.col("da").alias("du"), F.col("db").alias("dv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("u"), F.col("a").alias("v"),
+                    F.col("db").alias("du"), F.col("da").alias("dv"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.u", "o.v", "o.du", "o.dv")
+        .localCheckpoint(eager=True)
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u"))
+        & (
+            (F.col("e1.dv") < F.col("e2.dv"))
+            | ((F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v")))
+        ),
+    ).select(
+        F.col("e1.u").alias("w0"),
+        F.col("e1.v").alias("w1"),
+        F.col("e2.v").alias("w2"),
+    )
+    closing = e.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("w0", "w1", "w2")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -866,6 +866,65 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# Robust outlier detection (A1/A5 depth — the MAD rule every data-
+# curation pipeline runs before training-set assembly): per event type,
+# flag |v − median| > 3·MAD where MAD = median(|v − median|). EXACT
+# across engines by construction: values become integer cents
+# (round(value·100) — the doubles are 2-decimal money, so the rounded
+# product is the true integer), interpolated medians of integers are
+# half-integers (exact in f64), absolute deviations are half-integers,
+# the MAD is a quarter-integer (exact), and 3·MAD plus the strict
+# comparison are exact f64 ops — so the flag, the counts and the
+# outlier cent-sum are integer-deterministic on both engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_mad_outliers",
+    tags=["A1", "A5"],
+    oracle="""
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+med AS (SELECT event_type, median(cents) AS med FROM c GROUP BY event_type),
+dev AS (SELECT c.event_type, c.cents, abs(c.cents - m.med) AS adev
+        FROM c JOIN med m ON c.event_type = m.event_type),
+mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN d.cents ELSE 0 END) AS BIGINT)
+         AS outlier_cents
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type ORDER BY d.event_type
+""",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(F.median("cents").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    is_out = F.col("adev") > 3 * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.sum(F.when(is_out, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("outlier_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "events_quantile_cont",
     tags=["A5"],

@@ -1590,6 +1590,86 @@ def embedding_stream_pca_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding dimension correlation (A5+U4 depth — the redundancy
+# diagnostic run before PCA/quantization: near-±1 dimension pairs mean
+# wasted width). Pearson correlation of the QUANTIZED embedding matrix
+# (the operator's documented contract — quantization makes every
+# cross-row aggregate exact): ONE augmented Gram pass (operators/pca.
+# gram_matrix over q ++ [1], so G carries Σqᵢqⱼ, the per-dim sums in
+# its last column AND n in its corner — model-sized d+1² state), then
+# corr(i,j) = (n·Sᵢⱼ − SᵢSⱼ)/√((n·Sᵢᵢ−Sᵢ²)(n·Sⱼⱼ−Sⱼ²)) on the driver
+# from exact ints with one IEEE multiply/sqrt/divide — replayed
+# bit-exactly by the oracle from the same integer CTEs. f32 surface
+# per the float policy; constant dims → NULL on both engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_correlation",
+    tags=["A5", "U4"],
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT list_append(
+           list_transform(embedding, x -> CAST(floor(x * 1024.0 + 0.5) AS BIGINT)),
+           CAST(1 AS BIGINT)) AS q
+  FROM embeddings),
+g AS MATERIALIZED (
+  SELECT i, j, sum(e.q[i] * e.q[j]) AS s
+  FROM e, generate_series(1, 65) AS u1(i), generate_series(1, 65) AS u2(j)
+  WHERE i <= j GROUP BY i, j),
+sx AS (SELECT i, s FROM g WHERE j = 65 AND i < 65),
+dg AS (SELECT i, s FROM g WHERE i = j AND i < 65),
+nn AS (SELECT s AS n FROM g WHERE i = 65 AND j = 65),
+pairs AS (
+  SELECT go.i AS i, go.j AS j,
+         (SELECT n FROM nn) * go.s - si.s * sj.s AS num,
+         (SELECT n FROM nn) * di.s - si.s * si.s AS dx,
+         (SELECT n FROM nn) * dj.s - sj.s * sj.s AS dy
+  FROM g go
+  JOIN sx si ON si.i = go.i
+  JOIN sx sj ON sj.i = go.j
+  JOIN dg di ON di.i = go.i
+  JOIN dg dj ON dj.i = go.j
+  WHERE go.i < go.j AND go.j < 65)
+SELECT i, j,
+       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+            ELSE CAST(CAST(num AS DOUBLE)
+                      / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) AS FLOAT)
+       END AS corr
+FROM pairs ORDER BY i, j
+""",
+)
+def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.pca import gram_matrix, quantize_vec
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    qa = F.concat(
+        quantize_vec(F.col("embedding")), F.array(F.lit(1).cast("long"))
+    )
+    G = gram_matrix(emb.select(qa.alias("q")), "q")
+    d = len(G) - 1
+    n = G[d][d]
+    S = [G[i][d] for i in range(d)]
+    rows = []
+    for i in range(d):
+        dx = n * G[i][i] - S[i] * S[i]
+        for j in range(i + 1, d):
+            dy = n * G[j][j] - S[j] * S[j]
+            num = n * G[i][j] - S[i] * S[j]
+            c = (
+                None
+                if dx == 0 or dy == 0
+                else float(num) / math.sqrt(float(dx) * float(dy))
+            )
+            rows.append((i + 1, j + 1, c))
+    return spark.createDataFrame(rows, "i long, j long, corr float").orderBy(
+        "i", "j"
+    )
+
+
+# --------------------------------------------------------------------------
 # Temperature-scaled domain mixture resample (U5/W1): the α-smoothing
 # sampler used to rebalance multi-domain pretraining corpora (public
 # scheme — exponential smoothing as in XLM/mT5 data sampling). Domain

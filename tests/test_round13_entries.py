@@ -1,0 +1,162 @@
+"""Round-13 catalog additions, pinned against independent pure-Python
+references: degree-ordered triangle counting (hub graphs + degree
+ties — the regimes where the orientation logic earns its keep),
+MAD outlier detection (interpolated medians on integer cents), and
+embedding dimension correlation (vs numpy corrcoef)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_cartograph_spark.operators.graph import triangle_participation
+
+
+def _py_triangles(edges: set[tuple[int, int]]) -> dict[int, int]:
+    nodes = sorted({x for e in edges for x in e})
+    out: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges:
+            for x in (a, b, c):
+                out[x] = out.get(x, 0) + 1
+    return out
+
+
+def _run_triangles(spark, edges):
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    rows = triangle_participation(df).collect()
+    return {r["node_id"]: r["n_triangles"] for r in rows}
+
+
+def test_triangles_hub_graph(spark):
+    # hub 0 connects to everything; spokes form a sparse ring — the
+    # shape where id-ordered wedge enumeration fans out deg^2 from a
+    # low-id hub but degree-ordering bounds it
+    edges = {(0, i) for i in range(1, 12)}
+    edges |= {(i, i + 1) for i in range(1, 11)}
+    edges.add((1, 11))
+    assert _run_triangles(spark, edges) == _py_triangles(edges)
+
+
+def test_triangles_degree_ties_and_k4(spark):
+    # K4 (every vertex degree 3 — all ties, orientation falls back to
+    # id order) plus a disjoint triangle and an edge with no triangle
+    edges = set(itertools.combinations([1, 2, 3, 4], 2))
+    edges |= {(10, 11), (10, 12), (11, 12), (20, 21)}
+    got = _run_triangles(spark, edges)
+    assert got == _py_triangles(edges)
+    assert got[1] == 3 and got[10] == 1 and 20 not in got
+
+
+def test_triangles_random_graph_matches_brute(spark):
+    import random
+
+    rng = random.Random(13)
+    nodes = list(range(30))
+    edges = {
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.15
+    }
+    assert _run_triangles(spark, edges) == _py_triangles(edges)
+
+
+def test_triangles_partition_independence(spark):
+    edges = set(itertools.combinations([1, 2, 3, 4, 5], 2))  # K5
+    base = None
+    for parts in (1, 6):
+        df = spark.createDataFrame(sorted(edges), "a long, b long").repartition(parts)
+        got = {r["node_id"]: r["n_triangles"] for r in triangle_participation(df).collect()}
+        base = got if base is None else base
+        assert got == base
+    assert base == {i: 6 for i in range(1, 6)}  # each K5 vertex in C(4,2)
+
+
+def _py_mad(rows):
+    import statistics
+
+    out = {}
+    by_t: dict[str, list[int]] = {}
+    for t, cents in rows:
+        by_t.setdefault(t, []).append(cents)
+    for t, vals in by_t.items():
+        med = statistics.median(vals)
+        devs = [abs(v - med) for v in vals]
+        mad = statistics.median(devs)
+        outl = [v for v, d in zip(vals, devs) if d > 3 * mad]
+        out[t] = (len(vals), len(outl), sum(outl))
+    return out
+
+
+def test_mad_outliers_matches_python(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for t in ("a", "b"):
+        rows += [(t, rng.randint(900, 1100)) for _ in range(40)]
+        rows += [(t, rng.randint(50_000, 60_000)) for _ in range(3)]  # outliers
+    rows += [("c", 100), ("c", 102)]  # even count -> half-integer median
+    df = spark.createDataFrame(
+        [(t, c / 100.0) for t, c in rows], "event_type string, value double"
+    )
+    ev = df.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(F.median("cents").alias("med"))
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    is_out = F.col("adev") > 3 * F.col("mad")
+    got = {
+        r["event_type"]: (r["n"], r["n_out"], r["out_cents"])
+        for r in dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_out"),
+            F.sum(F.when(is_out, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("out_cents"),
+        )
+        .collect()
+    }
+    assert got == _py_mad(rows)
+    assert got["a"][1] == 3  # the planted outliers are flagged
+    assert got["c"][1] == 0  # 2-point groups have no MAD outliers
+
+
+def test_dim_correlation_matches_numpy(spark):
+    from ariadne_cartograph_spark.operators.pca import gram_matrix, quantize_vec
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(200, 5)
+    base[:, 3] = base[:, 0] * 0.9 + rng.randn(200) * 0.1  # correlated pair
+    base[:, 4] = 0.25  # constant dim -> quantizes to one value -> NULL
+    rows = [([float(v) for v in x],) for x in base.astype(np.float32)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    qa = F.concat(quantize_vec(F.col("embedding")), F.array(F.lit(1).cast("long")))
+    G = gram_matrix(df.select(qa.alias("q")), "q")
+    d = len(G) - 1
+    n, S = G[d][d], [G[i][d] for i in range(d)]
+    Q = np.floor(base.astype(np.float32).astype(np.float64) * 1024.0 + 0.5)
+    C = np.corrcoef(Q, rowvar=False)
+    import math
+
+    for i in range(d):
+        dx = n * G[i][i] - S[i] * S[i]
+        for j in range(i + 1, d):
+            dy = n * G[j][j] - S[j] * S[j]
+            num = n * G[i][j] - S[i] * S[j]
+            if dx == 0 or dy == 0:
+                assert 4 in (i, j)  # only the constant dim degenerates
+                continue
+            c = float(num) / math.sqrt(float(dx) * float(dy))
+            assert abs(c - C[i][j]) < 1e-9
+    assert abs(float(n * G[0][3] - S[0] * S[3])
+               / math.sqrt(float(n * G[0][0] - S[0] ** 2)
+                           * float(n * G[3][3] - S[3] ** 2))) > 0.85
