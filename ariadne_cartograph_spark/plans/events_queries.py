@@ -64,6 +64,95 @@ def asof_purchase_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# NEAREST as-of join with tolerance (J6 depth — the other half of the
+# temporal-join family: backward as-of answers "state as of t", nearest
+# answers "the reading closest to t", sensor/attribution semantics).
+# For every click, the purchase in the same user whose timestamp is
+# nearest within ±2 h; exact-diff ties prefer the earlier purchase.
+# Engine: operators/asof.asof_nearest_join — nearest = best of one
+# backward and one forward windowed pass over a single union (one
+# shuffle, two local sorts, NO range-join pair explosion). Oracle: two
+# native DuckDB ASOF joins (the forward one over negated epoch micros)
+# combined with the same tie rule — an independent formulation of both
+# passes. The right side is pre-aggregated per (user, ts) so "the"
+# nearest row is well-defined (the operator's determinism contract).
+# --------------------------------------------------------------------------
+
+_NEAREST_TOL_S = 7200
+
+
+@register(
+    "asof_nearest_purchase",
+    tags=["J6", "W3"],
+    oracle=f"""
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+pur AS (SELECT user_id, ts,
+               CAST(min(event_id) AS BIGINT) AS pid,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts),
+b AS (SELECT c.event_id, p.ts AS mts, p.pid, p.cents
+      FROM clicks c ASOF LEFT JOIN pur p
+        ON c.user_id = p.user_id AND c.ts >= p.ts),
+f AS (SELECT c.event_id, p.ts AS mts, p.pid, p.cents
+      FROM (SELECT event_id, user_id, -epoch_us(ts) AS nts FROM clicks) c
+      ASOF LEFT JOIN
+           (SELECT user_id, -epoch_us(ts) AS nts, ts, pid, cents FROM pur) p
+        ON c.user_id = p.user_id AND c.nts >= p.nts),
+m AS (SELECT c.event_id, c.user_id, c.ts,
+             b.mts AS bts, b.pid AS bpid, b.cents AS bcents,
+             f.mts AS fts, f.pid AS fpid, f.cents AS fcents,
+             epoch_us(c.ts) - epoch_us(b.mts) AS db,
+             epoch_us(f.mts) - epoch_us(c.ts) AS df,
+             (b.mts IS NOT NULL AND epoch_us(c.ts) - epoch_us(b.mts)
+                <= {_NEAREST_TOL_S}::BIGINT * 1000000) AS ok_b,
+             (f.mts IS NOT NULL AND epoch_us(f.mts) - epoch_us(c.ts)
+                <= {_NEAREST_TOL_S}::BIGINT * 1000000) AS ok_f
+      FROM clicks c
+      JOIN b ON b.event_id = c.event_id
+      JOIN f ON f.event_id = c.event_id)
+SELECT event_id, user_id,
+       CASE WHEN ok_b AND (NOT ok_f OR db <= df) THEN bpid
+            WHEN ok_f THEN fpid END AS purchase_id,
+       CASE WHEN ok_b AND (NOT ok_f OR db <= df) THEN -db
+            WHEN ok_f THEN df END AS delta_us,
+       CASE WHEN ok_b AND (NOT ok_f OR db <= df) THEN bcents
+            WHEN ok_f THEN fcents END AS purchase_cents
+FROM m ORDER BY event_id
+""",
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_nearest_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("event_id").cast("long").alias("pid"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    j = asof_nearest_join(
+        clicks, pur, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance_s=_NEAREST_TOL_S,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("pid_r").alias("purchase_id"),
+        (micros("ts_r") - micros("ts")).alias("delta_us"),
+        F.col("cents_r").alias("purchase_cents"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
 # Gap-based sessionization (T2/T4 batch analog).
 # --------------------------------------------------------------------------
 
