@@ -1652,6 +1652,145 @@ def merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_scd2_history",
+    tags=["S4", "J1", "W3"],
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey AS gid, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 2 = 0),
+b2 AS (
+  SELECT o_orderkey AS gid, o_totalprice + 100.0 AS price
+  FROM orders WHERE o_orderkey % 3 = 0),
+v2 AS (
+  SELECT COALESCE(b.gid, v1.gid) AS gid, COALESCE(b.price, v1.price) AS price
+  FROM v1 FULL OUTER JOIN b2 b ON v1.gid = b.gid),
+v3 AS (SELECT * FROM v2 WHERE gid % 5 <> 0),
+b4 AS (
+  SELECT o_orderkey AS gid, o_totalprice + 50.0 AS price
+  FROM orders WHERE o_orderkey % 7 = 0),
+v4 AS (
+  SELECT COALESCE(b.gid, v3.gid) AS gid, COALESCE(b.price, v3.price) AS price
+  FROM v3 FULL OUTER JOIN b4 b ON v3.gid = b.gid),
+snaps AS (
+  SELECT gid, price, 1 AS v FROM v1
+  UNION ALL SELECT gid, price, 2 FROM v2
+  UNION ALL SELECT gid, price, 3 FROM v3
+  UNION ALL SELECT gid, price, 4 FROM v4),
+marked AS (
+  SELECT gid, price, v,
+         CASE WHEN lag(v) OVER w IS NULL
+                OR lag(v) OVER w <> v - 1
+                OR lag(price) OVER w <> price
+              THEN 1 ELSE 0 END AS is_start
+  FROM snaps WINDOW w AS (PARTITION BY gid ORDER BY v)),
+segd AS (
+  SELECT gid, price, v,
+         CAST(sum(is_start) OVER (PARTITION BY gid ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+  FROM marked),
+intervals AS (
+  SELECT gid, seg, min(v) AS v_from, max(v) AS v_max, max(price) AS price
+  FROM segd GROUP BY gid, seg),
+scd AS (
+  SELECT gid, price, v_from,
+         CASE WHEN v_max = 4 THEN NULL ELSE v_max + 1 END AS v_to
+  FROM intervals)
+SELECT v_from, v_to, count(*) AS n,
+       CAST(sum(gid) AS BIGINT) AS key_checksum,
+       CAST(round(sum(CAST(price AS DECIMAL(27,2))), 2) AS DOUBLE) AS price_total
+FROM scd GROUP BY v_from, v_to ORDER BY v_from, v_to
+""",
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 reconstruction from the merge table's retained
+    versions (the lakehouse history shape: "what was each key's value,
+    valid over which version interval"): four commits — seed (even
+    keys), +100.00 upsert (%3), delete (%5), +50.00 upsert (%7, which
+    RE-INSERTS keys deleted at v3 — the gap case a naive lag-only
+    reconstruction merges into one interval) — then the per-key
+    validity intervals come from ONE union of the four time-travel
+    snapshots + a lag window: an interval starts at first appearance,
+    at a value change, or after a presence gap; it closes at the next
+    version (v_to = v_max+1) unless it reaches the head (NULL = open).
+    The oracle replays all four snapshot derivations relationally and
+    runs the same reconstruction. Summary keyed by (v_from, v_to) with
+    an exact key checksum pinning interval membership."""
+    import tempfile
+
+    from ..operators.merge import ParquetMergeTable
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def sel(pred, delta):
+        return orders.filter(pred).select(
+            F.col("o_orderkey").alias("gid"),
+            (F.col("o_totalprice") + delta).alias("price"),
+        )
+
+    t = ParquetMergeTable(
+        spark,
+        tempfile.mkdtemp(prefix="acs_merge_scd2_"),
+        key="gid",
+        retain_versions=8,
+    )
+    t.upsert(sel(F.col("o_orderkey") % 2 == 0, 0.0))
+    t.upsert(sel(F.col("o_orderkey") % 3 == 0, 100.0))
+    t.delete(
+        orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            F.col("o_orderkey").alias("gid")
+        )
+    )
+    t.upsert(sel(F.col("o_orderkey") % 7 == 0, 50.0))
+
+    snaps = None
+    for v in (1, 2, 3, 4):
+        s = t.read(v).select("gid", "price", F.lit(v).alias("v"))
+        snaps = s if snaps is None else snaps.unionByName(s)
+    w = W.partitionBy("gid").orderBy("v")
+    marked = snaps.select(
+        "gid",
+        "price",
+        "v",
+        F.when(
+            F.lag("v").over(w).isNull()
+            | (F.lag("v").over(w) != F.col("v") - 1)
+            | (F.lag("price").over(w) != F.col("price")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    seg = marked.withColumn(
+        "seg",
+        F.sum("is_start")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    intervals = seg.groupBy("gid", "seg").agg(
+        F.min("v").alias("v_from"),
+        F.max("v").alias("v_max"),
+        F.max("price").alias("price"),
+    )
+    scd = intervals.select(
+        "gid",
+        "price",
+        "v_from",
+        F.when(F.col("v_max") == 4, F.lit(None).cast("int"))
+        .otherwise(F.col("v_max") + 1)
+        .alias("v_to"),
+    )
+    return (
+        scd.groupBy("v_from", "v_to")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gid").cast("bigint").alias("key_checksum"),
+            money_sum("price").alias("price_total"),
+        )
+        .orderBy("v_from", "v_to")
+    )
+
+
+@register(
     "agg_grouping_structures",
     tags=["A5"],
     oracle="""

@@ -130,6 +130,62 @@ def test_mad_outliers_matches_python(spark):
     assert got["c"][1] == 0  # 2-point groups have no MAD outliers
 
 
+def test_scd2_reconstruction_hand_computed(spark, tmp_path):
+    """SCD2 interval reconstruction on a hand-built 4-version history,
+    including the gap case: key 30 is deleted at v3 and RE-INSERTED at
+    v4 with its old value — a naive lag-only reconstruction would fuse
+    [1,3) and [4,open) into one interval."""
+    from pyspark.sql.window import Window as W
+
+    from ariadne_cartograph_spark.operators.merge import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "scd2"), key="gid", retain_versions=8)
+    mk = lambda rows: spark.createDataFrame(rows, "gid long, price double")  # noqa: E731
+    t.upsert(mk([(10, 1.0), (20, 2.0), (30, 3.0)]))          # v1
+    t.upsert(mk([(20, 5.0), (40, 4.0)]))                     # v2: update + insert
+    t.delete(spark.createDataFrame([(30,)], "gid long"))     # v3
+    t.upsert(mk([(30, 3.0)]))                                # v4: re-insert, same value
+
+    snaps = None
+    for v in (1, 2, 3, 4):
+        s = t.read(v).select("gid", "price", F.lit(v).alias("v"))
+        snaps = s if snaps is None else snaps.unionByName(s)
+    w = W.partitionBy("gid").orderBy("v")
+    marked = snaps.select(
+        "gid", "price", "v",
+        F.when(
+            F.lag("v").over(w).isNull()
+            | (F.lag("v").over(w) != F.col("v") - 1)
+            | (F.lag("price").over(w) != F.col("price")),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    seg = marked.withColumn(
+        "seg",
+        F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    got = {
+        (r["gid"], r["v_from"], r["v_to"], r["price"])
+        for r in seg.groupBy("gid", "seg")
+        .agg(F.min("v").alias("v_from"), F.max("v").alias("v_max"),
+             F.max("price").alias("price"))
+        .select(
+            "gid", "price", "v_from",
+            F.when(F.col("v_max") == 4, F.lit(None).cast("int"))
+            .otherwise(F.col("v_max") + 1).alias("v_to"),
+        )
+        .collect()
+    }
+    assert got == {
+        (10, 1, None, 1.0),   # untouched, open
+        (20, 1, 2, 2.0),      # closed by the v2 update
+        (20, 2, None, 5.0),
+        (30, 1, 3, 3.0),      # closed by the v3 delete
+        (30, 4, None, 3.0),   # re-inserted: SEPARATE interval, same value
+        (40, 2, None, 4.0),
+    }
+
+
 def test_dim_correlation_matches_numpy(spark):
     from ariadne_cartograph_spark.operators.pca import gram_matrix, quantize_vec
 
