@@ -455,6 +455,71 @@ WINDOW_ORDER_R13: list[str] = [
     "corpus_length_bucket_batches",
 ]
 
+# Round-14 window, PRE-STAGED (the standing insurance pattern):
+# greedy tag-cover construction from CORRECTNESS_r01..r12 last-hash
+# ages with r13 = the live window above assumed hashed. Leads with the
+# five r13 additions (never driver-hashed: triangle count, MAD
+# outliers, dim correlation, nearest as-of, SCD2 history), then the
+# minimal stalest tag-cover anchors, then the stalest r8–r10 cohort.
+# Invariants asserted by tests/test_catalog_window.py; swap with
+# `WINDOW_ORDER = WINDOW_ORDER_R14` at r14 start and re-validate the
+# 50-entry unit at sf0.01 BEFORE committing (the rounds-7/8 lesson).
+# Pre-validated once at sf0.01 when staged this round.
+WINDOW_ORDER_R14: list[str] = [
+    "graph_triangle_count",
+    "events_mad_outliers",
+    "embedding_dim_correlation",
+    "asof_nearest_purchase",
+    "merge_scd2_history",
+    # tag-cover anchors (greedy stalest-first set cover)
+    "ways_enrichment_pipeline",
+    "events_stream_batch_parity",
+    "osm_ingest_feature_tables",
+    "docs_stream_topk_parity",
+    "corpus_domain_cap",
+    "geo_point_in_polygon",
+    "q1_pricing_summary",
+    "osm_topology_mapconfig",
+    "set_intersect_nations",
+    "docs_incremental_dedup_parity",
+    "geo_line_simplify",
+    "merge_upsert_metadata",
+    "q6_forecast_revenue",
+    "scalar_json_extract",
+    "scan_tag_index_pruned",
+    # stalest driver evidence (r8–r10 cohort)
+    "multimodal_frame_means",
+    "agg_approx_percentile",
+    "agg_grouping_structures",
+    "agg_hll_sketch_union",
+    "corpus_sequence_pack",
+    "events_cohort_retention",
+    "q22_wealthy_inactive",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "corpus_hash_split",
+    "corpus_importance_resample",
+    "corpus_leakage_safe_split",
+    "corpus_multimodal_curation",
+    "corpus_stratified_sample",
+    "embedding_int8_quantize",
+    "embedding_knn_label_vote",
+    "embedding_label_norms",
+    "embedding_pq_adc_topk",
+    "embedding_pq_encode",
+    "join_anti_customers_without_orders",
+    "join_outer_customer_order_stats",
+    "merge_stats_metadata_only",
+    "ngram_containment_pairs",
+    "osm_diff_incremental_parity",
+    "similarity_ann_ivf_trained",
+    "subquery_above_avg_orders",
+    "subquery_correlated_max_item",
+    "subquery_exists_waiting_orders",
+    "text_bpe_corpus_encode",
+]
+
 # Round 13: the evidence-refresh rotation goes live (amended at r13
 # start to rotate in the four undriven r12-continuation entries) — all
 # 50 entries hash-validated as a unit at sf0.01 before this assignment
