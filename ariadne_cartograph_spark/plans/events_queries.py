@@ -153,6 +153,111 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Equi-depth histogram (A5 — the ANALYZE/feature-binning shape):
+# 8-bucket boundaries from EXACT interpolated septiles-of-eighths on
+# integer cents (half-integers, exact f64 on both engines), bucket
+# assignment by strict count-of-boundaries-below (int vs half-int
+# comparisons never tie ambiguously), per-bucket count + min/max.
+# The boundary row never touches the driver: a 1-row aggregate
+# broadcast-crossJoined into the scan, bucket id = size(filter(...))
+# — pure column math, two passes total (the quantile agg + the
+# bucketed count), the same shape at 100 TB.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_equidepth_histogram",
+    tags=["A5", "A1"],
+    oracle="""
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+b AS (SELECT quantile_cont(cents, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+        AS bnd FROM c)
+SELECT CAST(len(list_filter(b.bnd, x -> c.cents > x)) AS INTEGER) AS bucket,
+       count(*) AS n,
+       min(c.cents) AS min_cents,
+       max(c.cents) AS max_cents
+FROM c, b
+GROUP BY bucket ORDER BY bucket
+""",
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    qs = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+    bnd = ev.agg(
+        F.percentile("cents", F.array(*[F.lit(q) for q in qs])).alias("bnd")
+    )
+    bucket = F.size(
+        F.filter(F.col("bnd"), lambda x: F.col("cents").cast("double") > x)
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(bnd))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition estimation over per-user event
+# sequences (W3+A5 — the sequence-model estimation shape behind
+# next-event prediction and funnel modeling): lag window per user
+# ordered by (ts, event_id) (the deterministic tiebreak every ordered
+# window here uses), transition counts exact ints, row-normalized
+# probabilities as f32 (one int/int f64 divide, IEEE-identical).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    tags=["W3", "A5"],
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT prev, event_type, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY prev)
+SELECT c.prev, c.event_type, c.n,
+       CAST(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS FLOAT) AS prob
+FROM c JOIN t ON c.prev = t.prev
+ORDER BY c.prev, c.event_type
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    c = seq.groupBy("prev", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "prev")
+        .select(
+            "prev",
+            "event_type",
+            "n",
+            (F.col("n").cast("double") / F.col("tot").cast("double"))
+            .cast("float")
+            .alias("prob"),
+        )
+        .orderBy("prev", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Gap-based sessionization (T2/T4 batch analog).
 # --------------------------------------------------------------------------
 

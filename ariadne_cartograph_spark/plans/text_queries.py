@@ -1590,6 +1590,87 @@ def embedding_stream_pca_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Zipf vocabulary statistics (U5+A5 — the corpus-health diagnostic
+# run before tokenizer training: a healthy natural-language corpus has
+# log-log rank/frequency slope near −1; templated or synthetic text
+# bends it). Token counts are exact ints; the top-V cut is the
+# deterministic (count desc, token asc) TakeOrderedAndProject; the OLS
+# fit of ln(count) ~ ln(rank) runs as ONE aggregate over the top-V
+# rows in f64 and surfaces as f32 — cross-engine libm/summation-order
+# residue is ~V·2⁻⁵², ~2⁻²⁸ below the f32 cast's resolution.
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP_V = 1000
+
+
+@register(
+    "text_zipf_vocab_stats",
+    tags=["U5", "A5", "W4"],
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+t2 AS (SELECT tok FROM toks WHERE len(tok) > 0),
+c AS (SELECT tok, count(*) AS n FROM t2 GROUP BY tok),
+g AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(n) AS BIGINT) AS total_tokens FROM c),
+top AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS r
+        FROM c ORDER BY n DESC, tok ASC LIMIT {_ZIPF_TOP_V}),
+f AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+             sum(ln(CAST(r AS DOUBLE))) AS sx,
+             sum(ln(CAST(n AS DOUBLE))) AS sy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE))) AS sxy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+      FROM top)
+SELECT g.vocab_size, g.total_tokens,
+       CAST((f.v * f.sxy - f.sx * f.sy)
+            / (f.v * f.sxx - f.sx * f.sx) AS FLOAT) AS zipf_slope,
+       CAST((f.sy * f.sxx - f.sx * f.sxy)
+            / (f.v * f.sxx - f.sx * f.sx) AS FLOAT) AS zipf_intercept
+FROM g, f
+""",
+)
+def text_zipf_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    g = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+    )
+    from pyspark.sql.window import Window as W
+
+    top = (
+        c.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_ZIPF_TOP_V)
+        .withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok")))
+        )
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    f = top.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    den = F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return g.crossJoin(F.broadcast(f)).select(
+        "vocab_size",
+        "total_tokens",
+        ((F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
+        .cast("float")
+        .alias("zipf_slope"),
+        ((F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den)
+        .cast("float")
+        .alias("zipf_intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding dimension correlation (A5+U4 depth — the redundancy
 # diagnostic run before PCA/quantization: near-±1 dimension pairs mean
 # wasted width). Pearson correlation of the QUANTIZED embedding matrix

@@ -186,6 +186,103 @@ def test_scd2_reconstruction_hand_computed(spark, tmp_path):
     }
 
 
+def test_markov_transitions_hand_computed(spark):
+    from datetime import datetime, timedelta
+    from pyspark.sql.window import Window as W
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: a->b->b->c ; user 2: b->a ; user 3: single event (no pair)
+    for i, (u, typ) in enumerate(
+        [(1, "a"), (1, "b"), (1, "b"), (1, "c"), (2, "b"), (2, "a"), (3, "c")]
+    ):
+        rows.append((i, u, t0 + timedelta(seconds=i), typ))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = seq.groupBy("prev", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
+    got = {
+        (r["prev"], r["event_type"]): (r["n"], r["prob"])
+        for r in c.join(t, "prev")
+        .select(
+            "prev", "event_type", "n",
+            (F.col("n").cast("double") / F.col("tot")).cast("float").alias("prob"),
+        )
+        .collect()
+    }
+    # prev 'b' has transitions b,c from user 1 AND a from user 2 -> tot 3
+    assert got[("a", "b")] == (1, 1.0)
+    assert got[("b", "b")][0] == 1 and abs(got[("b", "b")][1] - 1 / 3) < 1e-6
+    assert got[("b", "c")][0] == 1 and abs(got[("b", "c")][1] - 1 / 3) < 1e-6
+    assert got[("b", "a")][0] == 1 and abs(got[("b", "a")][1] - 1 / 3) < 1e-6
+    assert ("c", None) not in got and len(got) == 4  # user 3 contributes none
+
+
+def test_equidepth_histogram_properties(spark):
+    # exact python model: boundaries by linear interpolation at
+    # (n-1)*q, bucket = #boundaries strictly below v
+    import numpy as np
+
+    vals = [100, 100, 200, 300, 300, 300, 400, 500, 600, 700, 800, 900, 1000]
+    qs = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+    bnd = [float(np.quantile(vals, q, method="linear")) for q in qs]
+    want: dict[int, list[int]] = {}
+    for v in vals:
+        b = sum(v > x for x in bnd)
+        want.setdefault(b, []).append(v)
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    bdf = df.agg(F.percentile("cents", F.array(*[F.lit(q) for q in qs])).alias("bnd"))
+    bucket = F.size(
+        F.filter(F.col("bnd"), lambda x: F.col("cents").cast("double") > x)
+    ).cast("int")
+    got = {
+        r["bucket"]: (r["n"], r["mn"], r["mx"])
+        for r in df.crossJoin(F.broadcast(bdf))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+        .collect()
+    }
+    assert got == {b: (len(v), min(v), max(v)) for b, v in want.items()}
+    assert sum(n for n, _, _ in got.values()) == len(vals)
+
+
+def test_zipf_ols_matches_numpy_polyfit(spark):
+    # synthetic corpus with exact power-law counts: token w_r appears
+    # floor(5000 / r) times; OLS of ln(n)~ln(r) must match numpy's fit
+    import numpy as np
+    from pyspark.sql.window import Window as W
+
+    counts = {f"w{r:03d}": 5000 // r for r in range(1, 101)}
+    rows = [(tok, n) for tok, n in counts.items()]
+    c = spark.createDataFrame(rows, "tok string, n long")
+    top = (
+        c.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(1000)
+        .withColumn("r", F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok"))))
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    f = top.agg(
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+    ).first()
+    den = f["v"] * f["sxx"] - f["sx"] ** 2
+    slope = (f["v"] * f["sxy"] - f["sx"] * f["sy"]) / den
+    intercept = (f["sy"] * f["sxx"] - f["sx"] * f["sxy"]) / den
+    rr = np.arange(1, 101)
+    nn = np.array([5000 // r for r in rr])
+    np_slope, np_intercept = np.polyfit(np.log(rr), np.log(nn), 1)
+    assert abs(slope - np_slope) < 1e-9
+    assert abs(intercept - np_intercept) < 1e-9
+    assert -1.05 < slope < -0.95  # the corpus is Zipf(1) by construction
+
+
 def test_dim_correlation_matches_numpy(spark):
     from ariadne_cartograph_spark.operators.pca import gram_matrix, quantize_vec
 
