@@ -494,10 +494,12 @@ WINDOW_ORDER_R14: list[str] = [
     "agg_hll_sketch_union",
     "corpus_sequence_pack",
     "events_cohort_retention",
-    "q22_wealthy_inactive",
+    # (q22_wealthy_inactive / q7_nation_volume / q8_market_share —
+    # r9-hashed, pure A5/J6 tags carried by many window entries —
+    # displaced when the post-close r13 additions landed, so never-
+    # driven entries don't wait for r15; amended unit re-hash-validated
+    # at sf0.01 before the commit.)
     "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
     "corpus_hash_split",
     "corpus_importance_resample",
     "corpus_leakage_safe_split",
@@ -518,6 +520,10 @@ WINDOW_ORDER_R14: list[str] = [
     "subquery_correlated_max_item",
     "subquery_exists_waiting_orders",
     "text_bpe_corpus_encode",
+    # post-close r13 additions, never driver-hashed
+    "events_markov_transitions",
+    "events_equidepth_histogram",
+    "text_zipf_vocab_stats",
 ]
 
 # Round 13: the evidence-refresh rotation goes live (amended at r13
