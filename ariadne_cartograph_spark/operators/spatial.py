@@ -148,6 +148,15 @@ def assign_pois_to_edges(
 # both routes apply the identical bbox prefilter + ray-crossing test.
 PIP_BROADCAST_MAX_POLYGONS = 25_000
 
+# Grid-route fan-out clamp: a polygon whose bbox touches more than
+# this many cells does NOT replicate through the grid (its per-row
+# flatten(sequence × sequence) array would balloon — a continent-scale
+# outlier among parcel-sized polygons can exceed Spark's array-length
+# cap and FAIL the job, not just pay fan-out). Such outliers route
+# through a broadcast side-channel instead; 4096 = a 64×64 cell patch,
+# ~100 KB of cell structs per row at worst.
+PIP_MAX_CELLS_PER_POLYGON = 4_096
+
 # Row-count memo for the routing gate, same contract as
 # similarity._PAIR_COUNT_CACHE: a stale count can only mis-pick between
 # two exact plans, never change results.
@@ -229,9 +238,20 @@ def points_in_polygons(
     cell range, so each qualifying pair meets in exactly one cell and
     needs no dedup); the equi-join on cell id is the shuffle key at
     100 TB, with AQE handling density skew. ``cell_deg`` defaults to
-    the polygon side's AVERAGE bbox extent (one model-sized aggregate),
-    so a typical polygon replicates into ~1–4 cells; bbox-outlier
-    polygons pay proportional fan-out (the standard grid-index trade).
+    the polygon side's p95 bbox extent (one model-sized aggregate —
+    p95 rather than the mean so a continent-scale outlier among
+    parcel-sized polygons cannot inflate every other polygon's cell
+    count), so a typical polygon replicates into ~1–4 cells.
+
+    Outlier clamp (r14): polygons whose bbox would touch more than
+    PIP_MAX_CELLS_PER_POLYGON cells never enter the grid — their
+    flatten(sequence×sequence) row could exceed Spark's array-length
+    cap and kill the job. They route through a broadcast side-channel
+    (same bbox+ray verify, rows unioned back), detected by a max-cells
+    probe folded into the cell_deg aggregate. If the outlier side
+    itself exceeds PIP_BROADCAST_MAX_POLYGONS the join raises with an
+    explicit instruction (pass a coarser ``cell_deg``) rather than
+    OOM-ing the broadcast — the documented degradation contract.
     """
     from ..functions.geometry import bbox
 
@@ -251,12 +271,55 @@ def points_in_polygons(
             .drop("__geom", "__holes", "__bb")
         )
 
+    w_ext = F.col("__bb.max_lng") - F.col("__bb.min_lng")
+    h_ext = F.col("__bb.max_lat") - F.col("__bb.min_lat")
+    # ONE model-sized aggregate: p95 extents (cell sizing, only when
+    # the caller didn't fix cell_deg) + max extents (outlier probe,
+    # always — an explicit cell_deg is just as exposed to the
+    # array-cap failure as a derived one).
+    aggs = [F.max(w_ext).alias("mw"), F.max(h_ext).alias("mh")]
     if cell_deg is None:
-        row = pb.agg(
-            F.avg(F.col("__bb.max_lng") - F.col("__bb.min_lng")).alias("w"),
-            F.avg(F.col("__bb.max_lat") - F.col("__bb.min_lat")).alias("h"),
-        ).first()
-        cell_deg = max(float(row["w"] or 0.0), float(row["h"] or 0.0), 1e-9)
+        aggs += [
+            F.percentile_approx(w_ext, 0.95).alias("pw"),
+            F.percentile_approx(h_ext, 0.95).alias("ph"),
+        ]
+    row = pb.agg(*aggs).first()
+    if cell_deg is None:
+        cell_deg = max(float(row["pw"] or 0.0), float(row["ph"] or 0.0), 1e-9)
+
+    def _n_cells(lo: str, hi: str) -> F.Column:
+        return (
+            F.floor(F.col(hi) / F.lit(cell_deg))
+            - F.floor(F.col(lo) / F.lit(cell_deg))
+            + F.lit(1)
+        )
+
+    cells_expr = _n_cells("__bb.min_lng", "__bb.max_lng") * _n_cells(
+        "__bb.min_lat", "__bb.max_lat"
+    )
+    # Cheap presence check off the max extents (no extra job): only
+    # when some polygon COULD exceed the cap do we pay the split.
+    max_cells_bound = (
+        int(float(row["mw"] or 0.0) / cell_deg) + 2
+    ) * (int(float(row["mh"] or 0.0) / cell_deg) + 2)
+    bcast_extra = None
+    if max_cells_bound > PIP_MAX_CELLS_PER_POLYGON:
+        big = pb.filter(cells_expr > PIP_MAX_CELLS_PER_POLYGON)
+        n_big = big.count()
+        if n_big > PIP_BROADCAST_MAX_POLYGONS:
+            raise ValueError(
+                f"points_in_polygons grid route: {n_big} polygons each "
+                f"touch > {PIP_MAX_CELLS_PER_POLYGON} cells at cell_deg="
+                f"{cell_deg!r} — too many for the broadcast side-channel "
+                f"({PIP_BROADCAST_MAX_POLYGONS} max). Pass a coarser "
+                "cell_deg so typical polygons span ~1-4 cells."
+            )
+        if n_big:
+            pb = pb.filter(cells_expr <= PIP_MAX_CELLS_PER_POLYGON)
+            bcast_extra = (
+                _pip_filtered(points.crossJoin(F.broadcast(big)), lng, lat)
+                .drop("__geom", "__holes", "__bb")
+            )
     pe = pb.select(
         poly_id,
         "__geom",
@@ -281,7 +344,12 @@ def points_in_polygons(
     )
     p_cx, p_cy = grid_cell(F.col(lng), F.col(lat), cell_deg)
     pt = points.withColumn("__cx", p_cx).withColumn("__cy", p_cy)
-    return (
+    out = (
         _pip_filtered(pt.join(pe, ["__cx", "__cy"]), lng, lat)
         .drop("__geom", "__holes", "__bb", "__cx", "__cy")
     )
+    if bcast_extra is not None:
+        # outlier/grid polygon sets are disjoint, so the union cannot
+        # duplicate a (point, polygon) pair
+        out = out.unionByName(bcast_extra)
+    return out

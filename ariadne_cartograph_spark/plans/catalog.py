@@ -526,11 +526,12 @@ WINDOW_ORDER_R14: list[str] = [
     "text_zipf_vocab_stats",
 ]
 
-# Round 13: the evidence-refresh rotation goes live (amended at r13
-# start to rotate in the four undriven r12-continuation entries) — all
-# 50 entries hash-validated as a unit at sf0.01 before this assignment
-# landed.
-WINDOW_ORDER = WINDOW_ORDER_R13
+# Round 14: the pre-staged r14 rotation goes live (leads with the
+# eight never-driver-hashed r13 additions) — the 50-entry unit was
+# hash-validated at sf0.01 when staged, re-validated post-amendment at
+# r13 close, and re-validated once more on the r14 tree before this
+# assignment landed (the standing rounds-7/8 rule).
+WINDOW_ORDER = WINDOW_ORDER_R14
 
 
 def _ordered() -> dict[str, CatalogEntry]:

@@ -1294,6 +1294,109 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grid-route twin of geo_point_in_polygon (r13 verdict: the broadcast
+# entry's hash never exercises the cell-replicated plan — a census-
+# blocks containment join at scale runs exactly that). 28,800 polygons
+# (> PIP_BROADCAST_MAX_POLYGONS = 25k) form a regular 288×100 grid of
+# holed rectangles generated as pure column math on BOTH sides; margins
+# are multiples of 0.25 plus the standing .005 edge offset (derived
+# point coordinates live on a .01 grid, so no point can sit on an
+# edge). The oracle classifies each point by DIRECT CELL INDEXING
+# (floor-divide into its unique candidate polygon, then the margin
+# test) — an independent formulation from the engine's replicate-
+# into-cells equi-join + bbox + ray-crossing verify.
+_PIPG_N_COLS, _PIPG_N_ROWS = 288, 100  # dlng=1.25, dlat=1.5
+
+
+@register(
+    "geo_point_in_polygon_grid",
+    tags=["J4", "A5"],
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, value,
+         (value % 360.0) - 180.0 AS lng,
+         ((event_id % 1600) / 10.0) - 80.0 AS lat
+  FROM events),
+cand AS (
+  SELECT value, lng, lat,
+         CAST(floor((lng + 180.0) / 1.25) AS BIGINT) AS gx,
+         CAST(floor((lat + 75.0) / 1.5) AS BIGINT) AS gy
+  FROM pts),
+hit AS (
+  SELECT gy * {_PIPG_N_COLS} + gx AS poly_id, value
+  FROM cand
+  WHERE gx BETWEEN 0 AND {_PIPG_N_COLS - 1}
+    AND gy BETWEEN 0 AND {_PIPG_N_ROWS - 1}
+    AND lng > -180.0 + gx * 1.25 + 0.255
+    AND lng < -180.0 + gx * 1.25 + 1.005
+    AND lat > -75.0 + gy * 1.5 + 0.255
+    AND lat < -75.0 + gy * 1.5 + 1.255
+    AND NOT (lng > -180.0 + gx * 1.25 + 0.505
+         AND lng < -180.0 + gx * 1.25 + 0.755
+         AND lat > -75.0 + gy * 1.5 + 0.505
+         AND lat < -75.0 + gy * 1.5 + 0.755))
+SELECT poly_id, count(*) AS n_points,
+       CAST(round(sum(CAST(value AS DECIMAL(27,2))), 2) AS DOUBLE) AS total_value
+FROM hit GROUP BY poly_id ORDER BY poly_id
+""",
+)
+def geo_point_in_polygon_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join through the GRID route of
+    operators/spatial.points_in_polygons: the polygon side exceeds
+    PIP_BROADCAST_MAX_POLYGONS, so auto-routing replicates polygons
+    into grid cells and equi-joins on cell id (the billion-polygon
+    physical plan — plan-shape pinned in tests/test_plan_shapes.py).
+    Polygons are holed rectangles built from spark.range column math
+    (no driver-side row materialization); every margin constant is a
+    multiple of 0.25 plus the .005 edge offset, so both engines'
+    double arithmetic agrees on strict-inequality membership."""
+    from ..operators.spatial import points_in_polygons
+
+    n_cols, n_rows = _PIPG_N_COLS, _PIPG_N_ROWS
+    base = spark.range(n_cols * n_rows).select(
+        F.col("id").alias("poly_id"),
+        (F.lit(-180.0) + (F.col("id") % n_cols).cast("double") * F.lit(1.25)).alias("lng0"),
+        (F.lit(-75.0) + F.expr(f"id div {n_cols}").cast("double") * F.lit(1.5)).alias("lat0"),
+    )
+
+    def _pt(xe, ye):  # noqa: ANN001 - column helpers
+        return F.struct(xe.alias("lng"), ye.alias("lat"))
+
+    lng0, lat0 = F.col("lng0"), F.col("lat0")
+    ol, orr = lng0 + F.lit(0.255), lng0 + F.lit(1.005)
+    ob, ot = lat0 + F.lit(0.255), lat0 + F.lit(1.255)
+    hl, hr = lng0 + F.lit(0.505), lng0 + F.lit(0.755)
+    hb, ht = lat0 + F.lit(0.505), lat0 + F.lit(0.755)
+    polys = base.select(
+        "poly_id",
+        F.array(
+            _pt(ol, ob), _pt(orr, ob), _pt(orr, ot), _pt(ol, ot), _pt(ol, ob)
+        ).alias("geom"),
+        F.array(
+            F.array(_pt(hl, hb), _pt(hr, hb), _pt(hr, ht), _pt(hl, ht), _pt(hl, hb))
+        ).alias("holes"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id"),
+        "value",
+        F.expr("(value % 360.0) - 180.0").alias("lng"),
+        F.expr("((event_id % 1600) / 10.0) - 80.0").alias("lat"),
+    )
+    return (
+        points_in_polygons(
+            pts, polys, point_id="event_id",
+            polygons_count_hint=n_cols * n_rows,
+        )
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            money_sum("value").alias("total_value"),
+        )
+        .orderBy("poly_id")
+    )
+
+
 @register(
     "osm_polygon_way_area",
     tags=["P13", "S6"],

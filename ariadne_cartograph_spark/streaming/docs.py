@@ -33,9 +33,11 @@ is O(batch + candidates), never O(store):
   whose bucket key enables dynamic partition pruning — the scan
   touches the candidate buckets, not the corpus. ``__fp`` (xxhash64 of
   the sorted shingle set) and ``__n`` (set size) are computed ONCE at
-  append so the per-batch verify decides exact-duplicate pairs on
-  narrow columns without re-sorting stored arrays (r13; store format
-  is internal — pre-r13 dirs lack the columns and are not readable).
+  append so the per-batch verify decides exact-duplicate pairs and
+  Jaccard denominators on narrow columns without re-sorting or
+  re-sizing stored arrays (r13/r14; store format is internal —
+  pre-r13 dirs lack the columns and the read guard in ``_dropped_ids``
+  rejects them with a rebuild instruction).
 
 Each batch appends small files per bucket; a long-lived ingest
 compacts them periodically with ``sources.layout.compact_parquet_dir``
@@ -190,11 +192,13 @@ def _dropped_ids(
         F.col(id_col).alias("new_id"),
         F.col("sh").alias("sh_new"),
         set_fingerprint("sh").alias("__fp_n"),
+        F.size("sh").alias("__n_n"),
     )
     sh_old = idx_new.filter(F.col("band_idx") == 0).select(
         F.col(id_col).alias("old_id"),
         F.col("sh").alias("sh_old"),
         set_fingerprint("sh").alias("__fp_o"),
+        F.size("sh").alias("__n_o"),
     )
     if os.path.isdir(sh_dir):
         cand_old = (
@@ -209,9 +213,20 @@ def _dropped_ids(
         # heuristics over stat-less checkpoints.
         buckets = [r["__cb"] for r in cand_old.select("__cb").distinct().collect()]
         if buckets:
-            stored_sh = spark.read.parquet(sh_dir).filter(
-                F.col("__bucket").isin(buckets)
-            )
+            stored_sh = spark.read.parquet(sh_dir)
+            # Store-format guard (r14): pre-r13 stores lack __fp/__n —
+            # without this check the select below dies mid-batch with
+            # an opaque unresolved-column error. Footer-only schema
+            # inspection, no data read.
+            missing = {"__fp", "__n"} - set(stored_sh.columns)
+            if missing:
+                raise ValueError(
+                    f"shingle store at {sh_dir} predates the r13 format "
+                    f"(columns {sorted(missing)} absent) — the index is "
+                    "derivable from the corpus: delete store_dir and "
+                    "replay the stream to rebuild"
+                )
+            stored_sh = stored_sh.filter(F.col("__bucket").isin(buckets))
             stored_cand = (
                 stored_sh.join(
                     F.broadcast(cand_old),
@@ -223,6 +238,7 @@ def _dropped_ids(
                     F.col(id_col).alias("old_id"),
                     F.col("sh").alias("sh_old"),
                     F.col("__fp").alias("__fp_o"),
+                    F.col("__n").alias("__n_o"),
                 )
             )
             sh_old = sh_old.unionByName(stored_cand)
@@ -246,15 +262,19 @@ def _dropped_ids(
         .join(sh_old, "old_id")
         .withColumn("__fp_eq", F.col("__fp_n") == F.col("__fp_o"))
     )
+    # Sizes come from the precomputed __n columns (stored side: read
+    # off the store; in-batch side: computed once at index time) — the
+    # verify never re-measures fetched arrays (r14, ADVICE: __n was
+    # written but unread).
     inter = F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
-    union = (F.size("sh_new") + F.size("sh_old")).cast("double") - inter
+    union = (F.col("__n_n") + F.col("__n_o")).cast("double") - inter
     # when(union > 0): two sub-shingle-length docs share their
     # NULL-filled minhash bands, so empty-set pairs DO reach this
     # verify — 0/0 must be NULL (pair rejected), not an ANSI
     # divide-by-zero that kills the foreachBatch (same guard as
     # operators/dedup.jaccard_verify).
     jaccard = F.when(
-        F.col("__fp_eq") & (F.size("sh_new") > 0), F.lit(1.0)
+        F.col("__fp_eq") & (F.col("__n_n") > 0), F.lit(1.0)
     ).otherwise(F.when(union > 0, inter / union))
     return (
         cands.withColumn("jaccard", jaccard)

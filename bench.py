@@ -2,9 +2,13 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Regression fence: per-query times are compared against the recorded
-round-1 numbers (BENCH_r01, also tabulated in BASELINE.md); any query
->2x slower is reported in a "regressions" key and on stderr.
+Regression fence: per-query times are compared against BASELINE_QUERIES
+below — the single source of truth for fence values (BASELINE.md points
+here). Fences are per-query clean-run minimums, re-pinned when the data
+or the plan legitimately changes (the r1 numbers were retired in r4
+after the driver regenerated all parquet tables; see the
+BASELINE_QUERIES comment). Any query >2x its fence is reported in a
+"regressions" key and on stderr.
 """
 
 from __future__ import annotations

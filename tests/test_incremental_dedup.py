@@ -125,6 +125,48 @@ def test_verify_stage_is_candidate_bounded(spark, tmp_path):
     assert 0 < N_BUCKETS <= 256
 
 
+def test_pre_r13_store_rejected_with_clear_error(spark, tmp_path):
+    """A store written before the r13 format change (shingles/ lacks
+    __fp/__n) must fail the batch with an explicit rebuild instruction,
+    not an opaque unresolved-column error mid-plan (r14 ADVICE)."""
+    import os
+
+    import pytest
+
+    from ariadne_cartograph_spark.streaming.docs import (
+        _bucket,
+        _dropped_ids,
+        _index_batch,
+    )
+
+    doc = spark.createDataFrame(
+        [(1, "some longer filler document body one two")],
+        "doc_id long, text string",
+    )
+    idx = _index_batch(doc, "doc_id", "text", 32, 8, 3).localCheckpoint(eager=True)
+    store = str(tmp_path / "store_old")
+    # hand-write a pre-r13 layout: bands as today, shingles WITHOUT
+    # __fp/__n
+    idx.select("doc_id", "band_idx", "band_hash").write.parquet(
+        os.path.join(store, "bands")
+    )
+    (
+        idx.filter(F.col("band_idx") == 0)
+        .select("doc_id", "sh")
+        .withColumn("__bucket", _bucket(F.col("doc_id")))
+        .write.partitionBy("__bucket")
+        .parquet(os.path.join(store, "shingles"))
+    )
+    # same doc again -> candidate pair against the store -> guard fires
+    dup = spark.createDataFrame(
+        [(2, "some longer filler document body one two")],
+        "doc_id long, text string",
+    )
+    idx2 = _index_batch(dup, "doc_id", "text", 32, 8, 3).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="pre.*r13|predates the r13"):
+        _dropped_ids(spark, idx2, store, "doc_id", THRESH).collect()
+
+
 def test_foreachbatch_wiring(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     src = str(tmp_path / "src")

@@ -198,3 +198,17 @@ def test_heavy_hitters_sketch_plan_posture(spark, queries):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pip_grid_entry_runs_grid_route(spark, queries):
+    """geo_point_in_polygon_grid (r14): the polygon side exceeds
+    PIP_BROADCAST_MAX_POLYGONS, so the driver-hashed plan must be the
+    cell-replicated GRID route — a hash equi-join on the cell id, no
+    BroadcastNestedLoopJoin (the broadcast route's signature), and no
+    outlier side-channel engaged (the regular grid has no bbox
+    outliers). The containment verify stays whole-stage codegen."""
+    df = queries["geo_point_in_polygon_grid"](spark, SF_SMOKE)
+    plan = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__cx" in plan and "__cy" in plan  # the cell equi-join keys
+    assert "BatchEvalPython" not in plan  # ray-crossing is column math

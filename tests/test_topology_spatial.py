@@ -315,6 +315,66 @@ def test_points_in_polygons_grid_route_equals_broadcast(spark):
     assert {(r["pid"], r["poly_id"]) for r in g2.collect()} == b
 
 
+def test_points_in_polygons_grid_outlier_clamp(spark, monkeypatch):
+    """r14 ADVICE: a continent-scale bbox outlier among parcel-sized
+    polygons must not inflate the grid (p95 cell sizing) nor build a
+    job-killing flatten(sequence×sequence) row (cells cap) — it routes
+    through the broadcast side-channel, rows identical to the pure
+    broadcast plan; and an outlier side too big to broadcast raises
+    the documented error instead of OOM-ing."""
+    import ariadne_cartograph_spark.operators.spatial as S
+
+    # 40 parcel-sized squares + one near-global polygon with a hole
+    polys_py = {}
+    for pid in range(1, 41):
+        cx, cy = (pid % 8) * 2.0 - 8.0, (pid // 8) * 2.0 - 4.0
+        polys_py[pid] = (
+            [(cx, cy), (cx + 1.5, cy), (cx + 1.5, cy + 1.5),
+             (cx, cy + 1.5), (cx, cy)],
+            [],
+        )
+    polys_py[99] = (
+        [(-170.005, -80.005), (170.005, -80.005), (170.005, 80.005),
+         (-170.005, 80.005), (-170.005, -80.005)],
+        [[(-1.005, -1.005), (1.005, -1.005), (1.005, 1.005),
+          (-1.005, 1.005), (-1.005, -1.005)]],
+    )
+    import random
+
+    rng = random.Random(3)
+    pts = [(i, rng.uniform(-12, 12), rng.uniform(-6, 6)) for i in range(200)]
+    pt = "struct<lng:double,lat:double>"
+    polys = spark.createDataFrame(
+        [
+            (pid, [{"lng": x, "lat": y} for x, y in outer],
+             [[{"lng": x, "lat": y} for x, y in h] for h in holes])
+            for pid, (outer, holes) in polys_py.items()
+        ],
+        f"poly_id int, geom array<{pt}>, holes array<array<{pt}>>",
+    )
+    pts_df = spark.createDataFrame(pts, "pid int, lng double, lat double")
+
+    base = {(r["pid"], r["poly_id"])
+            for r in S.points_in_polygons(pts_df, polys, strategy="broadcast").collect()}
+    g_df = S.points_in_polygons(pts_df, polys, strategy="grid")
+    g_plan = g_df._jdf.queryExecution().executedPlan().toString()
+    # outlier side-channel engaged: the grid plan carries BOTH a cell
+    # equi-join and a broadcast NL join for the single outlier
+    assert "BroadcastNestedLoopJoin" in g_plan
+    got = {(r["pid"], r["poly_id"]) for r in g_df.collect()}
+    assert got == base
+    # the near-global polygon matched most points (minus its hole), the
+    # parcels matched some: both routes contributed
+    assert any(p == 99 for _, p in got) and any(p != 99 for _, p in got)
+
+    # outlier side too big to broadcast -> explicit error, not OOM
+    monkeypatch.setattr(S, "PIP_BROADCAST_MAX_POLYGONS", 0)
+    import pytest
+
+    with pytest.raises(ValueError, match="coarser"):
+        S.points_in_polygons(pts_df, polys, strategy="grid")
+
+
 def test_points_in_polygons_auto_routes_on_cardinality(spark, monkeypatch):
     """auto = broadcast for dimension-sized polygon tables, grid when
     the side is too big to broadcast (forced here via the threshold —
