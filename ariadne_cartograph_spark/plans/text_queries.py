@@ -1702,10 +1702,18 @@ sx AS (SELECT i, s FROM g WHERE j = 65 AND i < 65),
 dg AS (SELECT i, s FROM g WHERE i = j AND i < 65),
 nn AS (SELECT s AS n FROM g WHERE i = 65 AND j = 65),
 pairs AS (
+  -- HUGEINT (int128) for the n*S products: with |q| <= ~1025 the
+  -- BIGINT envelope n^2 * 2^20 < 2^63 only holds to n ~ 3e6 rows —
+  -- within 10x of plausible corpus sizes. The engine side is immune
+  -- (Python driver ints are arbitrary precision); int128 moves the
+  -- oracle's bound to n ~ 1e16 (r14 ADVICE).
   SELECT go.i AS i, go.j AS j,
-         (SELECT n FROM nn) * go.s - si.s * sj.s AS num,
-         (SELECT n FROM nn) * di.s - si.s * si.s AS dx,
-         (SELECT n FROM nn) * dj.s - sj.s * sj.s AS dy
+         CAST((SELECT n FROM nn) AS HUGEINT) * go.s
+           - CAST(si.s AS HUGEINT) * sj.s AS num,
+         CAST((SELECT n FROM nn) AS HUGEINT) * di.s
+           - CAST(si.s AS HUGEINT) * si.s AS dx,
+         CAST((SELECT n FROM nn) AS HUGEINT) * dj.s
+           - CAST(sj.s AS HUGEINT) * sj.s AS dy
   FROM g go
   JOIN sx si ON si.i = go.i
   JOIN sx sj ON sj.i = go.j
@@ -1731,6 +1739,13 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     G = gram_matrix(emb.select(qa.alias("q")), "q")
     d = len(G) - 1
+    # The oracle's generate_series bound is the 64-dim testdata schema
+    # plus the augment column; a schema drift would silently compare
+    # different matrices, so pin it here (r14 ADVICE).
+    assert d == 64, (
+        f"embedding width {d} != 64: the DuckDB oracle's hard-coded "
+        "series bound (65) no longer matches the table schema"
+    )
     n = G[d][d]
     S = [G[i][d] for i in range(d)]
     rows = []

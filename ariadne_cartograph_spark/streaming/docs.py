@@ -19,29 +19,32 @@ one join. On transitive in-batch chains A~B~C (A!~C) greedy keeps C
 where this rule drops it: a documented over-drop, the standard trade
 for distributed determinism.
 
-State is TWO parquet tables under ``store_dir`` so that per-batch cost
-is O(batch + candidates), never O(store):
+State is ONE parquet table, ``store_dir/index``, partitioned by
+``(__batch, __bucket)`` — unified in r14 from the earlier bands/
+shingles pair so each micro-batch pays exactly ONE write action (the
+4-batch sf1 replay was driver-overhead bound). Per-batch cost stays
+O(batch + candidates), never O(store):
 
-- ``bands/`` — (doc_id, band_idx, band_hash): the LSH probe side. One
-  narrow row per (doc, band); at scale (band_idx, band_hash) are the
-  natural partition/bucket keys so each batch's probe is a co-located
-  join against the store instead of a broadcast. No shingle arrays
-  ride along, so the band join shuffles ids only.
-- ``shingles/`` — (doc_id, sh, __fp, __n) partitioned by ``__bucket =
-  pmod(xxhash64(doc_id), N_BUCKETS)``: exactly one row per document,
-  read back ONLY for verified-candidate ids via a broadcast semi-join
-  whose bucket key enables dynamic partition pruning — the scan
-  touches the candidate buckets, not the corpus. ``__fp`` (xxhash64 of
-  the sorted shingle set) and ``__n`` (set size) are computed ONCE at
-  append so the per-batch verify decides exact-duplicate pairs and
-  Jaccard denominators on narrow columns without re-sorting or
-  re-sizing stored arrays (r13/r14; store format is internal —
-  pre-r13 dirs lack the columns and the read guard in ``_dropped_ids``
-  rejects them with a rebuild instruction).
+- one row per (doc, band): (doc_id, band_idx, band_hash) — the LSH
+  probe side. The probe self-join reads ONLY these narrow columns
+  (column pruning skips the shingle payload), so the band join
+  shuffles ids only; at scale (band_idx, band_hash) are the natural
+  bucket keys for a co-located probe.
+- the band-0 row additionally carries the doc's shingle payload:
+  ``sh`` (the set), ``__fp`` (xxhash64 of the sorted set) and ``__n``
+  (set size), computed ONCE at append so the per-batch verify decides
+  exact-duplicate pairs and Jaccard denominators on narrow columns
+  without re-sorting or re-sizing stored arrays. Candidate fetch is a
+  broadcast semi-join against ``__bucket``-pruned partitions
+  (``__bucket = pmod(xxhash64(doc_id), N_BUCKETS)``) — the scan
+  touches the candidate buckets, not the corpus; the current batch's
+  own rows partition-prune via ``__batch``.
 
-Each batch appends small files per bucket; a long-lived ingest
-compacts them periodically with ``sources.layout.compact_parquet_dir``
-(orthogonal to correctness — append order never matters here).
+The store format is internal — a directory in the pre-r14 two-table
+layout is rejected with an explicit rebuild instruction. Each batch
+appends one file per bucket; a long-lived ingest compacts them
+periodically with ``sources.layout.compact_parquet_dir`` (orthogonal
+to correctness — append order never matters here).
 """
 
 from __future__ import annotations
@@ -109,53 +112,80 @@ def _index_batch(
     )
 
 
+def _next_batch_id(index_dir: str) -> int:
+    """Next ``__batch`` partition ordinal — a driver-side directory
+    listing, zero jobs. A crashed append leaves its ``__batch=N`` dir
+    behind, so the replay writes N+1; the duplicated doc rows that
+    creates are neutralized in the probe (id inequality on the stored
+    branch) and the pair distinct."""
+    if not os.path.isdir(index_dir):
+        return 0
+    ids = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(index_dir)
+        if e.startswith("__batch=")
+    ]
+    return max(ids) + 1 if ids else 0
+
+
 def _dropped_ids(
     spark: SparkSession,
-    idx_new: DataFrame,
-    store_dir: str,
+    store: DataFrame,
+    batch_id: int,
     id_col: str,
     threshold: float,
 ) -> DataFrame:
-    """Ids of batch docs with a verified near-duplicate. Lazy; every
-    shuffle in this plan is candidate- or batch-sized:
+    """Ids of current-batch docs with a verified near-duplicate, read
+    entirely off the just-appended unified index (the batch's own rows
+    ARE the ``__batch == batch_id`` partition — r14: the index is
+    written once and re-read, never checkpointed). Lazy; every shuffle
+    is candidate- or batch-sized:
 
-    - the band probe joins new bands against (stored + in-batch) bands
-      carrying IDS ONLY (no shingle arrays through the exchange);
-    - the stored-shingle fetch is a broadcast LeftSemi of candidate ids
-      against the bucket-partitioned shingles table (dynamic partition
-      pruning keys the scan on the candidate buckets) — never a
-      store-wide aggregate.
+    - the band probe self-joins the index carrying IDS ONLY (the
+      shingle payload is column-pruned off both probe scans); the new
+      side partition-prunes to the current ``__batch``;
+    - the shingle fetch is a broadcast LeftSemi of candidate ids
+      against ``__bucket``-pruned partitions — never a store-wide
+      aggregate.
     """
-    bands_dir = os.path.join(store_dir, "bands")
-    sh_dir = os.path.join(store_dir, "shingles")
+    is_cur = F.col("__batch") == F.lit(batch_id)
+    # <= rather than "everything in the dir": freezes the probe against
+    # batches appended AFTER this one, so a returned `kept` frame stays
+    # correct however late the caller consumes it.
+    le_cur = F.col("__batch") <= F.lit(batch_id)
 
-    new_bands = idx_new.select(id_col, "band_idx", "band_hash").withColumn(
-        "__stored", F.lit(False)
+    new_bands = store.filter(is_cur).select(id_col, "band_idx", "band_hash")
+    probe_side = store.filter(le_cur).select(
+        id_col,
+        "band_idx",
+        "band_hash",
+        (F.col("__batch") < F.lit(batch_id)).alias("__stored"),
     )
-    probe_side = new_bands
-    if os.path.isdir(bands_dir):
-        stored_bands = spark.read.schema(
-            idx_new.select(id_col, "band_idx", "band_hash").schema
-        ).parquet(bands_dir)
-        probe_side = stored_bands.withColumn("__stored", F.lit(True)).unionByName(
-            new_bands
-        )
 
-    a = idx_new.alias("a")  # the NEW doc
+    a = new_bands.alias("a")  # the NEW doc
     b = probe_side.alias("b")
     # Candidate pairs dedupe on IDS ONLY — shingle arrays through the
     # distinct would shuffle duplicated sets per matching band (the
     # same scale bug class as vector-wide LSH distincts); shingles are
     # re-fetched by id afterward. Checkpointed because both the verify
-    # join and the candidate-id fetch consume it.
+    # join and the candidate-id fetch consume it. The stored branch
+    # requires id INEQUALITY, not just __stored: after a crash-replay
+    # the same document's rows can exist under two batch ordinals, and
+    # a doc must never pair with itself.
     pair_ids = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (
-                F.col("b.__stored")
-                | (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+                (
+                    F.col("b.__stored")
+                    & (F.col(f"b.{id_col}") != F.col(f"a.{id_col}"))
+                )
+                | (
+                    ~F.col("b.__stored")
+                    & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+                )
             ),
         )
         .select(
@@ -184,64 +214,48 @@ def _dropped_ids(
     )
 
     # One shingle row per doc via band_idx == 0 — a narrow filter, not
-    # a dropDuplicates shuffle. The in-batch side computes its set
-    # fingerprint here; the stored side reads the PRECOMPUTED __fp off
-    # the store (r13 — previously every batch re-ran
+    # a dropDuplicates shuffle; __fp/__n are the PRECOMPUTED columns
+    # written once at append (r13 — previously every batch re-ran
     # xxhash64(array_sort(sh)) over every fetched stored candidate).
-    sh_new = idx_new.filter(F.col("band_idx") == 0).select(
+    sh_new = store.filter(is_cur & (F.col("band_idx") == 0)).select(
         F.col(id_col).alias("new_id"),
         F.col("sh").alias("sh_new"),
-        set_fingerprint("sh").alias("__fp_n"),
-        F.size("sh").alias("__n_n"),
+        F.col("__fp").alias("__fp_n"),
+        F.col("__n").alias("__n_n"),
     )
-    sh_old = idx_new.filter(F.col("band_idx") == 0).select(
-        F.col(id_col).alias("old_id"),
-        F.col("sh").alias("sh_old"),
-        set_fingerprint("sh").alias("__fp_o"),
-        F.size("sh").alias("__n_o"),
+    cand_old = (
+        pair_ids.select("old_id")
+        .distinct()
+        .withColumn("__cb", _bucket(F.col("old_id")))
     )
-    if os.path.isdir(sh_dir):
-        cand_old = (
-            pair_ids.select("old_id")
-            .distinct()
-            .withColumn("__cb", _bucket(F.col("old_id")))
+    # Candidate buckets as STATIC partition filters: at most N_BUCKETS
+    # ints (a model-sized collect off the checkpointed candidate set,
+    # same class as skew counters) — deterministic partition pruning on
+    # the fetch scan, no reliance on DPP heuristics over stat-less
+    # checkpoints. In-batch and stored candidates fetch through the
+    # SAME pruned scan (the unified index holds both).
+    buckets = [r["__cb"] for r in cand_old.select("__cb").distinct().collect()]
+    if not buckets:
+        # no candidate pairs at all -> nothing dropped (empty frame of
+        # the right shape, derived from the empty checkpointed pairs)
+        return pair_ids.select(F.col("new_id").alias(id_col)).distinct()
+    fetch = store.filter(
+        le_cur & (F.col("band_idx") == 0) & F.col("__bucket").isin(buckets)
+    )
+    sh_old = (
+        fetch.join(
+            F.broadcast(cand_old),
+            (fetch["__bucket"] == cand_old["__cb"])
+            & (fetch[id_col] == cand_old["old_id"]),
+            "left_semi",
         )
-        # Candidate buckets as STATIC partition filters: at most
-        # N_BUCKETS ints (a model-sized collect off the checkpointed
-        # candidate set, same class as skew counters) — deterministic
-        # partition pruning on the shingle scan, no reliance on DPP
-        # heuristics over stat-less checkpoints.
-        buckets = [r["__cb"] for r in cand_old.select("__cb").distinct().collect()]
-        if buckets:
-            stored_sh = spark.read.parquet(sh_dir)
-            # Store-format guard (r14): pre-r13 stores lack __fp/__n —
-            # without this check the select below dies mid-batch with
-            # an opaque unresolved-column error. Footer-only schema
-            # inspection, no data read.
-            missing = {"__fp", "__n"} - set(stored_sh.columns)
-            if missing:
-                raise ValueError(
-                    f"shingle store at {sh_dir} predates the r13 format "
-                    f"(columns {sorted(missing)} absent) — the index is "
-                    "derivable from the corpus: delete store_dir and "
-                    "replay the stream to rebuild"
-                )
-            stored_sh = stored_sh.filter(F.col("__bucket").isin(buckets))
-            stored_cand = (
-                stored_sh.join(
-                    F.broadcast(cand_old),
-                    (stored_sh["__bucket"] == cand_old["__cb"])
-                    & (stored_sh[id_col] == cand_old["old_id"]),
-                    "left_semi",
-                )
-                .select(
-                    F.col(id_col).alias("old_id"),
-                    F.col("sh").alias("sh_old"),
-                    F.col("__fp").alias("__fp_o"),
-                    F.col("__n").alias("__n_o"),
-                )
-            )
-            sh_old = sh_old.unionByName(stored_cand)
+        .select(
+            F.col(id_col).alias("old_id"),
+            F.col("sh").alias("sh_old"),
+            F.col("__fp").alias("__fp_o"),
+            F.col("__n").alias("__n_o"),
+        )
+    )
 
     # Set-fingerprint short-circuit for the verify: on crawl-style
     # corpora most LSH candidates are EXACT duplicates (the sf1 replica
@@ -299,52 +313,65 @@ def incremental_near_dup_filter(
     rows, and append the batch's index rows to the store (all batch
     docs — dropped ones too, so later arrivals dedup against them).
 
-    The store join is new-bands vs (stored + in-batch) bands on
-    (band_idx, band_hash) with the smaller-id restriction; candidates
-    are verified with exact Jaccard on the stored shingle sets,
-    fetched by candidate id only (see ``_dropped_ids``).
+    r14 job-count rework (the replay was driver-overhead bound, ~90
+    jobs for ~6 s of execution): the batch's index is written ONCE to
+    the unified table and every downstream consumer re-reads it with
+    partition pruning — the write IS the materialization barrier, so
+    the former idx localCheckpoint, the dropped localCheckpoint, and
+    the second store write are all gone (3 fewer actions per batch).
+    Write-before-probe also removes the read-after-append hazard the
+    dropped checkpoint existed for: the probe explicitly filters
+    ``__batch <= current``, so later appends can never leak into a
+    returned ``kept`` frame.
     """
     from ..sources.tables import fan_out
+
+    index_dir = os.path.join(store_dir, "index")
+    legacy = [
+        d
+        for d in ("bands", "shingles")
+        if os.path.isdir(os.path.join(store_dir, d))
+    ]
+    if legacy:
+        raise ValueError(
+            f"store at {store_dir} predates the r14 single-table index "
+            f"format (found legacy {legacy} subdirectories) — the index "
+            "is derivable from the corpus: delete store_dir and replay "
+            "the stream to rebuild"
+        )
+    batch_id = _next_batch_id(index_dir)
 
     # fan_out BEFORE the index projection: a micro-batch often arrives
     # as one split (a single file, one kafka partition) while the
     # shingle+minhash projection is pure CPU — measured 4.9 s → 1.5 s
-    # per 50k-doc batch at sf1 on local[32]. The store writes below
-    # re-narrow so the fan-out never multiplies store file counts.
-    idx_new = _index_batch(
+    # per 50k-doc batch at sf1 on local[32]. The repartition below
+    # re-narrows to one file per bucket, so the fan-out never
+    # multiplies store file counts.
+    idx = _index_batch(
         fan_out(batch), id_col, text_col, n_hashes, bands, shingle_size
-    ).localCheckpoint(eager=True)
-
-    dropped = (
-        _dropped_ids(spark, idx_new, store_dir, id_col, threshold)
-        # materialize BEFORE the store append below: the returned
-        # ``kept`` frame must never observe this batch's own index
-        # rows through a re-read of the store directories
-        .localCheckpoint(eager=True)
     )
-    kept = batch.join(dropped, id_col, "left_anti")
-
-    # coalesce/repartition before the appends: the fan-out above is for
-    # projection CPU, not for the store layout — without re-narrowing,
-    # every batch would append parallelism-many band files and up to
-    # parallelism × N_BUCKETS shingle files (tiny-file creep the next
-    # batches re-read). Both inputs are checkpointed, so this costs a
-    # batch-sized merge, not a recompute.
-    idx_new.select(id_col, "band_idx", "band_hash").coalesce(4).write.mode(
-        "append"
-    ).parquet(os.path.join(store_dir, "bands"))
+    row0 = F.col("band_idx") == 0
     (
-        idx_new.filter(F.col("band_idx") == 0)
-        .select(F.col(id_col), F.col("sh"))
-        .withColumn("__fp", set_fingerprint("sh"))
-        .withColumn("__n", F.size("sh"))
-        .withColumn("__bucket", _bucket(F.col(id_col)))
-        .repartition("__bucket")  # one file per bucket per batch
+        idx.select(
+            F.col(id_col),
+            "band_idx",
+            "band_hash",
+            # shingle payload rides ONLY the band-0 row (null elsewhere,
+            # RLE-compressed away); probe scans never read it
+            F.when(row0, F.col("sh")).alias("sh"),
+            F.when(row0, set_fingerprint("sh")).alias("__fp"),
+            F.when(row0, F.size("sh")).alias("__n"),
+            F.lit(batch_id).alias("__batch"),
+            _bucket(F.col(id_col)).alias("__bucket"),
+        )
+        .repartition("__bucket")
         .write.mode("append")
-        .partitionBy("__bucket")
-        .parquet(os.path.join(store_dir, "shingles"))
+        .partitionBy("__batch", "__bucket")
+        .parquet(index_dir)
     )
-    return kept
+    store = spark.read.parquet(index_dir)
+    dropped = _dropped_ids(spark, store, batch_id, id_col, threshold)
+    return batch.join(dropped, id_col, "left_anti")
 
 
 def run_incremental_dedup(

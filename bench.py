@@ -36,7 +36,13 @@ BASELINE_QUERIES: dict[str, float] = {
     # ingest and the multimodal image mapInPandas stage — a regression
     # in the Arrow machinery is now fence-visible.
     "multimodal_image_stats": 0.6,
-    "osm_ingest_feature_tables": 2.47,  # r5 re-pin
+    # r5 re-pin; r13 idle-to-idle drift (2.387 -> 2.974) settled by r14
+    # A/B: the full ingest code path is byte-identical to the r12
+    # checkout (git diff empty over sources/osm.py, tables.py,
+    # session.py, style.py) and interleaved isolated mins OVERLAP
+    # (r14 {2.148, 2.33} vs r12 {2.076, 2.33} on the same host state)
+    # — the documented JVM/host-state class, fence confirmed.
+    "osm_ingest_feature_tables": 2.47,
     "ngram_jaccard_near_dup": 1.55,  # r5 re-pin
     # r6: the gate pass (xxhash64 fingerprint + 1-row countDistinct)
     # rides on top of the r4 prefix plan; clean-run minimum 3.19.
@@ -111,7 +117,14 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # (13.3 vs 11.1 old — the parquet re-read was never the cost) and
     # a split fp-then-arrays verify (17.4 — the arrays never balloon
     # through a shuffle, the split only added join passes).
-    "docs_incremental_dedup_parity": 10.5,
+    # r14 re-pin: the store unified into ONE (__batch,__bucket)-
+    # partitioned table written once per micro-batch — the index write
+    # IS the materialization barrier, retiring the idx and dropped
+    # localCheckpoints and the second store write (3 fewer actions per
+    # batch; the replay was driver-overhead bound). Same-day isolated
+    # A/B on the same host state: 10.41 -> 6.87 s min (runs
+    # [9.4, 7.9, 7.4, 6.9]); fence carries the in-context margin.
+    "docs_incremental_dedup_parity": 8.5,
     "geo_line_simplify": 9.1,
     # r11 re-pin: entry switched to the measured auto-router — on the
     # 10x replica the exact-dup collapse cuts the count join's

@@ -85,10 +85,12 @@ def test_verify_stage_is_candidate_bounded(spark, tmp_path):
     LeftSemi against the candidate ids — never a store-wide shuffle or
     dropDuplicates. A store-wide pass here made batch cost grow with
     corpus lifetime (the r4 finding)."""
+    import os
+
     from ariadne_cartograph_spark.streaming.docs import (
         N_BUCKETS,
         _dropped_ids,
-        _index_batch,
+        _next_batch_id,
     )
 
     docs = load_table(spark, SF, "documents")
@@ -97,22 +99,41 @@ def test_verify_stage_is_candidate_bounded(spark, tmp_path):
     incremental_near_dup_filter(
         spark, docs.filter(F.col("doc_id") < 60), store, threshold=THRESH
     )
-    idx = _index_batch(
-        docs.filter(F.col("doc_id") >= 60),
-        "doc_id", "text", 32, 8, 3,
-    ).localCheckpoint(eager=True)
-    dropped = _dropped_ids(spark, idx, store, "doc_id", THRESH)
+    incremental_near_dup_filter(
+        spark, docs.filter(F.col("doc_id") >= 60), store, threshold=THRESH
+    ).collect()
+    index_dir = os.path.join(store, "index")
+    dropped = _dropped_ids(
+        spark,
+        spark.read.parquet(index_dir),
+        _next_batch_id(index_dir) - 1,
+        "doc_id",
+        THRESH,
+    )
     dropped.collect()
     plan = spark._jvm.PythonSQLUtils.explainString(
         dropped._jdf.queryExecution(), "formatted"
     )
-    scans = [b for b in plan.split("\n\n") if "shingles" in b and "Scan parquet" in b]
-    assert scans, "shingle store is not scanned via parquet"
-    for scan in scans:
-        pf = next(l for l in scan.splitlines() if "PartitionFilters" in l)
-        assert "__bucket" in pf and " IN " in pf, (
-            "shingle scan not partition-pruned to candidate buckets:\n" + scan
+    scans = [b for b in plan.split("\n\n") if "index" in b and "Scan parquet" in b]
+    assert scans, "unified index is not scanned via parquet"
+
+    def _pf(block):
+        return next(l for l in block.splitlines() if "PartitionFilters" in l)
+
+    # every scan that reads the shingle payload must be partition-
+    # pruned (__bucket IN for the candidate fetch, __batch = N for the
+    # batch's own rows) — never an unpruned store-wide payload scan
+    payload_scans = [b for b in scans if "sh:" in b or "sh#" in b]
+    assert payload_scans, "no scan reads the shingle payload"
+    for scan in payload_scans:
+        pf = _pf(scan)
+        assert ("__bucket" in pf and " IN " in pf) or "__batch" in pf, (
+            "payload scan not partition-pruned:\n" + scan
         )
+    # and at least one of them is the bucket-pruned candidate fetch
+    assert any(
+        "__bucket" in _pf(s) and " IN " in _pf(s) for s in payload_scans
+    ), "candidate fetch not bucket-pruned"
     # the store side must reach the verify join via broadcast LeftSemi
     assert "LeftSemi" in plan
     # and no shingle array may ride a shuffle partitioning (store-wide
@@ -125,19 +146,17 @@ def test_verify_stage_is_candidate_bounded(spark, tmp_path):
     assert 0 < N_BUCKETS <= 256
 
 
-def test_pre_r13_store_rejected_with_clear_error(spark, tmp_path):
-    """A store written before the r13 format change (shingles/ lacks
-    __fp/__n) must fail the batch with an explicit rebuild instruction,
-    not an opaque unresolved-column error mid-plan (r14 ADVICE)."""
+def test_legacy_store_rejected_with_clear_error(spark, tmp_path):
+    """A store in the pre-r14 two-table layout (bands/ + shingles/
+    subdirectories) must fail the batch up front with an explicit
+    rebuild instruction, not an opaque unresolved-column or
+    missing-path error mid-plan (r14 ADVICE, extended to the unified
+    format change)."""
     import os
 
     import pytest
 
-    from ariadne_cartograph_spark.streaming.docs import (
-        _bucket,
-        _dropped_ids,
-        _index_batch,
-    )
+    from ariadne_cartograph_spark.streaming.docs import _bucket, _index_batch
 
     doc = spark.createDataFrame(
         [(1, "some longer filler document body one two")],
@@ -145,8 +164,7 @@ def test_pre_r13_store_rejected_with_clear_error(spark, tmp_path):
     )
     idx = _index_batch(doc, "doc_id", "text", 32, 8, 3).localCheckpoint(eager=True)
     store = str(tmp_path / "store_old")
-    # hand-write a pre-r13 layout: bands as today, shingles WITHOUT
-    # __fp/__n
+    # hand-write the legacy layout: a bands table and a shingles table
     idx.select("doc_id", "band_idx", "band_hash").write.parquet(
         os.path.join(store, "bands")
     )
@@ -157,14 +175,12 @@ def test_pre_r13_store_rejected_with_clear_error(spark, tmp_path):
         .write.partitionBy("__bucket")
         .parquet(os.path.join(store, "shingles"))
     )
-    # same doc again -> candidate pair against the store -> guard fires
     dup = spark.createDataFrame(
         [(2, "some longer filler document body one two")],
         "doc_id long, text string",
     )
-    idx2 = _index_batch(dup, "doc_id", "text", 32, 8, 3).localCheckpoint(eager=True)
-    with pytest.raises(ValueError, match="pre.*r13|predates the r13"):
-        _dropped_ids(spark, idx2, store, "doc_id", THRESH).collect()
+    with pytest.raises(ValueError, match="predates the r14"):
+        incremental_near_dup_filter(spark, dup, store, threshold=THRESH)
 
 
 def test_foreachbatch_wiring(spark, tmp_path):
