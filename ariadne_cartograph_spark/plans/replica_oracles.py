@@ -1,0 +1,168 @@
+"""Exact sf1-replica oracles for the pair/dedup family (r13 verdict
+task #5: shrink the rehearsal's spark-only set).
+
+The scale-rehearsal replica (tools/make_sf.py) is a base testdata
+directory replicated K× with constant per-key-space id offsets and
+otherwise IDENTICAL rows: copy i of document a carries id
+``a + i*OFF`` and the same text. For operators that are pure functions
+of (id, text) — the exact n-gram pair relations and the id-ordered
+incremental dedup — the TRUE replica output is therefore an analytic
+function of the BASE relation (the rows with id < OFF) and the replica
+combinatorics, so the rehearsal can value-hash them at sf1 without the
+oracle ever materializing the 100×-blown pair set:
+
+- every base pair (a, b) induces K² cross-copy pairs with the SAME
+  score (the texts are identical), each counted exactly once under the
+  id_a < id_b output convention (for copies i <= j the ordered pair is
+  (a_i, b_j), for i > j it is (b_j, a_i));
+- every doc with a NONEMPTY shingle set induces C(K,2) = T self pairs
+  at score exactly 1 (identical copies); empty-set docs pair with
+  nothing (the 0/0 NULL-reject contract);
+- id checksums expand in closed form: with S = Σ(id_a+id_b) over base
+  pairs, B base pairs, D nonempty docs, SD their id sum and
+  T = K(K-1)/2,
+      Σ_sf1(id_a+id_b) = K²·S + 2·K·T·OFF·B + 2·T·SD + (K-1)·T·OFF·D
+  (cross pairs contribute the first two terms, self pairs the rest).
+
+These oracles are valid ONLY for a make_sf.py-shaped directory (OFF is
+recovered in SQL as (max(id)+1) // K, exact because the replica's id
+range is dense blocks); the combinatorics are pinned against a K=3
+replica built from scratch in tests/test_replica_oracles.py.
+
+The quantized-score checksum sums per-pair floor(score·1e6): both
+engines derive every score from the same integer (n_inter, n_sh)
+tuples with one IEEE divide, so the floors agree bit-for-bit; the
+expansion multiplies base floors (scores replicate exactly) and adds
+T·D·1_000_000 for the self pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# The rehearsal replica factor (tools/make_sf.py default).
+REPLICA_K = 10
+
+# DuckDB 3-gram shingle CTE over the base subset — the same derivation
+# as the entries' own oracles (plans/text_queries.py), restricted to
+# doc_id < OFF.
+_BASE_SHINGLES = r"""
+p AS (SELECT (max(doc_id)+1)//{k} AS off FROM documents),
+base AS (SELECT doc_id, source, text FROM documents
+         WHERE doc_id < (SELECT off FROM p)),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM base),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+"""
+
+
+def pair_census(df: DataFrame, score_col: str) -> DataFrame:
+    """Engine-side census of a (id_a, id_b, score) pair frame: count,
+    id checksum, and the quantized score checksum. Pure JVM-side
+    aggregation — the rehearsal never collects the blown-up pair set."""
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), F.lit(0))
+        .cast("long")
+        .alias("sum_ids"),
+        F.coalesce(
+            F.sum(F.floor(F.col(score_col) * F.lit(1000000.0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("q_score"),
+    )
+
+
+def _census_select(k: int) -> str:
+    t = k * (k - 1) // 2
+    return f"""
+agg AS (SELECT count(*) AS b, coalesce(sum(id_a+id_b), 0) AS s,
+               coalesce(sum(q), 0) AS q FROM bp),
+ne AS (SELECT count(*) AS d, coalesce(sum(doc_id), 0) AS sd FROM sizes)
+SELECT CAST({k * k}*b + {t}*d AS BIGINT) AS n_pairs,
+       CAST({k * k}*s + {2 * k * t}*(SELECT off FROM p)*b
+            + {2 * t}*sd + {(k - 1) * t}*(SELECT off FROM p)*d
+            AS BIGINT) AS sum_ids,
+       CAST({k * k}*q + {t}*d*1000000 AS BIGINT) AS q_score
+FROM agg, ne
+"""
+
+
+def jaccard_census_sql(k: int = REPLICA_K, threshold: float = 0.6) -> str:
+    """Replica census oracle for ngram_jaccard_near_dup (exact
+    AllPairs relation — complete by construction, so the base subset
+    relation IS the base output)."""
+    score = "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)"
+    return f"""
+WITH {_BASE_SHINGLES.format(k=k)},
+bp AS (
+  SELECT id_a, id_b, CAST(floor(({score}) * 1000000.0) AS BIGINT) AS q
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE {score} >= {threshold}),
+{_census_select(k)}
+"""
+
+
+def containment_census_sql(k: int = REPLICA_K, threshold: float = 0.7) -> str:
+    """Replica census oracle for ngram_containment_pairs (identical
+    copies have containment exactly 1)."""
+    score = "CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh)"
+    return f"""
+WITH {_BASE_SHINGLES.format(k=k)},
+bp AS (
+  SELECT id_a, id_b, CAST(floor(({score}) * 1000000.0) AS BIGINT) AS q
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE {score} >= {threshold}),
+{_census_select(k)}
+"""
+
+
+def incremental_census_sql(k: int = REPLICA_K, threshold: float = 0.6) -> str:
+    """Replica oracle for docs_incremental_dedup_parity — the SAME
+    output schema as the entry (no census wrapper needed). Under the
+    id-ordered arrival contract a copy a_i (i >= 1) is always dropped
+    against a_0 when its shingle set is nonempty (Jaccard exactly 1),
+    and a_0 is dropped iff the base rule drops it; empty-set docs pair
+    with nothing, so EVERY copy survives. Hence per source:
+    n_docs = K·base, n_kept = base_kept + (K-1)·n_empty, and the kept
+    checksum adds (K-1)·Σ_empty(a) + T·OFF·n_empty for the surviving
+    copies."""
+    t = k * (k - 1) // 2
+    score = "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)"
+    return f"""
+WITH {_BASE_SHINGLES.format(k=k)},
+pairs AS (
+  SELECT id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE {score} >= {threshold}),
+d AS (
+  SELECT b.doc_id, b.source,
+         b.doc_id IN (SELECT id_b FROM pairs) AS dropped,
+         b.doc_id NOT IN (SELECT doc_id FROM sizes) AS empty
+  FROM base b)
+SELECT source,
+       CAST({k} * count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE NOT dropped)
+            + {k - 1} * count(*) FILTER (WHERE empty) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN NOT dropped THEN doc_id ELSE 0 END)
+            + {k - 1} * sum(CASE WHEN empty THEN doc_id ELSE 0 END)
+            + {t} * (SELECT off FROM p) * count(*) FILTER (WHERE empty)
+            AS BIGINT) AS kept_checksum
+FROM d GROUP BY source ORDER BY source
+"""

@@ -48,6 +48,33 @@ ORACLE_QUADRATIC = {
 }
 
 
+# Exact replica-structure oracles (r13 verdict task #5): for operators
+# that are pure functions of (id, text), the K×-offset replica's TRUE
+# output is an analytic function of the base relation (id < OFF) —
+# computable at base cost, never the 100×-blown pair set. Entries here
+# get a full value-hash at sf1 (status "ok") instead of spark_only;
+# the mapping is (engine-side census wrapper, replica oracle SQL).
+# Valid ONLY for make_sf.py-shaped directories; combinatorics pinned
+# against a from-scratch K=3 replica in tests/test_replica_oracles.py.
+def _replica_census():
+    from ariadne_cartograph_spark.plans import replica_oracles as RO
+
+    return {
+        "ngram_jaccard_near_dup": (
+            lambda df: RO.pair_census(df, "jaccard"),
+            RO.jaccard_census_sql(),
+        ),
+        "ngram_containment_pairs": (
+            lambda df: RO.pair_census(df, "containment"),
+            RO.containment_census_sql(),
+        ),
+        "docs_incremental_dedup_parity": (
+            lambda df: df,
+            RO.incremental_census_sql(),
+        ),
+    }
+
+
 # Entries whose sf1 result set is large enough (1M+ rows) that the
 # compare()-side collect dominates the engine clock (r12: the
 # ways_enrichment 10-31s rehearsal spread was 1.47M rows of Arrow
@@ -145,6 +172,7 @@ def main() -> int:
     # representative scan parallelism (row-group granularity).
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     con = duckdb_connection(sf_dir)
+    replica_census = _replica_census()
     results: dict[str, dict] = {}
     n_fail = 0
     for name, entry in sorted(REGISTRY.items()):
@@ -166,6 +194,17 @@ def main() -> int:
                 if digest_sec is not None:
                     collect_sec = engine_sec
                     engine_sec = digest_sec
+                if not rep.ok:
+                    n_fail += 1
+                    print(rep.describe()[:600], file=sys.stderr)
+            elif name in replica_census:
+                wrap, census_sql = replica_census[name]
+                rep = compare(
+                    name, wrap(entry.fn(spark, sf_dir)), census_sql, sf_dir, con=con
+                )
+                status = "ok" if rep.ok else "FAIL"
+                rows = rep.spark_rows
+                engine_sec, oracle_sec = rep.spark_sec, rep.oracle_sec
                 if not rep.ok:
                     n_fail += 1
                     print(rep.describe()[:600], file=sys.stderr)
@@ -201,6 +240,8 @@ def main() -> int:
             "status": status, "rows": rows, "sec": dt,
             "engine_sec": engine_sec, "oracle_sec": oracle_sec,
         }
+        if name in replica_census and status in ("ok", "FAIL"):
+            results[name]["oracle"] = "replica_census"
         if collect_sec is not None:
             results[name]["collect_sec"] = collect_sec
             results[name]["engine_clock"] = "digest"
