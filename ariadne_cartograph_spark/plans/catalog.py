@@ -526,6 +526,71 @@ WINDOW_ORDER_R14: list[str] = [
     "text_zipf_vocab_stats",
 ]
 
+# Round-15 window, PRE-STAGED (the standing insurance pattern):
+# greedy stalest-first tag cover from CORRECTNESS_r01..r13 last-hash
+# ages with r14 = the live window above assumed hashed. Leads with the
+# round's never-driver-hashed addition (geo_point_in_polygon_grid —
+# the r13 verdict's grid-route evidence ask), then the stalest
+# tag-cover anchors (r9-r14), then the stalest fill cohort (the
+# r9-r11 TPC-H/text/agg entries whose evidence ages out next).
+# Invariants asserted by tests/test_catalog_window.py; swap with
+# `WINDOW_ORDER = WINDOW_ORDER_R15` at r15 start and re-validate the
+# 50-entry unit at sf0.01 BEFORE committing (the rounds-7/8 lesson).
+WINDOW_ORDER_R15: list[str] = [
+    "geo_point_in_polygon_grid",
+    # tag-cover anchors (greedy stalest-first set cover)
+    "q22_wealthy_inactive",
+    "text_chunk_dedup",
+    "text_chunking",
+    "text_token_shards",
+    "text_vocab_coverage",
+    "window_topn_per_group",
+    "agg_ordered_string_concat",
+    "embedding_near_dup",
+    "events_sliding_hourly",
+    "text_token_topk_sketch",
+    "embedding_stream_pca_parity",
+    "events_median_normalize",
+    "geo_tile_projection",
+    "merge_optimize_pruned_scan",
+    "merge_upsert_bucketed",
+    "osm_ingest_pbf_parity",
+    "osm_topology_edges",
+    "set_union_all_counts",
+    "events_stream_dedup_parity",
+    "events_stream_enrich_parity",
+    "events_stream_session_parity",
+    "osm_polygon_way_area",
+    "osm_replication_pipeline_parity",
+    "osm_route_members",
+    "osm_ways_enrichment_fixture",
+    "geo_line_simplify",
+    "merge_upsert_metadata",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "scalar_json_extract",
+    "scan_tag_index_pruned",
+    "ways_enrichment_pipeline",
+    # stalest driver evidence (r9-r11 cohort)
+    "q7_nation_volume",
+    "q8_market_share",
+    "text_normalized_exact_dedup",
+    "text_quality_logreg",
+    "text_repeated_spans",
+    "text_repetition_profile",
+    "text_tfidf_probe_terms",
+    "text_unigram_logprob",
+    "window_range_frame",
+    "window_rank_variants",
+    "agg_approx_distinct",
+    "agg_cube_lineitem",
+    "agg_distinct_counts",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_pivot_priority_by_status",
+    "agg_rollup_orders",
+]
+
 # Round 14: the pre-staged r14 rotation goes live (leads with the
 # eight never-driver-hashed r13 additions) — the 50-entry unit was
 # hash-validated at sf0.01 when staged, re-validated post-amendment at

@@ -17,6 +17,7 @@ from ariadne_cartograph_spark.plans.catalog import (
     WINDOW_ORDER_R12,
     WINDOW_ORDER_R13,
     WINDOW_ORDER_R14,
+    WINDOW_ORDER_R15,
     get_oracles,
     get_queries,
 )
@@ -50,8 +51,8 @@ def test_window_entries_are_oracled():
 
 @pytest.mark.parametrize(
     "window",
-    [WINDOW_ORDER, WINDOW_ORDER_R10, WINDOW_ORDER_R11, WINDOW_ORDER_R12, WINDOW_ORDER_R13, WINDOW_ORDER_R14],
-    ids=["live", "r10", "r11", "r12", "r13", "r14"],
+    [WINDOW_ORDER, WINDOW_ORDER_R10, WINDOW_ORDER_R11, WINDOW_ORDER_R12, WINDOW_ORDER_R13, WINDOW_ORDER_R14, WINDOW_ORDER_R15],
+    ids=["live", "r10", "r11", "r12", "r13", "r14", "r15"],
 )
 def test_prestaged_windows_hold_all_invariants(window):
     """The pre-staged round-10 rotation (catalog.WINDOW_ORDER_R10) must
