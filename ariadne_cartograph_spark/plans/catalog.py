@@ -538,6 +538,14 @@ WINDOW_ORDER_R14: list[str] = [
 # 50-entry unit at sf0.01 BEFORE committing (the rounds-7/8 lesson).
 WINDOW_ORDER_R15: list[str] = [
     "geo_point_in_polygon_grid",
+    # r14 additions, never driver-hashed (amended in the same round
+    # they landed — the standing "never wait two rounds" rule):
+    # chi-squared term selection, bigram lift collocations, sliding
+    # distinct-user windows, degree assortativity.
+    "text_chi2_discriminative_terms",
+    "text_bigram_lift_collocations",
+    "window_sliding_distinct_users",
+    "graph_degree_assortativity",
     # tag-cover anchors (greedy stalest-first set cover)
     "q22_wealthy_inactive",
     "text_chunk_dedup",
@@ -585,10 +593,10 @@ WINDOW_ORDER_R15: list[str] = [
     "agg_approx_distinct",
     "agg_cube_lineitem",
     "agg_distinct_counts",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_pivot_priority_by_status",
-    "agg_rollup_orders",
+    # (agg_filtered / agg_grouping_sets / agg_pivot_priority_by_status /
+    # agg_rollup_orders — r11-hashed pure-A5 fills — displaced when the
+    # four r14 additions rotated in; amended unit re-hash-validated at
+    # sf0.01 before the commit.)
 ]
 
 # Round 14: the pre-staged r14 rotation goes live (leads with the

@@ -1146,3 +1146,51 @@ def events_quantile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("p.q").alias("q"), F.col("p.qv").alias("qv"))
         .orderBy("event_type", "q")
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window distinct counting (r14, W3 depth): trailing-7-day
+# active users per day. COUNT(DISTINCT) over a RANGE frame is not a
+# native Spark window aggregate — the scalable formulation explodes
+# each event into the <=7 window-days it contributes to (bounded
+# fan-out, a column expression) and runs a plain two-phase distinct
+# aggregate per window-day; no global sort, no per-day self-join. The
+# oracle computes the same windows with a days x events range join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_sliding_distinct_users",
+    tags=["W3", "A5"],
+    oracle="""
+WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM ev)
+SELECT dy.d AS day,
+       count(DISTINCT e.user_id) AS n_active_7d,
+       count(*) AS n_events_7d
+FROM days dy JOIN ev e ON e.d BETWEEN dy.d - INTERVAL 6 DAY AND dy.d
+GROUP BY dy.d ORDER BY day
+""",
+)
+def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    days = ev.select(F.col("d").alias("day")).distinct()
+    # an event on day d is visible from the trailing windows of days
+    # d .. d+6 — sequence() keeps the fan-out a column expression
+    contrib = ev.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("n_active_7d"),
+            F.count(F.lit(1)).alias("n_events_7d"),
+        )
+        # only window-days that exist as event days (the oracle's days
+        # CTE); broadcastable day list, left-semi keeps the plan narrow
+        .join(days, "day", "left_semi")
+        .orderBy("day")
+    )

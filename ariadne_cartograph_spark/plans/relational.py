@@ -2329,6 +2329,113 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Degree assortativity (r14, graph-stats depth next to the triangle
+# census): Newman's degree-degree Pearson correlation over the same
+# top-3 co-supplier graph, with every edge counted in both
+# orientations (the standard undirected convention, so Σj = Σk by
+# symmetry). All six sufficient statistics are exact integer sums from
+# ONE aggregate over the directed edge list joined twice against the
+# broadcastable degree table; the correlation itself is computed
+# driver-side from the collected 1-row exact ints with one IEEE
+# multiply/sqrt/divide — mirrored literally by the oracle (HUGEINT
+# sums, CAST DOUBLE at the same points), the dim-correlation pattern.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    tags=["J6", "A5"],
+    oracle="""
+WITH los AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+co AS (SELECT x.s AS a, y.s AS b, count(*) AS cnt
+       FROM los x JOIN los y ON x.o = y.o AND x.s < y.s
+       GROUP BY x.s, y.s),
+dir AS (SELECT a AS u, b AS v, cnt FROM co
+        UNION ALL SELECT b AS u, a AS v, cnt FROM co),
+top3 AS (SELECT u, v FROM (
+           SELECT u, v,
+                  row_number() OVER (PARTITION BY u
+                                     ORDER BY cnt DESC, v ASC) AS rn
+           FROM dir) WHERE rn <= 3),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM top3),
+dir2 AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+deg AS (SELECT u, count(*) AS dg FROM dir2 GROUP BY u),
+je AS (SELECT du.dg AS j, dv.dg AS k
+       FROM dir2 JOIN deg du ON du.u = dir2.u JOIN deg dv ON dv.u = dir2.v),
+s AS (SELECT count(*) AS m, sum(j) AS sj, sum(k) AS sk,
+             sum(j*j) AS sjj, sum(k*k) AS skk, sum(j*k) AS sjk
+      FROM je)
+SELECT CAST(m AS BIGINT) AS n_directed_edges,
+       CAST(CASE WHEN m*sjj - sj*sj = 0 OR m*skk - sk*sk = 0 THEN NULL
+            ELSE CAST(m*sjk - sj*sk AS DOUBLE)
+                 / sqrt(CAST(m*sjj - sj*sj AS DOUBLE)
+                        * CAST(m*skk - sk*sk AS DOUBLE))
+            END AS FLOAT) AS assortativity
+FROM s
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    co = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.s") < F.col("y.s")))
+        .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    directed = co.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "cnt"
+    ).unionByName(co.select(F.col("b").alias("u"), F.col("a").alias("v"), "cnt"))
+    w = W.partitionBy("u").orderBy(F.desc("cnt"), F.asc("v"))
+    top3 = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("u", "v")
+    )
+    edges = top3.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    dir2 = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = dir2.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+    je = (
+        dir2.join(F.broadcast(deg).withColumnRenamed("dg", "j"), "u")
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("v"), F.col("dg").alias("k"))),
+            "v",
+        )
+        .select("j", "k")
+    )
+    row = je.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("j").alias("sj"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("j") * F.col("j")).alias("sjj"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+    ).first()
+    m, sj, sk = int(row["m"]), int(row["sj"] or 0), int(row["sk"] or 0)
+    sjj, skk, sjk = int(row["sjj"] or 0), int(row["skk"] or 0), int(row["sjk"] or 0)
+    dx, dy, num = m * sjj - sj * sj, m * skk - sk * sk, m * sjk - sj * sk
+    r = (
+        None
+        if dx == 0 or dy == 0
+        else float(num) / math.sqrt(float(dx) * float(dy))
+    )
+    return spark.createDataFrame(
+        [(m, r)], "n_directed_edges long, assortativity float"
+    )
+
+
+# --------------------------------------------------------------------------
 # Round-4 TPC-H breadth: the remaining standard shapes expressible
 # without a partsupp table (q2/q11/q16/q20 need it; the testdata has
 # none). q4/q21 use shipdate-based lateness (no commit/receipt dates in

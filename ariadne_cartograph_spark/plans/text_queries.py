@@ -2818,3 +2818,201 @@ def text_bpe_corpus_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corpus_count"), "token")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-squared discriminative terms (r14, U5 depth — the feature-
+# selection pass a quality-classifier pipeline runs before training:
+# which tokens are most associated with a domain label; Manning/IR
+# chapter 13 formulation). Doc-level presence contingency per (term,
+# source): a = docs in the class containing the term, b = other docs
+# containing it, c = class docs without it, d = the rest;
+# chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)). Every cell is an exact
+# integer from two aggregates (term x class counts + term totals) and
+# one broadcastable class census; the statistic is the same IEEE
+# multiply/divide sequence on both engines, so the per-class top-5
+# ranking (chi2 desc, term asc) is bit-stable. Terms absent from a
+# class (a = 0) participate — negative association discriminates too.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_chi2_discriminative_terms",
+    tags=["U5", "A5", "W1"],
+    oracle=r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_distinct(string_split_regex(text, '\s+'))) AS term
+  FROM documents),
+cls AS (SELECT source, count(*) AS nc FROM documents GROUP BY source),
+n AS (SELECT count(*) AS n FROM documents),
+tc AS (SELECT term, source, count(*) AS a FROM dt GROUP BY term, source),
+tt AS (SELECT term, sum(a) AS t_tot FROM tc GROUP BY term),
+grid AS (
+  SELECT tt.term, cls.source, cls.nc, tt.t_tot,
+         coalesce(tc.a, 0) AS a
+  FROM tt CROSS JOIN cls
+  LEFT JOIN tc ON tc.term = tt.term AND tc.source = cls.source),
+cells AS (
+  SELECT term, source,
+         CAST(a AS BIGINT) AS a,
+         CAST(t_tot - a AS BIGINT) AS b,
+         CAST(nc - a AS BIGINT) AS c,
+         CAST((SELECT n FROM n) - nc - (t_tot - a) AS BIGINT) AS d
+  FROM grid),
+scored AS (
+  SELECT term, source,
+         CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0 THEN NULL
+              ELSE CAST((SELECT n FROM n) AS DOUBLE)
+                   * CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE)
+                   / (CAST(a+b AS DOUBLE) * CAST(c+d AS DOUBLE)
+                      * CAST(a+c AS DOUBLE) * CAST(b+d AS DOUBLE))
+         END AS chi2
+  FROM cells),
+ranked AS (
+  SELECT source, term, CAST(chi2 AS FLOAT) AS chi2,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY chi2 DESC, term ASC) AS INT) AS rank
+  FROM scored WHERE chi2 IS NOT NULL)
+SELECT source, term, chi2, rank FROM ranked WHERE rank <= 5
+ORDER BY source, rank
+""",
+)
+def text_chi2_discriminative_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("term")
+    ).distinct()
+    # class census + corpus size: model-sized driver collect (a handful
+    # of sources), broadcast back as literals
+    cls_rows = docs.groupBy("source").agg(F.count(F.lit(1)).alias("nc")).collect()
+    n = sum(int(r["nc"]) for r in cls_rows)
+    cls = docs.sparkSession.createDataFrame(
+        [(r["source"], int(r["nc"])) for r in cls_rows], "source string, nc long"
+    )
+    tc = dt.groupBy("term", "source").agg(F.count(F.lit(1)).alias("a"))
+    tt = tc.groupBy("term").agg(F.sum("a").alias("t_tot"))
+    grid = (
+        tt.crossJoin(F.broadcast(cls))
+        .join(tc, ["term", "source"], "left")
+        .na.fill({"a": 0})
+    )
+    a = F.col("a").cast("long")
+    b = (F.col("t_tot") - F.col("a")).cast("long")
+    c = (F.col("nc") - F.col("a")).cast("long")
+    d = (F.lit(n) - F.col("nc") - (F.col("t_tot") - F.col("a"))).cast("long")
+    diff = (a * d - b * c).cast("double")
+    den = (
+        (a + b).cast("double") * (c + d).cast("double")
+        * (a + c).cast("double") * (b + d).cast("double")
+    )
+    chi2 = F.when(
+        ((a + b) == 0) | ((c + d) == 0) | ((a + c) == 0) | ((b + d) == 0), None
+    ).otherwise(F.lit(float(n)) * diff * diff / den)
+    w = W.partitionBy("source").orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        grid.withColumn("chi2", chi2)
+        .filter(F.col("chi2").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "term", F.col("chi2").cast("float").alias("chi2"), "rank")
+        .orderBy("source", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram lift collocations (r14, U5 depth — phrase mining for tokenizer
+# and n-gram vocabulary construction): lift = P(ab) / (P(a)P(b)), the
+# log-free monotone twin of PMI, so the ranking is identical while
+# every value derives from exact integer counts with the same IEEE
+# divide/multiply sequence on both engines (no cross-libm log). Bigram
+# and unigram counts are occurrence counts (not doc-level), one
+# explode + groupBy each with map-side combine; the two corpus totals
+# are a model-sized 1-row aggregate broadcast as literals.
+# --------------------------------------------------------------------------
+
+_LIFT_MIN_COUNT = 5
+
+
+@register(
+    "text_bigram_lift_collocations",
+    tags=["U5", "A5", "W4"],
+    oracle=rf"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+uni AS (
+  SELECT unnest(ws) AS t FROM w),
+u AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+nu AS (SELECT count(*) AS nu FROM uni),
+bi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                i -> concat_ws(' ', ws[i], ws[i+1]))) AS bg,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                i -> ws[i])) AS t1,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                i -> ws[i+1])) AS t2
+  FROM w),
+b AS (SELECT bg, t1, t2, count(*) AS cab FROM bi GROUP BY bg, t1, t2
+      HAVING count(*) >= {_LIFT_MIN_COUNT}),
+nb AS (SELECT count(*) AS nb FROM bi),
+scored AS (
+  SELECT b.bg AS bigram, b.cab AS n_ab,
+         (CAST(b.cab AS DOUBLE) / (SELECT nb FROM nb))
+         / ((CAST(u1.c AS DOUBLE) / (SELECT nu FROM nu))
+            * (CAST(u2.c AS DOUBLE) / (SELECT nu FROM nu))) AS lift
+  FROM b JOIN u u1 ON u1.t = b.t1 JOIN u u2 ON u2.t = b.t2)
+SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab, CAST(lift AS FLOAT) AS lift,
+       CAST(row_number() OVER (ORDER BY lift DESC, bigram ASC) AS INT) AS rank
+FROM scored ORDER BY lift DESC, bigram ASC LIMIT 20
+""",
+)
+def text_bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    w = docs.select(F.split("text", r"\s+").alias("ws"))
+    uni = w.select(F.explode("ws").alias("t"))
+    u = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.count()
+    bi = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+                " i -> struct(concat_ws(' ', ws[i-1], ws[i]) as bg,"
+                " ws[i-1] as t1, ws[i] as t2))"
+            )
+        ).alias("p")
+    ).select("p.bg", "p.t1", "p.t2")
+    nb = bi.count()
+    b = (
+        bi.groupBy("bg", "t1", "t2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= _LIFT_MIN_COUNT)
+    )
+    scored = (
+        b.join(u.select(F.col("t").alias("t1"), F.col("c").alias("c1")), "t1")
+        .join(u.select(F.col("t").alias("t2"), F.col("c").alias("c2")), "t2")
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("cab").cast("long").alias("n_ab"),
+            (
+                (F.col("cab").cast("double") / F.lit(float(nb)))
+                / (
+                    (F.col("c1").cast("double") / F.lit(float(nu)))
+                    * (F.col("c2").cast("double") / F.lit(float(nu)))
+                )
+            ).alias("lift"),
+        )
+    )
+    # distributed top-k first (TakeOrderedAndProject — no global
+    # single-partition window sort over the vocabulary-sized frame),
+    # THEN rank the 20 survivors with a trivial window
+    win = W.orderBy(F.desc("lift"), F.asc("bigram"))
+    return (
+        scored.orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(win).cast("int"))
+        .select("bigram", "n_ab", F.col("lift").cast("float").alias("lift"), "rank")
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+    )
