@@ -57,15 +57,15 @@ from pyspark.sql import functions as F
 from ..functions.text import hashed_word_shingles
 from ..operators.dedup import _minhash_from_shingles
 
-# Shingle-store partition fanout — the knob that bounds per-batch
-# pruning granularity (candidate ids hit ~min(|candidates|, N_BUCKETS)
-# partitions). 16 over 64: every batch's shingle append pays one
-# partition-directory commit per bucket DRIVER-SIDE (the 4-batch sf1
-# replay is driver-overhead bound, ~90 jobs), and on crawl corpora the
-# candidate set hits most buckets anyway, so finer pruning bought
-# nothing the semi-join + min/max skipping don't already give. At
-# cluster scale raise it with the store size; correctness is
-# bucket-count independent (the bucket id is recomputed from the key).
+# Index partition fanout — the knob that bounds per-batch pruning
+# granularity (candidate ids hit ~min(|candidates|, N_BUCKETS)
+# partitions). 16 over 64: every batch's index append pays one
+# partition-directory commit per bucket DRIVER-SIDE (the replay is
+# driver-overhead bound), and on crawl corpora the candidate set hits
+# most buckets anyway, so finer pruning bought nothing the semi-join +
+# min/max skipping don't already give. At cluster scale raise it with
+# the store size; correctness is bucket-count independent (the bucket
+# id is recomputed from the key).
 N_BUCKETS = 16
 
 
