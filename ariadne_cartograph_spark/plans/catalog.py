@@ -546,14 +546,23 @@ WINDOW_ORDER_R15: list[str] = [
     "text_bigram_lift_collocations",
     "window_sliding_distinct_users",
     "graph_degree_assortativity",
+    # r14 continuation additions, also never driver-hashed: retrieval
+    # eval (MRR/hits@10, exact-integer checksums), cross-source vocab
+    # overlap, shuffle-free Simpson diversity, clustering coefficient,
+    # event-volume Gini via the scalable global-rank rewrite.
+    "retrieval_eval_mrr",
+    "corpus_source_overlap",
+    "text_simpson_diversity",
+    "graph_clustering_coefficient",
+    "events_user_gini",
+    "ann_recall_eval",
+    "corpus_quality_prune_per_source",
     # tag-cover anchors (greedy stalest-first set cover)
     "q22_wealthy_inactive",
     "text_chunk_dedup",
     "text_chunking",
     "text_token_shards",
     "text_vocab_coverage",
-    "window_topn_per_group",
-    "agg_ordered_string_concat",
     "embedding_near_dup",
     "events_sliding_hourly",
     "text_token_topk_sketch",
@@ -588,15 +597,15 @@ WINDOW_ORDER_R15: list[str] = [
     "text_repetition_profile",
     "text_tfidf_probe_terms",
     "text_unigram_logprob",
-    "window_range_frame",
-    "window_rank_variants",
-    "agg_approx_distinct",
-    "agg_cube_lineitem",
-    "agg_distinct_counts",
     # (agg_filtered / agg_grouping_sets / agg_pivot_priority_by_status /
     # agg_rollup_orders — r11-hashed pure-A5 fills — displaced when the
-    # four r14 additions rotated in; amended unit re-hash-validated at
-    # sf0.01 before the commit.)
+    # four r14 additions rotated in; window_range_frame /
+    # window_rank_variants / agg_approx_distinct / agg_cube_lineitem /
+    # agg_distinct_counts / agg_ordered_string_concat /
+    # window_topn_per_group — r10-13-hashed A5/W1/W3 fills — displaced
+    # when the seven r14-continuation additions rotated in (W1 keeps a
+    # window carrier via graph_clustering_coefficient); amended unit
+    # re-hash-validated at sf0.01 before each commit.)
 ]
 
 # Round 14: the pre-staged r14 rotation goes live (leads with the

@@ -1194,3 +1194,60 @@ def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(days, "day", "left_semi")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-volume concentration (r14 continuation, A5/W4): the Gini
+# coefficient of per-user event counts — the "is my traffic a few
+# whales or a long tail" census, the same statistic data-mixture
+# audits run over per-source token counts. With ascending counts
+# c₁≤…≤c_n, Gini = (2·Σ i·cᵢ − (n+1)·Σc) / (n·Σc): every term is an
+# exact integer once the global rank i is known, and the ascending
+# order makes the numerator non-negative, so one integer DIV
+# quantization is bit-identical across engines (negative DIV
+# floor-vs-trunc never arises). Scale: the global rank comes from
+# operators/windows.scalable_cumsum over ones — range repartition +
+# per-partition local windows + a one-row-per-partition offset
+# broadcast — NEVER a single-partition global window; the oracle uses
+# DuckDB's plain row_number() to cross-check the two-phase rewrite.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_user_gini",
+    tags=["A5", "W4"],
+    oracle="""
+WITH pc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+rk AS (SELECT cnt,
+              row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS i
+       FROM pc),
+s AS (SELECT count(*) AS n, sum(cnt) AS tot, sum(i * cnt) AS s1 FROM rk)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(tot AS BIGINT) AS total_events,
+       CAST(CASE WHEN n = 0 OR tot = 0 THEN NULL
+            ELSE ((2 * s1 - (n + 1) * tot) * 1000000) // (n * tot)
+            END AS BIGINT) AS gini_micro
+FROM s
+""",
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import scalable_cumsum
+
+    pc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("__one", F.lit(1).cast("long"))
+    )
+    ranked = scalable_cumsum(pc, ["cnt", "user_id"], "__one", out_col="i")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cnt").cast("long").alias("total_events"),
+        F.expr(
+            "CASE WHEN count(*) = 0 OR sum(cnt) = 0 THEN NULL"
+            " ELSE ((2 * sum(i * cnt) - (count(*) + 1) * sum(cnt)) * 1000000)"
+            " DIV (count(*) * sum(cnt)) END"
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )

@@ -743,3 +743,87 @@ def corpus_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "batch_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source quality-quantile pruning (r14 continuation, U5/A5/W6):
+# "drop each source's bottom quartile by quality score" — the
+# per-domain pruning rule curation pipelines apply before mixing. The
+# boundary is the EXACT discrete P25 (smallest score whose ascending
+# cumulative count reaches ceil(n/4), ceil as (n+3) DIV 4 — pure
+# integers). Scale: the engine never ranks documents — it aggregates a
+# (source, score) VALUE HISTOGRAM (bounded by |sources| × |score
+# domain|, independent of corpus size), runs the cumulative window
+# over the histogram, and broadcast-joins the 1-row-per-source
+# boundary back for the census. The oracle ranks documents directly
+# (row_number per source — fine at oracle scale), cross-checking the
+# histogram formulation against per-row rank semantics.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_quality_prune_per_source",
+    tags=["U5", "A5", "W6"],
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+bound AS (
+  SELECT source, n AS n_total, n_chars AS boundary_chars
+  FROM ranked WHERE rk = (n + 3) // 4),
+census AS (
+  SELECT d.source,
+         count(*) FILTER (WHERE d.n_chars >= b.boundary_chars) AS n_kept,
+         sum(d.n_chars) FILTER (WHERE d.n_chars >= b.boundary_chars) AS kept_chars
+  FROM documents d JOIN bound b ON b.source = d.source
+  GROUP BY d.source)
+SELECT bound.source,
+       CAST(bound.n_total AS BIGINT) AS n_total,
+       CAST(bound.boundary_chars AS BIGINT) AS boundary_chars,
+       CAST(census.n_kept AS BIGINT) AS n_kept,
+       CAST(census.kept_chars AS BIGINT) AS kept_chars
+FROM bound JOIN census ON census.source = bound.source
+ORDER BY bound.source
+""",
+)
+def corpus_quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("source", "n_chars")
+    hist = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative count over the VALUE HISTOGRAM — the window runs over
+    # |sources| × |distinct scores| rows, not over documents
+    wc = (
+        W.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n_total", F.sum("cnt").over(W.partitionBy("source"))
+    )
+    bound = (
+        cum.filter(F.col("cum") >= F.expr("(n_total + 3) DIV 4"))
+        .groupBy("source", "n_total")
+        .agg(F.min("n_chars").alias("boundary_chars"))
+    )
+    census = (
+        docs.join(F.broadcast(bound), "source")
+        .groupBy("source", "n_total", "boundary_chars")
+        .agg(
+            F.count(F.when(F.col("n_chars") >= F.col("boundary_chars"), 1)).alias(
+                "n_kept"
+            ),
+            F.sum(
+                F.when(F.col("n_chars") >= F.col("boundary_chars"), F.col("n_chars"))
+            ).alias("kept_chars"),
+        )
+    )
+    return census.select(
+        "source",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("boundary_chars").cast("long").alias("boundary_chars"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("kept_chars").cast("long").alias("kept_chars"),
+    ).orderBy("source")

@@ -2436,6 +2436,116 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Local clustering coefficient (r14 continuation): per-node
+# 2·tri(v) / (deg(v)·(deg(v)−1)) over the same top-3 co-supplier graph
+# as the triangle census — the standard "how clique-like is each
+# node's neighborhood" statistic. Quantized by exact integer division
+# (2·tri·1e6 DIV deg·(deg−1)), so the value hash is libm-free and
+# bit-identical by construction; degree-1 nodes get NULL (undefined).
+# The engine counts triangles with the degree-ordered orientation
+# (operators/graph.py — skew-safe wedge fan-out); the oracle
+# re-enumerates them with the naive id-ordered scheme AND recomputes
+# degrees independently, so the hash cross-checks both statistics.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_coefficient",
+    tags=["J6", "A5", "W1"],
+    oracle="""
+WITH los AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+co AS (SELECT x.s AS a, y.s AS b, count(*) AS cnt
+       FROM los x JOIN los y ON x.o = y.o AND x.s < y.s
+       GROUP BY x.s, y.s),
+dir AS (SELECT a AS u, b AS v, cnt FROM co
+        UNION ALL SELECT b AS u, a AS v, cnt FROM co),
+top3 AS (SELECT u, v FROM (
+           SELECT u, v,
+                  row_number() OVER (PARTITION BY u
+                                     ORDER BY cnt DESC, v ASC) AS rn
+           FROM dir) WHERE rn <= 3),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM top3),
+dir2 AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+deg AS (SELECT u AS node_id, count(*) AS degree FROM dir2 GROUP BY u),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+tn AS (SELECT node_id, count(*) AS n_triangles
+       FROM (SELECT unnest([x, y, z]) AS node_id FROM tri)
+       GROUP BY node_id)
+SELECT deg.node_id,
+       CAST(deg.degree AS BIGINT) AS degree,
+       CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.degree >= 2
+                 THEN (2 * coalesce(tn.n_triangles, 0) * 1000000)
+                      // (deg.degree * (deg.degree - 1))
+                 ELSE NULL END AS BIGINT) AS cc_micro
+FROM deg LEFT JOIN tn ON tn.node_id = deg.node_id
+ORDER BY deg.node_id
+""",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    co = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.s") < F.col("y.s")))
+        .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    directed = co.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "cnt"
+    ).unionByName(co.select(F.col("b").alias("u"), F.col("a").alias("v"), "cnt"))
+    w = W.partitionBy("u").orderBy(F.desc("cnt"), F.asc("v"))
+    top3 = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("u", "v")
+    )
+    # one materialization of the co-occurrence subtree: both the degree
+    # branch and triangle_participation (which would otherwise each
+    # recompute the o×s self-join lineage) read this checkpoint
+    edges = (
+        top3.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from ..operators.graph import triangle_participation
+
+    dir2 = edges.select(F.col("a").alias("node_id")).unionByName(
+        edges.select(F.col("b").alias("node_id"))
+    )
+    deg = dir2.groupBy("node_id").agg(F.count(F.lit(1)).alias("degree"))
+    tri = triangle_participation(edges)
+    return (
+        deg.join(tri, "node_id", "left")
+        .select(
+            "node_id",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2 * coalesce(n_triangles, 0) * 1000000)"
+                    " DIV (degree * (degree - 1))"
+                ),
+            )
+            .cast("long")
+            .alias("cc_micro"),
+        )
+        .orderBy("node_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Round-4 TPC-H breadth: the remaining standard shapes expressible
 # without a partsupp table (q2/q11/q16/q20 need it; the testdata has
 # none). q4/q21 use shipdate-based lateness (no commit/receipt dates in

@@ -3016,3 +3016,410 @@ def text_bigram_lift_collocations(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("bigram", "n_ab", F.col("lift").cast("float").alias("lift"), "rank")
         .orderBy(F.desc("lift"), F.asc("bigram"))
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval-quality evaluation (r14 continuation, U5/W4): MRR@10 and
+# hits@10 of single-term BM25 rankings against a deterministic
+# relevance label (tf >= 3 — "the term is actually about this doc").
+# The eval layer is exact integer math end to end: reciprocal ranks
+# are scaled by 720720 (divisible by every 1..16, so 720720 DIV rank
+# is exact for any cutoff <= 16) and hit counts are plain BIGINTs —
+# no libm beyond the already-pinned BM25 idf ln. Scale: each term's
+# ranking is the distributed TakeOrdered top-k from bm25_topk (never a
+# global sort); the label probe is row-local HOF math on the document
+# scan; the k×|terms| survivor frame is broadcast into the label join.
+# Reference parity: mirrors the reference's retrieval smoke-eval the
+# way its tests score ranked output (see SURVEY §2 U5).
+# --------------------------------------------------------------------------
+
+_EVAL_TERMS = ("spark", "join", "window", "stream")
+_EVAL_K = 10
+_EVAL_MIN_TF = 3
+_RR_SCALE = 720720  # lcm(1..16): DIV by any rank 1..16 stays exact
+
+
+@register(
+    "retrieval_eval_mrr",
+    tags=["U5", "W4"],
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+  WHERE tok <> ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+n_df AS (SELECT tok, count(DISTINCT doc_id) AS df_t FROM toks GROUP BY tok),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.tok AS term, tf.doc_id,
+         CAST(ln(1.0 + (stats.n_docs - n_df.df_t + 0.5) / (n_df.df_t + 0.5))
+         * (tf.tf * ({_BM25_K1} + 1))
+         / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+         AS FLOAT) AS score
+  FROM tf
+  JOIN n_df ON n_df.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.tok IN {_EVAL_TERMS!r}),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored),
+top AS (SELECT term, doc_id, rnk FROM ranked WHERE rnk <= {_EVAL_K}),
+rel AS (SELECT tok AS term, doc_id FROM tf
+        WHERE tok IN {_EVAL_TERMS!r} AND tf >= {_EVAL_MIN_TF}),
+n_rel AS (SELECT term, count(*) AS n_relevant FROM rel GROUP BY term),
+hit AS (SELECT top.term, count(*) AS hits_at_10, min(top.rnk) AS best
+        FROM top JOIN rel ON rel.term = top.term AND rel.doc_id = top.doc_id
+        GROUP BY top.term)
+SELECT n_rel.term AS term,
+       CAST(n_rel.n_relevant AS BIGINT) AS n_relevant,
+       CAST(coalesce(hit.hits_at_10, 0) AS BIGINT) AS hits_at_10,
+       CAST(CASE WHEN hit.best IS NULL THEN 0
+                 ELSE {_RR_SCALE} // hit.best END AS BIGINT) AS rr_at_10_scaled
+FROM n_rel LEFT JOIN hit ON hit.term = n_rel.term
+ORDER BY term
+""",
+)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tops = None
+    for t in _EVAL_TERMS:
+        top_t = bm25_topk(docs, [t], k=_EVAL_K).select(
+            F.lit(t).alias("term"), "doc_id", F.col("rank").alias("rnk")
+        )
+        tops = top_t if tops is None else tops.unionByName(top_t)
+    # Relevance labels: row-local term-frequency probes on the scan —
+    # one pass over documents, no token shuffle for the label side.
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+
+    # NB: a two-parameter lambda would be bound as (element, index) by
+    # F.filter — the term must be closed over via a factory instead.
+    def _tf(term: str):
+        return F.size(F.filter(words, lambda x: x == F.lit(term)))
+
+    probes = F.array(
+        *[
+            F.struct(F.lit(t).alias("term"), _tf(t).alias("tf"))
+            for t in _EVAL_TERMS
+        ]
+    )
+    labeled = (
+        docs.select("doc_id", F.explode(probes).alias("p"))
+        .select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+        .filter(F.col("tf") >= _EVAL_MIN_TF)
+    )
+    n_rel = labeled.groupBy("term").agg(F.count(F.lit(1)).alias("n_relevant"))
+    hits = (
+        labeled.join(F.broadcast(tops), ["term", "doc_id"])
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("hits_at_10"),
+            F.min("rnk").alias("best"),
+        )
+    )
+    return (
+        n_rel.join(hits, "term", "left")
+        .select(
+            "term",
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+            F.coalesce(F.col("hits_at_10"), F.lit(0)).cast("long").alias("hits_at_10"),
+            F.when(F.col("best").isNull(), F.lit(0))
+            .otherwise(F.expr(f"{_RR_SCALE} DIV best"))
+            .cast("long")
+            .alias("rr_at_10_scaled"),
+        )
+        .orderBy("term")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source vocabulary overlap (r14 continuation, U5/A5): pairwise
+# Jaccard between the sources' distinct-token vocabularies — the
+# "how much do my crawl slices share" census that drives mixture
+# weighting decisions. Jaccard is quantized by exact integer division
+# ((n_inter·1e6) DIV (n_a + n_b − n_inter)) so the hash is libm-free.
+# Scale: ONE shuffle on token (distinct + groupBy); pair generation is
+# a row-local HOF over each token's <= |sources| membership array, so
+# the fan-out is bounded by C(|sources|, 2) per token regardless of
+# corpus size — never a vocabulary self-join. The oracle takes the
+# opposite formulation (vocab self-join on token) so the hash
+# cross-checks the HOF pair enumeration against the join semantics.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_overlap",
+    tags=["U5", "A5"],
+    oracle=r"""
+WITH vocab AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+  WHERE tok <> ''),
+sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT inter.source_a, inter.source_b,
+       CAST(inter.n_shared AS BIGINT) AS n_shared,
+       CAST((inter.n_shared * 1000000)
+            // (sa.n + sb.n - inter.n_shared) AS BIGINT) AS jaccard_micro
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+ORDER BY source_a, source_b
+""",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    vocab = docs.select("source", F.explode(words).alias("tok")).distinct()
+    srcs = (
+        vocab.groupBy("tok")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    # pairs within each token's sorted membership array — row-local,
+    # bounded by C(|sources|, 2) per token
+    pairs = srcs.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(srcs, (x, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "y -> struct(x AS a, y AS b)))"
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+    inter = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("(n_shared * 1000000) DIV (na + nb - n_shared)")
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document lexical diversity (r14 continuation, U5/P14): the
+# unbiased Gini–Simpson index 1 − Σ nᵢ(nᵢ−1) / (N(N−1)) over token
+# frequencies — a log-free quality signal (repetitive spam → low
+# diversity) next to the entropy-flavored Gopher battery. Pure
+# rationals quantized by exact integer division, so the value is
+# bit-identical across engines by construction. Scale: the WHOLE
+# computation is row-local whole-stage-codegen HOF math — sort the
+# token array, fold run-lengths into Σ nᵢ(nᵢ−1) with one aggregate()
+# pass — zero shuffles, zero UDFs; the oracle takes the opposite
+# formulation (explode + GROUP BY doc, token) to cross-check the fold.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_simpson_diversity",
+    tags=["U5", "P14"],
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+  WHERE tok <> ''),
+counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS same_pairs
+  FROM counts GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN coalesce(p.n_tokens, 0) >= 2
+                 THEN ((p.n_tokens * (p.n_tokens - 1) - p.same_pairs) * 1000000)
+                      // (p.n_tokens * (p.n_tokens - 1))
+                 ELSE NULL END AS BIGINT) AS simpson_micro
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    words = F.array_sort(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    )
+    # run-length fold over the sorted array: Σ nᵢ(nᵢ−1) in one pass.
+    # Tokens are nonempty post-filter, so "" is a safe initial prev.
+    same_pairs = F.aggregate(
+        words,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("acc"),
+        ),
+        lambda st, tok: F.struct(
+            tok.alias("prev"),
+            F.when(tok == st["prev"], st["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(tok == st["prev"], st["acc"])
+            .otherwise(st["acc"] + st["run"] * (st["run"] - 1))
+            .alias("acc"),
+        ),
+        lambda st: st["acc"] + st["run"] * (st["run"] - 1),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_tokens"),
+            same_pairs.alias("same_pairs"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.expr(
+                    "((n_tokens * (n_tokens - 1) - same_pairs) * 1000000)"
+                    " DIV (n_tokens * (n_tokens - 1))"
+                ),
+            )
+            .cast("long")
+            .alias("simpson_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN index-quality evaluation (r14 continuation, U4/A5): recall@10 of
+# the IVF index against exact brute-force cosine truth, per query —
+# the eval loop an embedding-dedup/retrieval deployment runs before
+# trusting an index at 100 TB. Both rankings are the established
+# bit-stable pipelines (the brute-force f32 ranking of
+# similarity_topk_cosine, the replayable centroids="first" IVF of
+# similarity_ann_ivf); the eval layer on top is exact integer math
+# (intersection counts, recall quantized by integer DIV). n_probe=1
+# deliberately under-probes (measured: probe=2 already covers every
+# true neighbor cell on this corpus and the metric degenerates to a
+# constant 1.0) so the recall is non-trivially < 1 and the entry
+# actually measures index quality, not a tautology. Scale:
+# the truth side auto-routes through the blocked-GEMM kernel, the IVF
+# side is the celled candidate join; the eval join is k×|queries|
+# rows broadcast.
+# --------------------------------------------------------------------------
+
+_RECALL_K = 10
+_RECALL_PROBE = 1
+
+
+@register(
+    "ann_recall_eval",
+    tags=["U4", "A5"],
+    oracle=f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bf AS (
+  SELECT q.vec_id AS q_id, c.vec_id,
+         CAST(list_dot_product(c.v, q.v)
+              / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)))
+           AS FLOAT) AS cosine
+  FROM e c JOIN e q ON q.vec_id < 4 AND c.vec_id <> q.vec_id),
+bf_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+    FROM bf) WHERE rnk <= {_RECALL_K}),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM e ORDER BY vec_id LIMIT 16),
+scored_cells AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS s
+  FROM e CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM scored_cells) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, v AS qv, cell FROM (
+    SELECT vec_id, v, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+    FROM scored_cells WHERE vec_id < 4) WHERE rn <= {_RECALL_PROBE}),
+cand AS (
+  SELECT qprobe.q_id, assign.vec_id, qprobe.qv, assign.v AS cv
+  FROM assign JOIN qprobe ON assign.cell = qprobe.cell
+  WHERE assign.vec_id <> qprobe.q_id),
+ivf_scored AS (
+  SELECT q_id, vec_id,
+         CAST(list_dot_product(cv, qv)
+              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+           AS FLOAT) AS cosine
+  FROM cand),
+ivf_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+    FROM ivf_scored) WHERE rnk <= {_RECALL_K}),
+hits AS (
+  SELECT bf_top.q_id, count(*) AS n_hits
+  FROM bf_top JOIN ivf_top
+    ON ivf_top.q_id = bf_top.q_id AND ivf_top.vec_id = bf_top.vec_id
+  GROUP BY bf_top.q_id),
+qs AS (SELECT DISTINCT vec_id AS q_id FROM e WHERE vec_id < 4)
+SELECT qs.q_id,
+       CAST({_RECALL_K} AS BIGINT) AS k,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((coalesce(hits.n_hits, 0) * 1000000) // {_RECALL_K} AS BIGINT)
+         AS recall_micro
+FROM qs LEFT JOIN hits ON hits.q_id = qs.q_id
+ORDER BY qs.q_id
+""",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 4)
+    truth = S.cosine_topk(
+        emb, queries, "vec_id", "embedding", k=_RECALL_K, queries_count_hint=4
+    ).select(F.col("q_vec_id").alias("q_id"), "vec_id")
+    approx = S.ann_ivf_topk(
+        emb, queries, "vec_id", "embedding",
+        k=_RECALL_K, n_centroids=16, n_probe=_RECALL_PROBE, centroids="first",
+    ).select("q_id", "vec_id")
+    hits = (
+        F.broadcast(approx)
+        .join(F.broadcast(truth), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = queries.select(F.col("vec_id").alias("q_id")).distinct()
+    return (
+        qs.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.lit(_RECALL_K).cast("long").alias("k"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) * 1000000 / _RECALL_K)
+            .cast("long")
+            .alias("recall_micro"),
+        )
+        .orderBy("q_id")
+    )

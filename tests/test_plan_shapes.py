@@ -212,3 +212,26 @@ def test_pip_grid_entry_runs_grid_route(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__cx" in plan and "__cy" in plan  # the cell equi-join keys
     assert "BatchEvalPython" not in plan  # ray-crossing is column math
+
+
+def test_simpson_diversity_is_shuffle_free(spark, queries):
+    """text_simpson_diversity's whole computation is row-local HOF
+    math: the only exchanges allowed are the fan_out round-robin and
+    the final ORDER BY range partitioning — no hash-partition shuffle,
+    no window, no Python."""
+    plan = plan_of(queries["text_simpson_diversity"](spark, SF_SMOKE), "simple")
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_user_gini_has_no_global_window(spark, queries):
+    """events_user_gini ranks via scalable_cumsum (range repartition +
+    per-partition windows + broadcast offsets) — the executed plan must
+    never contain a global-order window (the single-partition
+    scale-killer). The one SinglePartition exchange allowed is the
+    final 1-row aggregate."""
+    df = queries["events_user_gini"](spark, SF_SMOKE)
+    plan = plan_of(df, "simple")
+    assert "windowspecdefinition" not in plan  # rank happened upstream, partitioned
+    assert "BatchEvalPython" not in plan
