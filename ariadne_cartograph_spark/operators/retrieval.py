@@ -126,3 +126,87 @@ def tfidf_vectors(
             ).alias("tf_idf"),
         )
     )
+
+
+def bm25_topk_per_term(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-term BM25 top-k: one ranking per query term, sharing ONE
+    tokenize/tf/dl/df pass across all terms (calling :func:`bm25_topk`
+    once per term re-runs the whole token pipeline |terms| times —
+    measured 4× the cost on a 4-term eval).
+
+    Output: (term, id, score float32, rank 1..k), ranks per term with
+    the same (score DESC, id) tie-break as :func:`bm25_topk`. The
+    scored frame (docs containing ≥1 query term — posting-list sized,
+    not corpus sized) is persisted and each term's top-k runs as an
+    independent orderBy+limit = TakeOrderedAndProject job over it: no
+    window partitioned by term (one reducer per term — the skew
+    killer when a term matches 1e8 docs), no recompute.
+    """
+    toks = _tokens(docs, id_col, text_col)
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_df = toks.select(id_col, "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = F.array(*[F.lit(t) for t in query_terms])
+    scored = (
+        tf.filter(F.array_contains(qterms, F.col("tok")))
+        .join(
+            F.broadcast(n_df.filter(F.array_contains(qterms, F.col("tok")))), "tok"
+        )
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ),
+        )
+        .select(
+            F.col("tok").alias("term"),
+            F.col(id_col),
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            )
+            .cast("float")
+            .alias("score"),
+        )
+        .persist()
+    )
+    try:
+        outs = []
+        for t in query_terms:
+            top_t = (
+                scored.filter(F.col("term") == t)
+                .orderBy(F.desc("score"), F.col(id_col))
+                .limit(k)
+                .withColumn(
+                    "rank",
+                    F.row_number()
+                    .over(Window.orderBy(F.desc("score"), F.col(id_col)))
+                    .cast("long"),
+                )
+            )
+            outs.append(top_t)
+        out = outs[0]
+        for t_df in outs[1:]:
+            out = out.unionByName(t_df)
+        # materialize before unpersisting the shared scored frame
+        return out.localCheckpoint(eager=True)
+    finally:
+        scored.unpersist()

@@ -791,7 +791,11 @@ ORDER BY bound.source
 def corpus_quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("source", "n_chars")
+    # no fan_out: this is a 2-integer-column scan feeding a hash
+    # aggregate — the round-robin respread exists for CPU-bound text
+    # parsing on few input splits and here it IS the cost (isolated
+    # sf1 A/B: 4.5 s cold with fan_out vs 1.0 s without, same hash)
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     hist = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
     # cumulative count over the VALUE HISTOGRAM — the window runs over
     # |sources| × |distinct scores| rows, not over documents

@@ -3084,15 +3084,17 @@ ORDER BY term
 """,
 )
 def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.retrieval import bm25_topk
+    from ..operators.retrieval import bm25_topk_per_term
 
     docs = load_table(spark, sf_dir, "documents")
-    tops = None
-    for t in _EVAL_TERMS:
-        top_t = bm25_topk(docs, [t], k=_EVAL_K).select(
-            F.lit(t).alias("term"), "doc_id", F.col("rank").alias("rnk")
-        )
-        tops = top_t if tops is None else tops.unionByName(top_t)
+    # one shared tokenize/tf/dl/df pass for all terms (the per-term
+    # bm25_topk loop re-ran the token pipeline |terms| times — 4x the
+    # scan cost on this 4-term eval); per-term rankings are still
+    # independent TakeOrdered jobs, value-identical (single-term score
+    # is the same double expression, cast f32 at the same point)
+    tops = bm25_topk_per_term(docs, list(_EVAL_TERMS), k=_EVAL_K).select(
+        "term", "doc_id", F.col("rank").alias("rnk")
+    )
     # Relevance labels: row-local term-frequency probes on the scan —
     # one pass over documents, no token shuffle for the label side.
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
