@@ -166,3 +166,85 @@ SELECT source,
             AS BIGINT) AS kept_checksum
 FROM d GROUP BY source ORDER BY source
 """
+
+
+def decontamination_census_sql(k: int = REPLICA_K, threshold: float = 0.02) -> str:
+    """Replica census oracle for decontamination_overlap (exact
+    two-table n-gram Jaccard — complete by construction).
+
+    The entry's corpus/bench split is ``doc_id % 25`` — id-derived, so
+    the expansion is valid ONLY when the split commutes with the
+    replica offsets, i.e. OFF % 25 == 0 (true for every driver scale:
+    500/500/5000 docs). The SQL checks the precondition and poisons
+    n_pairs with -1 when violated, so a replica shape that breaks the
+    commute fails the hash loudly instead of passing silently.
+
+    With the split commuting, every copy keeps its class, so no
+    cross-copy SELF pairs cross the corpus/bench boundary and the
+    replica relation is exactly K² offset copies of the base relation:
+        n_pairs = K²·B
+        Σ(ids)  = K²·S + K²(K−1)·OFF·B
+                  (Σ_{i,j}(c+iOFF+b+jOFF) = K²(c+b) + OFF·K²(K−1))
+        Σ(floor(j·1e6)) = K²·Q  (scores replicate exactly)
+    """
+    score = "CAST(n_inter AS DOUBLE) / (sc.n_c + sb.n_b - n_inter)"
+    return rf"""
+WITH p AS (SELECT (max(doc_id)+1)//{k} AS off FROM documents),
+base AS (SELECT doc_id, text FROM documents
+         WHERE doc_id < (SELECT off FROM p)),
+corpus AS (SELECT doc_id, text FROM base WHERE doc_id % 25 <> 0),
+bench AS (SELECT doc_id, text FROM base WHERE doc_id % 25 = 0),
+sh_c AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM corpus),
+sh_b AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split_regex(text,'\s+')) - 2, 0) + 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(text,'\s+')[i],
+                        string_split_regex(text,'\s+')[i+1],
+                        string_split_regex(text,'\s+')[i+2])))) AS g
+  FROM bench),
+sz_c AS (SELECT doc_id, count(*) AS n_c FROM sh_c GROUP BY doc_id),
+sz_b AS (SELECT doc_id, count(*) AS n_b FROM sh_b GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh_c c JOIN sh_b b ON c.g = b.g
+  GROUP BY 1, 2),
+bp AS (
+  SELECT id_a, id_b,
+         CAST(floor(({score}) * 1000000.0) AS BIGINT) AS q
+  FROM inter
+  JOIN sz_c sc ON sc.doc_id = id_a
+  JOIN sz_b sb ON sb.doc_id = id_b
+  WHERE {score} >= {threshold}),
+agg AS (SELECT count(*) AS b, coalesce(sum(id_a+id_b), 0) AS s,
+               coalesce(sum(q), 0) AS q FROM bp)
+SELECT CAST(CASE WHEN (SELECT off FROM p) % 25 = 0
+            THEN {k * k}*b ELSE -1 END AS BIGINT) AS n_pairs,
+       CAST({k * k}*s + {k * k * (k - 1)}*(SELECT off FROM p)*b
+            AS BIGINT) AS sum_ids,
+       CAST({k * k}*q AS BIGINT) AS q_score
+FROM agg
+"""
+
+
+def two_id_census(df: DataFrame, id_a: str, id_b: str, score_col: str) -> DataFrame:
+    """Engine-side census of a two-table pair frame (different id
+    column names than pair_census)."""
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.col(id_a) + F.col(id_b)), F.lit(0))
+        .cast("long")
+        .alias("sum_ids"),
+        F.coalesce(
+            F.sum(F.floor(F.col(score_col) * F.lit(1000000.0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("q_score"),
+    )

@@ -123,3 +123,24 @@ def test_expansion_combinatorics_tiny_corpus(spark, tmp_path):
     )
     got = con.execute(RO.jaccard_census_sql(k=K)).fetchone()
     assert tuple(got) == want
+
+
+def test_decontamination_census_matches_engine_on_k3(spark, replica_dir):
+    """decontamination_overlap: the %25 corpus/bench split commutes
+    with the replica offsets (OFF = 500 for the sf0.001 K=3 replica,
+    500 % 25 == 0), so the census expansion (K² pairs, no self-pair
+    terms — copies keep their class) must reproduce the engine on the
+    replicated data, and the precondition guard must be green."""
+    from ariadne_cartograph_spark.plans.catalog import REGISTRY, get_queries
+
+    get_queries()
+    df = RO.two_id_census(
+        REGISTRY["decontamination_overlap"].fn(spark, replica_dir),
+        "corpus_id", "bench_id", "jaccard",
+    )
+    got = _spark_rows(df)
+    want = _oracle(RO.decontamination_census_sql(k=K), replica_dir)
+    assert got == want
+    # the guard did not fire and the census is non-degenerate
+    assert not got[0].startswith("(-1")
+    assert got[0] != "(0, 0, 0)"

@@ -72,6 +72,10 @@ def _replica_census():
             lambda df: df,
             RO.incremental_census_sql(),
         ),
+        "decontamination_overlap": (
+            lambda df: RO.two_id_census(df, "corpus_id", "bench_id", "jaccard"),
+            RO.decontamination_census_sql(),
+        ),
     }
 
 
