@@ -248,3 +248,63 @@ def two_id_census(df: DataFrame, id_a: str, id_b: str, score_col: str) -> DataFr
         .cast("long")
         .alias("q_score"),
     )
+
+
+def embedding_near_dup_census_sql(k: int = REPLICA_K, threshold: float = 0.45) -> str:
+    """Replica census oracle for embedding_near_dup (exact blocked-GEMM
+    all-pairs — complete by construction, same single-table id_a<id_b
+    convention as the n-gram relations, so `_census_select` applies).
+
+    Self-pair scores are EXACTLY 1.0f: for identical vectors the
+    double expression dot/(sqrt·sqrt) differs from 1 by ≤ 2⁻⁵¹, far
+    inside float32's 1.19e-7 epsilon, so the f32 cast rounds to 1.0 in
+    both engines and floor(score·1e6) contributes exactly 1_000_000
+    per self pair (the `{t}·d·1e6` census term). Zero-norm vectors
+    (0/0 → NaN/NULL-reject) pair with nothing and are excluded from
+    the self-pair population, mirroring the engine's threshold filter
+    dropping NaN."""
+    cos = (
+        "CAST(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))) AS FLOAT)"
+    )
+    return f"""
+WITH p AS (SELECT (max(vec_id)+1)//{k} AS off FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < (SELECT off FROM p)),
+bp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(({cos}) * 1000000.0) AS BIGINT) AS q
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}),
+sizes AS (SELECT vec_id AS doc_id FROM e WHERE list_dot_product(v, v) > 0),
+{_census_select(k)}
+"""
+
+
+def skewed_jaccard_census_sql(k: int = REPLICA_K, threshold: float = 0.6) -> str:
+    """Replica census oracle for ngram_jaccard_skewed_corpus — the
+    same exact AllPairs relation as ngram_jaccard_near_dup, over the
+    boilerplate-suffixed corpus. The suffix is a pure (id, text)
+    transform applied identically to every row, so it commutes with
+    replication and the standard census expansion holds over the
+    TRANSFORMED base relation."""
+    from .text_queries import _BOILERPLATE
+
+    base_sh = _BASE_SHINGLES.format(k=k).replace(
+        "base AS (SELECT doc_id, source, text FROM documents",
+        "base AS (SELECT doc_id, source, text || ' "
+        + _BOILERPLATE.replace("'", "''")
+        + "' AS text FROM documents",
+    )
+    score = "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)"
+    return f"""
+WITH {base_sh},
+bp AS (
+  SELECT id_a, id_b, CAST(floor(({score}) * 1000000.0) AS BIGINT) AS q
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE {score} >= {threshold}),
+{_census_select(k)}
+"""

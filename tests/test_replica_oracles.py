@@ -31,7 +31,7 @@ def replica_dir(tmp_path_factory):
 
 def _oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
@@ -143,4 +143,37 @@ def test_decontamination_census_matches_engine_on_k3(spark, replica_dir):
     assert got == want
     # the guard did not fire and the census is non-degenerate
     assert not got[0].startswith("(-1")
+    assert got[0] != "(0, 0, 0)"
+
+
+def test_embedding_near_dup_census_matches_engine_on_k3(spark, replica_dir):
+    """embedding_near_dup: exact all-pairs cosine relation — census
+    expansion must hold, including the self-pair term (identical-copy
+    cosine rounds to exactly 1.0f in both engines: the double
+    expression differs from 1 by <= 2^-51, inside f32 epsilon)."""
+    from ariadne_cartograph_spark.plans.catalog import REGISTRY, get_queries
+
+    get_queries()
+    df = RO.pair_census(
+        REGISTRY["embedding_near_dup"].fn(spark, replica_dir), "cosine"
+    )
+    got = _spark_rows(df)
+    want = _oracle(RO.embedding_near_dup_census_sql(k=K), replica_dir)
+    assert got == want
+    assert got[0] != "(0, 0, 0)"
+
+
+def test_skewed_jaccard_census_matches_engine_on_k3(spark, replica_dir):
+    """ngram_jaccard_skewed_corpus: the boilerplate suffix is applied
+    identically to every row, so it commutes with replication and the
+    standard jaccard census holds over the transformed base."""
+    from ariadne_cartograph_spark.plans.catalog import REGISTRY, get_queries
+
+    get_queries()
+    df = RO.pair_census(
+        REGISTRY["ngram_jaccard_skewed_corpus"].fn(spark, replica_dir), "jaccard"
+    )
+    got = _spark_rows(df)
+    want = _oracle(RO.skewed_jaccard_census_sql(k=K), replica_dir)
+    assert got == want
     assert got[0] != "(0, 0, 0)"

@@ -76,6 +76,14 @@ def _replica_census():
             lambda df: RO.two_id_census(df, "corpus_id", "bench_id", "jaccard"),
             RO.decontamination_census_sql(),
         ),
+        "embedding_near_dup": (
+            lambda df: RO.pair_census(df, "cosine"),
+            RO.embedding_near_dup_census_sql(),
+        ),
+        "ngram_jaccard_skewed_corpus": (
+            lambda df: RO.pair_census(df, "jaccard"),
+            RO.skewed_jaccard_census_sql(),
+        ),
     }
 
 
