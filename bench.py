@@ -100,7 +100,11 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # precedent. At sf0.1 (0.16% dups) the gate skips and the naive
     # plan is unchanged; the probe is memoized by plan hash.
     "text_repeated_span_removal": 6.0,
-    "window_time_range_frame": 10.0,  # 1M output rows — output-bound
+    # r14 re-pin 10.0 -> 7.5: joined ENGINE_CLOCK_DIGEST (the 1M-row
+    # Arrow collect was the recorded cost, not the plan); fresh-process
+    # digest runs [4.92, 0.44, 0.48] — fence carries in-context margin
+    # over the cold reading. Collect tax recorded as collect_sec.
+    "window_time_range_frame": 7.5,
     # r12 re-pin: persisted fingerprint frame + the semantic_dedup
     # vector collapse (12.7 s → 8.5 s isolated min)
     "corpus_multimodal_curation": 8.8,
@@ -125,6 +129,8 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # A/B on the same host state: 10.41 -> 6.87 s min (runs
     # [9.4, 7.9, 7.4, 6.9]); fence carries the in-context margin.
     "docs_incremental_dedup_parity": 8.5,
+    # r14: joined ENGINE_CLOCK_DIGEST; fresh-process digest runs
+    # [6.66, 1.13, 1.0] — fence 9.1 kept (already carries the margin).
     "geo_line_simplify": 9.1,
     # r11 re-pin: entry switched to the measured auto-router — on the
     # 10x replica the exact-dup collapse cuts the count join's
@@ -151,7 +157,14 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # fresh-process digest runs on an idle host: 12.0 / 11.2 / 10.0 s
     # (collect tax, recorded separately as collect_sec: ~15-16 s).
     "ways_enrichment_pipeline": 11.0,
-    "window_running_total": 10.5,
+    # r14 re-pin 10.5 -> 8.0: joined ENGINE_CLOCK_DIGEST; fresh-process
+    # digest runs [5.14, 0.41, 0.42] — the old 10.5 measured the 1.5M-row
+    # Arrow collect, recorded as collect_sec from now on.
+    "window_running_total": 8.0,
+    # r14 first pins (newly digest-clocked, previously unfenced):
+    # fresh-process digest runs [6.13, 1.1, 0.99] / [6.11, 1.06, 0.77]
+    "window_rank_variants": 9.0,
+    "scalar_array_funcs": 9.0,
 }
 
 

@@ -99,6 +99,16 @@ def _replica_census():
 # recorded separately as collect_sec).
 ENGINE_CLOCK_DIGEST = {
     "ways_enrichment_pipeline",
+    # r14: the other 1M+-row entries join the digest clock — their
+    # rehearsal engine_sec was dominated by the hash-parity Arrow
+    # collect (8-14s recorded vs 4.9-6.7s fresh-process / 0.4-1.1s
+    # warm digest-measured plans; same class as the r12
+    # ways_enrichment 10-31s phantom spread).
+    "window_running_total",
+    "window_rank_variants",
+    "window_time_range_frame",
+    "geo_line_simplify",
+    "scalar_array_funcs",
 }
 
 
