@@ -165,6 +165,8 @@ SF1_ENGINE_FENCES: dict[str, float] = {
     # fresh-process digest runs [6.13, 1.1, 0.99] / [6.11, 1.06, 0.77]
     "window_rank_variants": 9.0,
     "scalar_array_funcs": 9.0,
+    # fresh-process digest runs [4.27, 0.36, 0.38]
+    "window_range_frame": 7.0,
 }
 
 

@@ -107,6 +107,7 @@ ENGINE_CLOCK_DIGEST = {
     "window_running_total",
     "window_rank_variants",
     "window_time_range_frame",
+    "window_range_frame",
     "geo_line_simplify",
     "scalar_array_funcs",
 }
