@@ -557,6 +557,7 @@ WINDOW_ORDER_R15: list[str] = [
     "events_user_gini",
     "ann_recall_eval",
     "corpus_quality_prune_per_source",
+    "events_session_paths",
     # tag-cover anchors (greedy stalest-first set cover)
     "q22_wealthy_inactive",
     "text_chunk_dedup",
@@ -564,7 +565,6 @@ WINDOW_ORDER_R15: list[str] = [
     "text_token_shards",
     "text_vocab_coverage",
     "embedding_near_dup",
-    "events_sliding_hourly",
     "text_token_topk_sketch",
     "embedding_stream_pca_parity",
     "events_median_normalize",
@@ -602,10 +602,12 @@ WINDOW_ORDER_R15: list[str] = [
     # four r14 additions rotated in; window_range_frame /
     # window_rank_variants / agg_approx_distinct / agg_cube_lineitem /
     # agg_distinct_counts / agg_ordered_string_concat /
-    # window_topn_per_group — r10-13-hashed A5/W1/W3 fills — displaced
-    # when the seven r14-continuation additions rotated in (W1 keeps a
-    # window carrier via graph_clustering_coefficient); amended unit
-    # re-hash-validated at sf0.01 before each commit.)
+    # window_topn_per_group / events_sliding_hourly — r10-13-hashed
+    # A5/W1/W3/T2 fills — displaced when the eight r14-continuation
+    # additions rotated in (W1 keeps a window carrier via
+    # graph_clustering_coefficient, T2 via events_session_paths and
+    # the stream-parity entries); amended unit re-hash-validated at
+    # sf0.01 before each commit.)
 ]
 
 # Round 14: the pre-staged r14 rotation goes live (leads with the

@@ -1251,3 +1251,96 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session path mining (r14 continuation, T2/W2/W4): the top-20 most
+# frequent event-type SEQUENCES across sessions — the "what do users
+# actually do" census funnels are built from. Paths truncate at the
+# first 8 events per session (deterministic: the (ts, event_id)
+# order), assemble with the order-preserving array pattern
+# (sort-by-rank structs → transform — the W2 scheme, never a
+# collect_list ordering assumption), and the top-20 is a distributed
+# TakeOrdered with (count DESC, path) tie-break. All-integer/string
+# output — no floats anywhere. One user-partitioned window pass +
+# two map-side-combinable groupBys; the oracle replays the session
+# assignment with the same exact-micros lag/gap CTE as
+# sessionize_bounds and aggregates with string_agg ORDER BY.
+# --------------------------------------------------------------------------
+
+_PATH_MAX_EVENTS = 8
+_PATH_TOP_K = 20
+
+
+@register(
+    "events_session_paths",
+    tags=["T2", "W2", "W4"],
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                >= {_SESSION_GAP_SEC}::BIGINT * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM tagged),
+ranked AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS rn
+  FROM sess),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {_PATH_MAX_EVENTS}
+  GROUP BY user_id, session_seq),
+counted AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY path)
+SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+FROM counted
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOP_K}
+""",
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=_SESSION_GAP_SEC,
+        order_tiebreak="event_id",
+    )
+    rn_w = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    ranked = (
+        s.withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= _PATH_MAX_EVENTS)
+        .select("user_id", "session_seq", "rn", "event_type")
+    )
+    paths = ranked.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top_w = W.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counted.orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_PATH_TOP_K)
+        .select(
+            "path",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.row_number().over(top_w).cast("long").alias("rank"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+    )

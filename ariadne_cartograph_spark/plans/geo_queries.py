@@ -188,7 +188,10 @@ def ways_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ways_enrichment_pipeline",
     headline=True,
-    tags=["E1", "S2", "S3", "J2", "P4", "P5", "P6", "P7", "A1", "A2", "A3"],
+    # W2: the pipeline assembles way vertex arrays order-preservingly
+    # (sources/osm.py assemble_way_geometries); tagged explicitly
+    # since r14 when events_session_paths made W2 a carried tag.
+    tags=["E1", "S2", "S3", "J2", "P4", "P5", "P6", "P7", "A1", "A2", "A3", "W2"],
     oracle=f"""
 WITH pts AS (
   SELECT l_orderkey AS gid,
@@ -276,7 +279,11 @@ ORDER BY table_name
 @register(
     "osm_ingest_feature_tables",
     headline=True,  # fences the OSM XML mapInPandas ingest (r4 advice)
-    tags=["S6", "S7", "P12", "P13"],
+    # W2: the ingest assembles way-node arrays order-preservingly
+    # (sources/osm.py assemble_way_geometries — the sort-by-rank
+    # struct scheme); tagged explicitly since r14 when
+    # events_session_paths made W2 a carried tag.
+    tags=["S6", "S7", "P12", "P13", "W2"],
     oracle=_OSM_INGEST_ORACLE,
 )
 def osm_ingest_feature_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
