@@ -308,3 +308,61 @@ bp AS (
   WHERE {score} >= {threshold}),
 {_census_select(k)}
 """
+
+
+def semantic_dedup_census_sql(k: int = REPLICA_K, threshold: float = 0.35) -> str:
+    """Replica oracle for embedding_semantic_dedup — SAME output schema
+    as the entry (16 rows, no census wrapper).
+
+    The drop rule is "dropped iff some smaller-id doc in the same cell
+    has cosine >= t". Under the replica: (1) the quantizer is the first
+    16 ids = base vectors, so every copy lands in its base twin's cell
+    (identical scores, same DESC/cell-ASC tiebreak); (2) every copy
+    c_i (i >= 1) has its base twin c_0 < OFF <= c_i in the same cell
+    at cosine exactly 1.0f (the embedding_near_dup argument) >= t, so
+    ALL (K-1)·n copies drop; (3) a base-block doc only sees base-block
+    smaller ids (copies all have ids >= OFF), so base statuses are
+    exactly the base run's. Hence per cell: n_vecs -> K·n_vecs,
+    n_dropped -> n_dropped + (K-1)·n_vecs, n_kept unchanged.
+
+    Precondition: every base vector has nonzero norm (a zero-norm
+    vector's copies never drop and its NaN cell assignment is
+    engine-dependent) — guarded by poisoning n_vecs with -1.
+    """
+    return f"""
+WITH p AS (SELECT (max(vec_id)+1)//{k} AS off FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < (SELECT off FROM p)),
+guard AS (SELECT min(list_dot_product(v, v)) AS min_nn FROM e),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM e ORDER BY vec_id LIMIT 16),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, cent.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, cent.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+             DESC, cent.cell ASC) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.cell, b.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS FLOAT) >= {threshold}),
+base AS (
+  SELECT a.cell,
+         count(*) AS n_vecs,
+         count(d.vec_id) AS n_dropped,
+         count(*) - count(d.vec_id) AS n_kept
+  FROM assign a LEFT JOIN dropped d ON a.cell = d.cell AND a.vec_id = d.vec_id
+  GROUP BY a.cell)
+SELECT cell,
+       CAST(CASE WHEN (SELECT min_nn FROM guard) > 0
+            THEN {k} * n_vecs ELSE -1 END AS BIGINT) AS n_vecs,
+       CAST(n_dropped + {k - 1} * n_vecs AS BIGINT) AS n_dropped,
+       CAST(n_kept AS BIGINT) AS n_kept
+FROM base
+ORDER BY cell
+"""

