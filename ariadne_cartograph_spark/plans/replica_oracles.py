@@ -366,3 +366,4 @@ SELECT cell,
 FROM base
 ORDER BY cell
 """
+

@@ -194,3 +194,4 @@ def test_semantic_dedup_census_matches_engine_on_k3(spark, replica_dir):
     # guard did not fire
     assert all(not r.startswith("(-1") and "(-1," not in r for r in got) or True
     assert "-1" not in "".join(want)
+
