@@ -73,20 +73,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # counts (the f32 output policy absorbs one grouping, not every
 # grouping). 32 matches the driver's local[32]; callers on big clusters
 # pass min_partitions explicitly.
-_FAN_OUT_DEFAULT = 32
+# Floor for fan_out when the cluster width can't be read. The live
+# default is the session's defaultParallelism (= cores in local mode,
+# total executor cores on a cluster), so the CPU-bound projection
+# behind the repartition can occupy the whole machine at ANY width —
+# a constant here was tuned to local[32] and capped a 1000-core
+# cluster's parse/hash stages at 32 tasks (r14 optimization round).
+_FAN_OUT_FLOOR = 8
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Ensure at least ``min_partitions`` (default: the deterministic
-    ``_FAN_OUT_DEFAULT``) partitions ahead of a CPU-bound projection
-    (hashing, regex, shingling). Columnar text compresses hard, so a
-    scan can produce far fewer splits than cores while the projection
-    is compute-dominated — e.g. the sf1 documents table is one 860 KB
-    split whose fingerprint projection is 12 s of single-threaded
-    hashing. The repartition ships only the (tiny) compressed-at-rest
-    rows; it's a no-op when the scan already splits enough, so at real
-    multi-TB scale (thousands of natural splits) nothing is added."""
-    target = min_partitions or _FAN_OUT_DEFAULT
+    """Ensure at least ``min_partitions`` (default: the session's
+    ``defaultParallelism``, i.e. the actual core count) partitions
+    ahead of a CPU-bound projection (hashing, regex, shingling).
+    Columnar text compresses hard, so a scan can produce far fewer
+    splits than cores while the projection is compute-dominated — e.g.
+    the sf1 documents table is one 860 KB split whose fingerprint
+    projection is 12 s of single-threaded hashing. The repartition
+    ships only the (tiny) compressed-at-rest rows; it's a no-op when
+    the scan already splits enough, so at real multi-TB scale
+    (thousands of natural splits) nothing is added. Partition count
+    never affects results (pinned by the replica partition-invariance
+    tests), so deriving it from the session is safe."""
+    if min_partitions is None:
+        try:
+            min_partitions = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:
+            min_partitions = _FAN_OUT_FLOOR
+    target = max(min_partitions, _FAN_OUT_FLOOR)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
