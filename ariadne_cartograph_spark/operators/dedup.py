@@ -501,8 +501,21 @@ def ngram_jaccard_pairs_prefix(
         .distinct()
     )
     # Exact verification on the (small) candidate set only.
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # shuffle_hash on the array-carrying side: the default plan sorts
+    # BOTH sides (SMJ) to join 8-byte ids, paying two sorts of rows
+    # whose payload is the full shingle array — hash-joining on the id
+    # skips the sorts (r14 isolated A/B at sf0.1: verify stage 2.93 →
+    # 2.05 s min-of-3; broadcast measured 2.91 — the driver-side build
+    # of the array relation eats the win). Same SF-scaling posture as
+    # the candidate self-join hints: both sides are id-partitioned
+    # row streams, the per-partition build side is the doc-count-bounded
+    # shingle frame slice.
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")).hint(
+        "shuffle_hash"
+    )
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")).hint(
+        "shuffle_hash"
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
