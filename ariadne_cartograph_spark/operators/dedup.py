@@ -242,11 +242,20 @@ def jaccard_verify(
             F.col(id_col), hashed_word_shingles(text_col, n=shingle_size).alias("sh")
         )
     )
+    # shuffle_hash on the array-carrying side, as in the prefix route's
+    # verify: the default plan broadcasts or sort-merges the shingle
+    # relation, paying the array payload through the build/sort; the
+    # hash join streams it through one id-keyed exchange (r14 A/B).
     out = (
-        candidates.join(sh.withColumnRenamed("sh", "sh_a"), candidates.id_a == sh[id_col])
+        candidates.join(
+            sh.withColumnRenamed("sh", "sh_a").hint("shuffle_hash"),
+            candidates.id_a == sh[id_col],
+        )
         .drop(id_col)
         .join(
-            sh.withColumnRenamed("sh", "sh_b").withColumnRenamed(id_col, "__idb"),
+            sh.withColumnRenamed("sh", "sh_b")
+            .withColumnRenamed(id_col, "__idb")
+            .hint("shuffle_hash"),
             F.col("id_b") == F.col("__idb"),
         )
         .drop("__idb")
