@@ -102,6 +102,24 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def dedup_exact_keepers(
+    df: DataFrame, text_col: str, id_col: str, *carry: str
+) -> DataFrame:
+    """The keep-set of :func:`dedup_exact` without the join back: one
+    narrow groupBy(fingerprint) shuffle returning ``(id_col, *carry)``
+    of the kept (min-``id_col``) row per distinct content. ``carry``
+    columns ride through the aggregate via ``min_by`` (deterministic —
+    ``id_col`` is unique, so there are no ties). Census consumers that
+    only need the keepers' ids/attributes skip dedup_exact's semi join
+    and its payload-bearing probe side entirely (r14 optimization
+    round)."""
+    fp = df.withColumn("__fp", fingerprint_md5(text_col))
+    return fp.groupBy("__fp").agg(
+        F.min(id_col).alias(id_col),
+        *[F.min_by(c, id_col).alias(c) for c in carry],
+    ).drop("__fp")
+
+
 def _minhash_from_shingles(shingles: "F.Column", n_hashes: int) -> "F.Column":
     """array<long> MinHash signature from an array<long> shingle set.
     The i-th family member rehashes each fixed-width shingle hash with

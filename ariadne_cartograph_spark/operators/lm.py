@@ -106,10 +106,17 @@ def bigram_lm_doc_scores(
     """
     bg = doc_bigrams(df, id_col, text_col)
     big = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
-    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    # Context counts and vocabulary derive from the bigram TABLE, not
+    # the instance stream: count(p, ·) = Σ_c count(p, c), and the token
+    # set of the distinct pairs is the token set of the stream. The
+    # naive form re-tokenized and re-exploded the whole corpus three
+    # more times (once for ctx, twice for the vocab union) and shuffled
+    # the full bigram stream for each; these aggregate the
+    # vocabulary-bounded count table instead.
+    ctx = big.groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
     vocab = (
-        bg.select(F.col("cur").alias("tok"))
-        .unionByName(bg.select(F.col("prev").alias("tok")))
+        big.select(F.col("cur").alias("tok"))
+        .unionByName(big.select(F.col("prev").alias("tok")))
         .agg(F.countDistinct("tok").alias("v"))
     )
     scored = (

@@ -50,6 +50,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Probe for the real-codec path ONCE at import time: a failed import is
+# not cached in sys.modules, so probing inside decode_media made every
+# decoded row pay a full sys.path search before falling through to the
+# stdlib/fake path (guide §4: heavyweight init once per task, never per
+# row). Executors import this module once per worker process.
+try:  # real codec, unavailable in this container
+    from PIL import Image as _PIL_IMAGE
+except Exception:
+    _PIL_IMAGE = None
+
 META_STRUCT = (
     "struct<width:int,height:int,channels:int,sample_rate:int,"
     "frame_bytes:int,n_frames:int>"
@@ -116,16 +126,15 @@ def decode_media(payload: bytes, width: int, height: int, channels: int) -> np.n
     attempted first for payloads that are actual encoded images; the
     fake is the documented fallback in this codec-less container.
     """
-    try:  # real path, unavailable in this container
-        from io import BytesIO
+    if _PIL_IMAGE is not None:  # real path, unavailable in this container
+        try:
+            from io import BytesIO
 
-        from PIL import Image  # noqa: F401
-
-        img = Image.open(BytesIO(payload))
-        arr = np.asarray(img, dtype=np.uint8)
-        return arr.reshape(arr.shape[0], arr.shape[1], -1)
-    except Exception:
-        pass
+            img = _PIL_IMAGE.open(BytesIO(payload))
+            arr = np.asarray(img, dtype=np.uint8)
+            return arr.reshape(arr.shape[0], arr.shape[1], -1)
+        except Exception:
+            pass
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
         # Stdlib PNG path (sources/tiles.decode_png) — real decode for
         # the one codec this container can honestly support without PIL.

@@ -58,6 +58,14 @@ def bm25_topk(
     """
     toks = _tokens(docs, id_col, text_col)
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # NOTE (r14 optimization round): deriving dl/df from the tf table
+    # (the text_bigram_lm_quality rewrite) was measured SLOWER here —
+    # the query-term filter pushes through every term-keyed aggregate
+    # below, so this formulation never shuffles an unfiltered (id, tok)
+    # stream, while dl-from-tf forces the full tf exchange just to sum
+    # doc lengths. Keep the branches independent: dl's per-doc count
+    # partial-aggregates to one row per (partition, doc) before its
+    # exchange. (Paired sf1 A/B: 2.84s this form vs 3.88s derived.)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     n_df = toks.select(id_col, "tok").distinct().groupBy("tok").agg(
         F.count(F.lit(1)).alias("df_t")
@@ -108,6 +116,11 @@ def tfidf_vectors(
     self-join over this frame."""
     toks = _tokens(docs, id_col, text_col)
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # Independent dl/df branches, NOT derived from tf: consumers filter
+    # by probe terms, and that filter pushes through the term-keyed
+    # aggregates here but cannot rescue a dl-from-tf full exchange
+    # (measured 2.88 → 4.67 s WORSE on text_tfidf_probe_terms at sf1 —
+    # see the note in bm25_topk).
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     n_df = toks.select(id_col, "tok").distinct().groupBy("tok").agg(
         F.count(F.lit(1)).alias("df_t")
@@ -152,6 +165,9 @@ def bm25_topk_per_term(
     """
     toks = _tokens(docs, id_col, text_col)
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # Independent dl/df branches, NOT derived from tf — the query-term
+    # filter pushes through the term-keyed aggregates (see the measured
+    # note in bm25_topk).
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     n_df = toks.select(id_col, "tok").distinct().groupBy("tok").agg(
         F.count(F.lit(1)).alias("df_t")

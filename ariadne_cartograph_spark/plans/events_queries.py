@@ -1177,21 +1177,35 @@ def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         F.to_date("ts").alias("d"), "user_id"
     )
     days = ev.select(F.col("d").alias("day")).distinct()
-    # an event on day d is visible from the trailing windows of days
-    # d .. d+6 — sequence() keeps the fan-out a column expression
-    contrib = ev.select(
-        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"),
-        "user_id",
+    # Aggregate BEFORE the 7x fan-out (guide §2.3): the distinct-user
+    # census only needs the distinct (day, user) pairs and the event
+    # count only needs per-day totals, so both shrink to their
+    # day-grained form first — the windows then explode |daily actives|
+    # + |days| rows instead of 7x the raw event stream. countDistinct
+    # over the exploded distinct pairs is the same set per window-day.
+    du = ev.dropDuplicates(["d", "user_id"])
+    active = (
+        du.select(
+            F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+    )
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    volume = (
+        daily.select(
+            F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"), "c"
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("n_events_7d"))
     )
     return (
-        contrib.groupBy("day")
-        .agg(
-            F.countDistinct("user_id").alias("n_active_7d"),
-            F.count(F.lit(1)).alias("n_events_7d"),
-        )
+        active.join(volume, "day")
         # only window-days that exist as event days (the oracle's days
         # CTE); broadcastable day list, left-semi keeps the plan narrow
         .join(days, "day", "left_semi")
+        .select("day", "n_active_7d", "n_events_7d")
         .orderBy("day")
     )
 

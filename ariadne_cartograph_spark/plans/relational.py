@@ -2575,7 +2575,20 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     order date) → left-semi join with a compound condition; Catalyst
     decorrelates to one shuffle pair."""
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # Implied predicate on the big side: every qualifying line has
+    # l_shipdate > o_orderdate + 90d and o_orderdate >= 1996-01-01, so
+    # l_shipdate > 1996-01-01 + 90d. Catalyst cannot derive a range
+    # constraint through the non-equi join condition, so state it
+    # explicitly — it pushes to the lineitem scan and drops the ~60%
+    # of lines shipped before the window from the join probe.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(
+            F.col("l_shipdate")
+            > F.lit("1996-01-01").cast("timestamp") + F.expr("INTERVAL 90 DAYS")
+        )
+    )
     o = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -2675,7 +2688,21 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row re-scan."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    avg_q = li.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("__q20"))
+    # Only the filtered brand's partkeys ever consume the per-part
+    # average, and the semi join filters whole partkey groups (never
+    # rows within a group), so each surviving group's avg is unchanged.
+    # Pre-filtering cuts the aggregate's shuffle by the brand
+    # selectivity (~1/25); Catalyst cannot push the join's key set up
+    # through the aggregate on its own.
+    avg_q = (
+        li.join(
+            part.select("p_partkey"),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("__q20"))
+    )
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(avg_q.withColumnRenamed("l_partkey", "__pk"), F.col("__pk") == F.col("l_partkey"))
@@ -2715,14 +2742,18 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
+    # n_supp is only ever tested as "> 1"; min != max over the non-null
+    # supplier key is the same predicate without the count-distinct
+    # rewrite (which plans as a second Exchange pair over the full
+    # lineitem aggregate).
     order_ship = li.groupBy("l_orderkey").agg(
         F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
+        (F.min("l_suppkey") != F.max("l_suppkey")).alias("multi_supp"),
     ).withColumnRenamed("l_orderkey", "__ok")
     return (
         li.join(order_ship, F.col("__ok") == F.col("l_orderkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
-        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
+        .filter(F.col("multi_supp") & (F.col("l_shipdate") == F.col("max_ship")))
         .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))

@@ -100,12 +100,25 @@ ORDER BY f.source
 """,
 )
 def text_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The census only needs each keeper's SOURCE, so min_by carries it
+    # through the fingerprint groupBy and both sides collapse to tiny
+    # per-source aggregates — no semi join, no join back to the corpus
+    # by id (two 100%-of-rows exchanges in the old plan).
     docs = load_table(spark, sf_dir, "documents")
-    kept = D.dedup_exact(docs, "text", "doc_id").select("doc_id", F.lit(1).alias("__kept"))
-    return (
-        docs.join(kept, "doc_id", "left")
+    kept_src = (
+        D.dedup_exact_keepers(docs, "text", "doc_id", "source")
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.count("__kept").alias("n_kept"))
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(kept_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
         .orderBy("source")
     )
 
@@ -2008,23 +2021,37 @@ def text_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw-fingerprint baseline: norm dedup keeps ≤ raw dedup, and the
     gap measures formatting-only duplication. Same two-narrow-shuffle
     plan as dedup_exact, once per fingerprint."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "__norm", T.normalize_text("text")
+    # Same keeper-census shape as text_fingerprint_exact_dedup: min_by
+    # carries each keeper's source through the fingerprint groupBy, so
+    # the old plan's two semi joins and two joins back to the corpus by
+    # id (four 100%-of-rows exchanges) become three tiny per-source
+    # aggregates joined on source.
+    docs = load_table(spark, sf_dir, "documents")
+    kept_raw = (
+        D.dedup_exact_keepers(docs, "text", "doc_id", "source")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept_raw"))
     )
-    kept_raw = D.dedup_exact(docs, "text", "doc_id").select(
-        "doc_id", F.lit(1).alias("__kr")
-    )
-    kept_norm = D.dedup_exact(docs, "__norm", "doc_id").select(
-        "doc_id", F.lit(1).alias("__kn")
+    kept_norm = (
+        D.dedup_exact_keepers(
+            docs.withColumn("__norm", T.normalize_text("text")),
+            "__norm",
+            "doc_id",
+            "source",
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept_norm"))
     )
     return (
-        docs.join(kept_raw, "doc_id", "left")
-        .join(kept_norm, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.count("__kr").alias("n_kept_raw"),
-            F.count("__kn").alias("n_kept_norm"),
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(kept_raw, "source", "left")
+        .join(kept_norm, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_kept_raw"), F.lit(0)).cast("long").alias("n_kept_raw"),
+            F.coalesce(F.col("n_kept_norm"), F.lit(0)).cast("long").alias("n_kept_norm"),
         )
         .orderBy("source")
     )

@@ -42,6 +42,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# One-time real-codec probe (see decode_tile): failed imports are not
+# cached by Python, so this must not run per decoded tile.
+try:
+    from PIL import Image as _PIL_IMAGE  # noqa: N816  (not in this container)
+except Exception:
+    _PIL_IMAGE = None
+
 TILE_SCHEMA = StructType(
     [
         StructField("z", IntegerType()),
@@ -159,15 +166,15 @@ def decode_tile(img: bytes, mode: str, tile_size: int) -> np.ndarray:
     if mode == "png":
         # Real codec first when available; else the stdlib decoder
         # above (same output for the supported tile shapes — pinned by
-        # round-trip tests in tests/test_png_decode.py).
-        try:
+        # round-trip tests in tests/test_png_decode.py). The PIL probe
+        # runs once at module import: a failed import is not cached in
+        # sys.modules, so probing here made every decoded tile pay a
+        # sys.path search (guide §4: init once per task, not per call).
+        if _PIL_IMAGE is not None:
             from io import BytesIO
 
-            from PIL import Image  # noqa: F401  (not present in this container)
-
-            return np.asarray(Image.open(BytesIO(img)))
-        except ImportError:
-            return decode_png(img)
+            return np.asarray(_PIL_IMAGE.open(BytesIO(img)))
+        return decode_png(img)
     raise ValueError(f"unknown mode {mode}")
 
 
