@@ -114,6 +114,13 @@ ENGINE_CLOCK_DIGEST = {
     "window_range_frame",
     "geo_line_simplify",
     "scalar_array_funcs",
+    # r14 optimization round: 911k output rows; isolated probe on an
+    # idle host read digest min 2.34 s vs collect min 14.2 s — the
+    # recorded 8.5 s engine clock was the Arrow collect, not the plan.
+    # (events_stream_session_parity probed too and NOT moved: its cost
+    # is the availableNow drain at DataFrame build time, and the
+    # digest/collect consumers measured within noise of each other.)
+    "sessionize_bounds",
 }
 
 
