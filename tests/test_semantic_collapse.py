@@ -114,29 +114,25 @@ def test_high_threshold_disables_collapse(dup_corpus, monkeypatch):
     # Above _VEC_COLLAPSE_MAX_THRESHOLD the f32 self-cosine of an
     # identical pair may fall below the threshold, so the gate must
     # leave the decision to the uncollapsed plan even on a corpus whose
-    # duplication is far past the ratio gate. The collapse branch is
-    # the only _track_persist consumer in this call path — count it.
-    import ariadne_cartograph_spark.operators.dedup as D
-
-    calls = []
-    real = D._track_persist
-    monkeypatch.setattr(
-        D, "_track_persist", lambda df: (calls.append(1), real(df))[1]
-    )
+    # duplication is far past the ratio gate. Genuine-route check (the
+    # r11 vacuous-test lesson): the collapse route re-expands through
+    # the __rep window assignment, the bypass route must not plan it.
     try:
-        out = S.semantic_dedup(
+        bypass_df = S.semantic_dedup(
             dup_corpus, "vec_id", "embedding",
             threshold=0.995, n_centroids=4, centroids="first",
-        ).collect()
-        assert not calls  # gate bypassed: no collapse frames persisted
-        assert len(out) == 28
+        )
+        plan = bypass_df._jdf.queryExecution().optimizedPlan().toString()
+        assert "__rep" not in plan  # gate bypassed: no collapse
+        assert len(bypass_df.collect()) == 28
         S._VEC_STATS_CACHE.clear()
-        out2 = S.semantic_dedup(
+        collapsed_df = S.semantic_dedup(
             dup_corpus, "vec_id", "embedding",
             threshold=0.35, n_centroids=4, centroids="first",
-        ).collect()
-        assert calls  # same corpus below the threshold guard: collapses
-        assert len(out2) == 28
+        )
+        plan = collapsed_df._jdf.queryExecution().optimizedPlan().toString()
+        assert "__rep" in plan  # same corpus below the guard: collapses
+        assert len(collapsed_df.collect()) == 28
     finally:
         release_caches()
         S._VEC_STATS_CACHE.clear()
