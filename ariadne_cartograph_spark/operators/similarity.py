@@ -966,18 +966,26 @@ def semantic_dedup(
         threshold <= _VEC_COLLAPSE_MAX_THRESHOLD
         and n_reps < n * (1.0 - _VEC_COLLAPSE_MIN_DUP_RATIO)
     ):
-        from .dedup import _track_persist
+        from pyspark.sql import Window
 
+        # min(id) over the fingerprint partition IS the rep assignment:
+        # one (nz, fp) window exchange replaces the old base-persist →
+        # reps groupBy → member join → corpus semi-join cascade (two
+        # persisted frames, three exchanges and a broadcast build). Both
+        # consumers — the collapsed work set and the member→rep map for
+        # the re-expand — hang off the SAME exchange, which ReuseExchange
+        # dedups, so the corpus is scanned and fingerprinted once. At
+        # scale this shuffles the corpus once on the fingerprint key
+        # instead of shuffling it by id for the semi join (reps stop
+        # broadcasting once they outgrow the threshold) plus the
+        # fingerprint frame for the groupBy and join.
         nz, fp = _vec_collapse_cols(id_col, vec_col)
-        base = _track_persist(corpus.select(F.col(id_col), nz, fp))
-        reps = base.groupBy("__nz", "__fp").agg(F.min(id_col).alias("__rep"))
-        member = _track_persist(
-            base.join(reps, ["__nz", "__fp"]).select(
-                F.col(id_col).alias("__mid"), F.col("__rep")
-            )
+        rows = corpus.select(F.col(id_col), F.col(vec_col), nz, fp).withColumn(
+            "__rep", F.min(id_col).over(Window.partitionBy("__nz", "__fp"))
         )
-        work = corpus.join(
-            reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        member = rows.select(F.col(id_col).alias("__mid"), F.col("__rep"))
+        work = rows.filter(F.col(id_col) == F.col("__rep")).select(
+            F.col(id_col), F.col(vec_col)
         )
         n_work = n_reps
 
