@@ -882,7 +882,14 @@ def _vec_collapse_cols(id_col: str, vec_col: str):
     twin is 0 or NaN, NOT 1, so they must never collapse), and __nz in
     the grouping key keeps the two populations apart."""
     v = F.col(vec_col)
-    nz = F.exists(v, lambda x: x != F.lit(0.0)) & ~F.exists(v, F.isnan)
+    # coalesce: a NULL vector must land in the per-row-fingerprint
+    # population, and the (__nz, __fp) pair must be join-safe (the
+    # member re-attach below is an equi-join, which unlike a window
+    # partition is not null-safe) — fp is xxhash64(id) for these rows
+    # either way, so the grouping outcome is unchanged.
+    nz = F.coalesce(
+        F.exists(v, lambda x: x != F.lit(0.0)) & ~F.exists(v, F.isnan), F.lit(False)
+    )
     fp = F.when(nz, F.xxhash64(v)).otherwise(F.xxhash64(F.col(id_col)))
     return nz.alias("__nz"), fp.alias("__fp")
 
@@ -939,14 +946,28 @@ def semantic_dedup(
         if centroids == "hash"
         else [F.col(id_col)]
     )
-    cent_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col)).orderBy(*order).limit(n_centroids).collect()
-    )
+    # The centroid TakeOrdered and the gate/stats probe are independent
+    # driver actions over the same corpus — submit both from a 2-thread
+    # pool so the second job back-fills executors the first leaves idle
+    # (guide §2.6; r14 verdict item 4's job-count fold). Results are
+    # identical to the sequential form; only wall-clock overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cent_fut = pool.submit(
+            lambda: corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(*order)
+            .limit(n_centroids)
+            .collect()
+        )
+        stats_fut = pool.submit(_vec_dup_stats, corpus, id_col, vec_col)
+        cent_rows = cent_fut.result()
+        n, n_reps = stats_fut.result()
     cents = [[float(x) for x in r[vec_col]] for r in cent_rows]
 
     # Exact-duplicate vector collapse, gated on MEASURED duplication
-    # (one memoized 1-row job that also supplies the block-grid row
-    # count below, replacing the old corpus.count() action). On
+    # (one memoized 1-row job — overlapped with the centroid take
+    # above — that also supplies the block-grid row count below). On
     # k-fold-replicated corpora every duplicate inflates the dominant
     # cell's block count, and every block's vector list ships once per
     # partner block through the pair join's Arrow exchange — collapse
@@ -958,7 +979,6 @@ def semantic_dedup(
     # same cosine with a smaller id still). Zero/NaN vectors never
     # collapse (_vec_collapse_cols). Centroid selection stays on the
     # FULL corpus so the quantizer is byte-identical either way.
-    n, n_reps = _vec_dup_stats(corpus, id_col, vec_col)
     member = None
     work = corpus
     n_work = n
@@ -966,26 +986,37 @@ def semantic_dedup(
         threshold <= _VEC_COLLAPSE_MAX_THRESHOLD
         and n_reps < n * (1.0 - _VEC_COLLAPSE_MIN_DUP_RATIO)
     ):
-        from pyspark.sql import Window
-
-        # min(id) over the fingerprint partition IS the rep assignment:
-        # one (nz, fp) window exchange replaces the old base-persist →
-        # reps groupBy → member join → corpus semi-join cascade (two
-        # persisted frames, three exchanges and a broadcast build). Both
-        # consumers — the collapsed work set and the member→rep map for
-        # the re-expand — hang off the SAME exchange, which ReuseExchange
-        # dedups, so the corpus is scanned and fingerprinted once. At
-        # scale this shuffles the corpus once on the fingerprint key
-        # instead of shuffling it by id for the semi join (reps stop
-        # broadcasting once they outgrow the threshold) plus the
-        # fingerprint frame for the groupBy and join.
+        # Rep assignment via groupBy(nz, fp) with PARTIAL (map-side)
+        # aggregation, r15: the r14 form was one min(id) window over
+        # (nz, fp), which shuffled the full corpus INCLUDING vector
+        # payloads with no partial aggregation — a hot duplicate group
+        # (the exact condition that opens this gate) collocated in a
+        # single sort task (the r14 advice's straggler bound). The
+        # aggregate emits at most one (rep id, rep vector) candidate
+        # per group per map partition, so a k-fold-duplicated corpus
+        # shrinks k× BEFORE its only payload-bearing exchange, and the
+        # min_by(vec, id) candidate is the rep's own vector (group
+        # members share a fingerprint, i.e. identical bytes modulo the
+        # accepted 2^-64 xxhash64 class), so `work` is byte-identical
+        # to the window form's rep rows. The member→rep map re-attaches
+        # through a narrow (id, nz, fp) equi-join — 24 bytes/row, never
+        # the payload (guide §8: decide with small rows).
         nz, fp = _vec_collapse_cols(id_col, vec_col)
-        rows = corpus.select(F.col(id_col), F.col(vec_col), nz, fp).withColumn(
-            "__rep", F.min(id_col).over(Window.partitionBy("__nz", "__fp"))
+        reps = (
+            corpus.select(F.col(id_col), F.col(vec_col), nz, fp)
+            .groupBy("__nz", "__fp")
+            .agg(
+                F.min(id_col).alias("__rep"),
+                F.min_by(vec_col, F.col(id_col)).alias("__repv"),
+            )
         )
-        member = rows.select(F.col(id_col).alias("__mid"), F.col("__rep"))
-        work = rows.filter(F.col(id_col) == F.col("__rep")).select(
-            F.col(id_col), F.col(vec_col)
+        member = (
+            corpus.select(F.col(id_col).alias("__mid"), nz, fp)
+            .join(reps.select("__nz", "__fp", "__rep"), ["__nz", "__fp"])
+            .select("__mid", "__rep")
+        )
+        work = reps.select(
+            F.col("__rep").alias(id_col), F.col("__repv").alias(vec_col)
         )
         n_work = n_reps
 
@@ -1049,8 +1080,17 @@ def semantic_dedup(
                 yield pd.DataFrame({"id": np.unique(np.concatenate(out))})
 
     dropped = bpairs.mapInPandas(score, "id long").distinct()
+    # (cell, id) re-derived by exploding `grouped` rather than from a
+    # second copy of the `assigned` subtree: grouped's exchange already
+    # feeds the block self-join, so the verdict join hangs off that
+    # same shuffle instead of re-scanning the corpus and re-running the
+    # rep aggregation + argmax a second time (r15; the explode is a
+    # lossless unpack — grouped partitions assigned's rows exactly).
+    cell_ids = grouped.select(
+        "cell", F.explode("rows").alias("__r")
+    ).select("cell", F.col("__r.id").alias("id"))
     rep_out = (
-        assigned.select("cell", "id")
+        cell_ids
         .join(dropped.withColumn("__d", F.lit(1)), ["id"], "left")
         .select(
             "cell",

@@ -538,6 +538,17 @@ WINDOW_ORDER_R14: list[str] = [
 # 50-entry unit at sf0.01 BEFORE committing (the rounds-7/8 lesson).
 WINDOW_ORDER_R15: list[str] = [
     "geo_point_in_polygon_grid",
+    # r14-optimization rewrites whose new plans the driver has never
+    # hashed (r14 verdict item 7): implied-pushdown q4 twin q17's semi
+    # prefilter, q21's min!=max, the keeper-census dedup, the bigram-LM
+    # derivation, the semantic-dedup window collapse, and the
+    # shuffle_hash verify join on the skewed corpus.
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "text_fingerprint_exact_dedup",
+    "text_bigram_lm_quality",
+    "embedding_semantic_dedup",
+    "ngram_jaccard_skewed_corpus",
     # r14 additions, never driver-hashed (amended in the same round
     # they landed — the standing "never wait two rounds" rule):
     # chi-squared term selection, bigram lift collocations, sliding
@@ -566,10 +577,6 @@ WINDOW_ORDER_R15: list[str] = [
     "text_vocab_coverage",
     "embedding_near_dup",
     "text_token_topk_sketch",
-    "embedding_stream_pca_parity",
-    "events_median_normalize",
-    "geo_tile_projection",
-    "merge_optimize_pruned_scan",
     "merge_upsert_bucketed",
     "osm_ingest_pbf_parity",
     "osm_topology_edges",
@@ -579,15 +586,22 @@ WINDOW_ORDER_R15: list[str] = [
     "events_stream_session_parity",
     "osm_polygon_way_area",
     "osm_replication_pipeline_parity",
-    "osm_route_members",
-    "osm_ways_enrichment_fixture",
+    "ways_enrichment_pipeline",
+    # sole tag-cover anchors — cannot rotate out (A4/J5/P1/P2/P3/S9
+    # have no other carrier in the catalog)
     "geo_line_simplify",
     "merge_upsert_metadata",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "scalar_json_extract",
     "scan_tag_index_pruned",
-    "ways_enrichment_pipeline",
+    # (embedding_stream_pca_parity / events_median_normalize /
+    # geo_tile_projection / merge_optimize_pruned_scan — r12-hashed —
+    # and osm_route_members / osm_ways_enrichment_fixture — r13-hashed
+    # — displaced when the six r14-rewrite entries above rotated in;
+    # joint tag cover re-verified: S6 keeps osm_ingest_pbf_parity, E1
+    # keeps ways_enrichment_pipeline, T6/U3/U4 and A1-A3 keep their
+    # other carriers.)
     # stalest driver evidence (r9-r11 cohort)
     "q7_nation_volume",
     "q8_market_share",
@@ -610,12 +624,12 @@ WINDOW_ORDER_R15: list[str] = [
     # sf0.01 before each commit.)
 ]
 
-# Round 14: the pre-staged r14 rotation goes live (leads with the
-# eight never-driver-hashed r13 additions) — the 50-entry unit was
-# hash-validated at sf0.01 when staged, re-validated post-amendment at
-# r13 close, and re-validated once more on the r14 tree before this
-# assignment landed (the standing rounds-7/8 rule).
-WINDOW_ORDER = WINDOW_ORDER_R14
+# Round 15: the r15 rotation goes live (leads with the six
+# r14-optimization rewrites the driver has never hashed, per the r14
+# verdict item 7, then the r14 additions) — the 50-entry unit
+# re-hash-validated at sf0.01 on the r15 tree before this assignment
+# landed (the standing rounds-7/8 rule).
+WINDOW_ORDER = WINDOW_ORDER_R15
 
 
 def _ordered() -> dict[str, CatalogEntry]:

@@ -285,11 +285,15 @@ def main() -> int:
         "queries": timings,
         "sf": sf_val,
         # Load context (r8 advice): repeats per query (min reported),
-        # 1/5/15-min load averages at loop start/end, per-run times.
+        # 1/5/15-min load averages at loop start/end.
         "repeats": repeats,
+        # Session width, so an artifact proves which $SPARK_GRAFT_CPUS
+        # it actually ran at (r14 verdict: the flat 8-vs-32 scaling
+        # ratios were read as "CPUS ignored" because nothing in the
+        # output showed the master width).
+        "parallelism": spark.sparkContext.defaultParallelism,
         "load_avg_start": load_start,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-        "runs": all_runs,
     }
     if fences_apply:
         out["fence_sf"] = FENCE_SF
@@ -301,6 +305,13 @@ def main() -> int:
         )
     if errors:
         out["errors"] = errors
+    # Per-run times go to stderr, NOT the stdout JSON line: the r13
+    # official comparison was lost (PERF_r14 prev_bench_ok=false)
+    # because the `runs` dict pushed the one stdout line past the
+    # driver's capture window and it could not be parsed. The stdout
+    # contract line stays compact; full per-run detail is one stderr
+    # line (and each query's runs were already printed per-query above).
+    print(f"# runs {json.dumps(all_runs)}", file=sys.stderr)
     print(json.dumps(out))
     # Non-zero rc only when nothing could be measured at all.
     return 0 if timings else 1

@@ -113,6 +113,7 @@ def test_embedding_near_dup_precision(spark):
         assert r.cosine >= 0.99
 
 
+@pytest.mark.slow
 def test_prefix_filter_variant_matches_count_based(spark, exact_pairs):
     """ngram_jaccard_pairs_prefix (AllPairs prefix filter) is lossless:
     identical pair set + jaccard values as the count-based exact join
@@ -145,6 +146,7 @@ def test_ngram_auto_strategy_rule():
     assert D.ngram_join_strategy(250, 2603880, 279194600) == "prefix"
 
 
+@pytest.mark.slow
 def test_ngram_auto_matches_both_variants_on_skewed_corpus(spark):
     """Appending a shared boilerplate footer (hot shingles with df =
     n_docs) must not change the auto path's OUTPUT — both variants are
@@ -180,6 +182,7 @@ def test_ann_ivf_recall_vs_brute_force(spark):
         assert r.q_id != r.vec_id
 
 
+@pytest.mark.slow
 def test_ann_ivf_kmeans_recall_and_determinism(spark):
     """Trained (Lloyd) IVF: deterministic centroids across runs, and
     recall vs brute force at least matching the recall floor of the
@@ -241,6 +244,7 @@ def test_domain_mixture_sample_quotas_and_determinism(spark):
     assert len(kept1) == sum(q.values())
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_and_training(spark):
     from pyspark.sql import functions as F
 

@@ -151,6 +151,7 @@ def _corpus(draw):
     ]
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(_corpus())
 def test_hypothesis_matches_brute(spark_session_for_hypothesis, rows):

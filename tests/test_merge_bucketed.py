@@ -297,6 +297,7 @@ def test_rebucket_changes_layout_preserving_data(spark, tmp_path):
     assert t2._read_manifest(t2._current()[1])["n_buckets"] == 8
 
 
+@pytest.mark.slow
 def test_model_based_random_ops_both_layouts(spark, tmp_path):
     """Model-based check: a seeded random sequence of upserts (full-row
     and per-column, with NULLs that must NOT overwrite under the
@@ -401,6 +402,7 @@ def test_manifest_files_invisible_to_scan(spark, tmp_path):
     assert any(n.startswith("m_") for n in names)
 
 
+@pytest.mark.slow
 def test_model_random_ops_with_optimize(spark, tmp_path):
     """optimize() interleaved with upserts and deletes on the plain
     layout: the rewrite is a no-op on CONTENT (model unchanged) but a
@@ -488,6 +490,7 @@ def test_read_keys_prunes_to_probed_buckets(spark, tmp_path):
     assert {(r.gid, r.val) for r in got_p.collect()} == {(3, 3.0), (17, 17.0)}
 
 
+@pytest.mark.slow
 def test_model_random_cascade_delete_two_children(spark, tmp_path):
     """Model-based cascade check (`sql/ways_metadata.ddl:6` ON DELETE
     CASCADE): a seeded random sequence of parent upserts, child upserts

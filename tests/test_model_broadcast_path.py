@@ -72,6 +72,7 @@ def test_centroid_scores_identical_across_paths(corpus):
         assert rows_l[k] == rows_b[k], f"score drift for vec {k}"
 
 
+@pytest.mark.slow
 def test_ann_ivf_topk_identical_across_paths(corpus):
     queries = corpus.filter(F.col("vec_id") < 5)
     kw = dict(
@@ -88,6 +89,7 @@ def test_ann_ivf_topk_identical_across_paths(corpus):
     assert len(got_b) == 5 * 5
 
 
+@pytest.mark.slow
 def test_pq_encode_identical_across_paths(corpus):
     # m=4 subspaces × k=256 codewords × dsub=16 = 16384 floats
     books = pq_codebooks(corpus, "vec_id", "emb", m=4, k=256)

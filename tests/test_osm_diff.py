@@ -243,6 +243,7 @@ def test_replication_pipeline_exactly_once(base, spark, tmp_path, osc_path):
     assert table._current()[0] == v_before  # no new versions committed
 
 
+@pytest.mark.slow
 def test_streaming_osc_replication(base, spark, tmp_path):
     """Continuous replication: a file stream of .osc changesets drained
     one-per-micro-batch maintains element stores + a derived table;
@@ -425,6 +426,7 @@ def test_replicate_derived_ways_unmarked_path(base, spark, tmp_path, osc_path):
     assert {(r.id, r.n_pts) for r in table.read().collect()} == want
 
 
+@pytest.mark.slow
 def test_streaming_burst_same_mtime_applies_in_name_order(base, spark, tmp_path):
     """A burst of changesets fetched in one poll commonly shares an
     mtime — the stream must still apply them in sequence (file-name)
@@ -479,6 +481,7 @@ def test_streaming_burst_same_mtime_applies_in_name_order(base, spark, tmp_path)
     assert {(r.id, r.n_pts) for r in pipe.derived.read().collect()} == want
 
 
+@pytest.mark.slow
 def test_maintained_node_way_index_equals_from_scratch(base, spark, tmp_path):
     """The pipeline's incrementally-maintained node→ways index must
     equal node_way_index(final ways store) rebuilt from scratch after
@@ -659,6 +662,7 @@ def test_apply_osc_model_random_multi_file(base, spark, tmp_path):
     assert got == {k: v for k, v in model.items()}
 
 
+@pytest.mark.slow
 def test_streaming_relation_maintenance(base, spark, tmp_path):
     """With derive_relations set, the pipeline maintains the relations
     store, the member→relations reverse index, and a relation-keyed
@@ -850,6 +854,7 @@ def test_apply_osc_model_random_ways_and_nodes(base, spark, tmp_path):
     assert canon(inc["rebuilt"]) == canon(full_aff)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("crash_at", ["member_rels", "relations", "derived_rels"])
 def test_crashed_batch_replay_relation_side(base, spark, tmp_path, crash_at):
     """Crash-replay safety of the RELATION-side commit order (member
@@ -920,6 +925,7 @@ def test_crashed_batch_replay_relation_side(base, spark, tmp_path, crash_at):
     assert got == want
 
 
+@pytest.mark.slow
 def test_way_delete_cascades_into_metadata(base, spark, tmp_path):
     """J5 / `/root/reference/sql/ways_metadata.ddl:6` ON DELETE CASCADE,
     composed end-to-end through the .osc replication path: a

@@ -137,6 +137,7 @@ def test_ensure_pbf_fixture_caches(tmp_path):
     assert p1 == p2 and os.path.getmtime(p2) == mtime  # no re-encode
 
 
+@pytest.mark.slow
 def test_pbf_permissive_quarantines_blob_and_file(spark, pbf_path, tmp_path):
     """Blob-granular quarantine: zeroing one OSMData blob's payload
     loses only that blob's elements (one marker row `path#offset`);

@@ -4,6 +4,8 @@ tests/test_oracle_parity.py; these pin the *behavioral* contract."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ariadne_cartograph_spark.operators.dedup import chunk_exact_dedup
@@ -45,6 +47,7 @@ def test_chunk_dedup_exact_duplicate_doc_fully_removed(spark):
     assert out[2]["n_kept"] == 0 and out[2]["new_text"] == ""
 
 
+@pytest.mark.slow
 def test_chunk_dedup_partition_independent(spark):
     rows = [(d, " ".join(f"w{(d * 7 + i) % 23}" for i in range(17))) for d in range(40)]
     one = chunk_exact_dedup(

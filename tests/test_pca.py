@@ -139,6 +139,7 @@ def test_streaming_gram_equals_batch_gram(spark, tmp_path):
         assert streaming_gram(spark, stage) == batch_G
 
 
+@pytest.mark.slow
 def test_streaming_gram_survives_mid_stream_crash(spark, tmp_path):
     """r12 verdict task #7: a batch crash AFTER its partial is written
     but BEFORE the commit — resume from the same checkpoint replays the

@@ -66,6 +66,7 @@ def test_containment_census_matches_engine_on_k3(spark, replica_dir):
     assert _spark_rows(df) == _oracle(RO.containment_census_sql(k=K), replica_dir)
 
 
+@pytest.mark.slow
 def test_incremental_census_matches_engine_on_k3(spark, replica_dir):
     from ariadne_cartograph_spark.plans.catalog import REGISTRY, get_queries
 

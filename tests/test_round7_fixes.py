@@ -203,6 +203,7 @@ def test_route_topk_footer_fast_paths(spark):
     S._PAIR_COUNT_CACHE.clear()
 
 
+@pytest.mark.slow
 def test_kmeans_centroids_partition_independent(spark):
     """The quantized-integer centroid update: trained centroids must be
     BIT-identical across partitionings (associative integer sums) —

@@ -77,6 +77,7 @@ def test_bfs_hops_match_python(spark, topo_edges, edge_list):
     assert sum(k * v for k, v in bounded.items()) == 2918399019593
 
 
+@pytest.mark.slow
 def test_weighted_matches_python_dijkstra(spark, topo_edges, edge_list):
     from ariadne_cartograph_spark.functions.geo import haversine_m
 
@@ -123,6 +124,7 @@ def test_weighted_matches_python_dijkstra(spark, topo_edges, edge_list):
         assert got[k] == pytest.approx(v, abs=1e-4), k
 
 
+@pytest.mark.slow
 def test_weighted_routing_with_class_costs(spark, topo_edges):
     """Routing over the REAL per-class cost model (edge_costs: travel
     seconds from the highway class carried onto every edge, oneway →
@@ -261,6 +263,7 @@ def test_straight_through_same_way_not_banned_by_uturn(spark):
     # but reversing at 2 back onto gid1 is not: node 1 only as source
 
 
+@pytest.mark.slow
 def test_fixture_restricted_matches_python_linegraph_dijkstra(
     spark, topo_edges
 ):
@@ -359,6 +362,7 @@ def test_fixture_restricted_matches_python_linegraph_dijkstra(
         assert got[k] == pytest.approx(v, abs=1e-6), k
 
 
+@pytest.mark.slow
 def test_cost_matrix_matches_per_source_runs(spark, topo_edges):
     """shortest_path_matrix (pgr_dijkstraCostMatrix analog) must equal
     K independent shortest_paths runs — per-source state, not the
@@ -415,6 +419,7 @@ def test_cost_matrix_census_literals(spark, edge_list):
         ) == want[s], s
 
 
+@pytest.mark.slow
 def test_tracked_route_reconstruction(spark, topo_edges):
     """pgr_dijkstra returns routes, not just costs: the tracked
     relaxation + batched backward walk must yield connected,

@@ -3,6 +3,8 @@ results must be identical to the unsalted plans on skewed data."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ariadne_cartograph_spark.operators.skew import salted_agg, salted_join
@@ -79,6 +81,7 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert out.filter(F.col("k") != "hot").filter(F.col("w").isNotNull()).count() == 0
 
 
+@pytest.mark.slow
 def test_prefix_join_lossless_on_random_corpora(spark):
     """Property evidence for the AllPairs + PPJoin-positional prefix
     path: on randomized corpora (mixed vocab sizes, duplicated docs,

@@ -203,6 +203,7 @@ def _span_corpus(draw):
     return docs
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(_span_corpus())
 def test_hypothesis_matches_reference(spark_session_for_hypothesis, docs):

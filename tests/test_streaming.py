@@ -67,6 +67,7 @@ def test_streaming_dedup(spark, source_dir, tmp_path):
     assert spark.table("t_dedup").count() == ev.count()
 
 
+@pytest.mark.slow
 def test_incremental_upsert_sink(spark, source_dir, tmp_path):
     stream = SE.read_events_stream(spark, source_dir, max_files_per_trigger=1)
     agg = (
@@ -93,6 +94,7 @@ def test_incremental_upsert_sink(spark, source_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_running_user_counts_stateful(spark, source_dir):
     stream = SE.read_events_stream(spark, source_dir, max_files_per_trigger=1)
     SE.run_to_memory(SE.running_user_counts(stream), "t_state", output_mode="update")
@@ -106,6 +108,7 @@ def test_running_user_counts_stateful(spark, source_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, source_dir):
     # No maxFilesPerTrigger and a watermark wider than the replayed
     # span: micro-batch FILE order is not chronological (listing
