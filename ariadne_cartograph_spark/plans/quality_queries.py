@@ -22,6 +22,91 @@ from .catalog import register
 
 _STOPLIST_SQL = "['the','a','an','and','or','of','to','in','is','it']"
 
+# Arrow schema of the per-doc Gopher battery (see _gopher_per_doc).
+_GOPHER_PER_DOC_SCHEMA = (
+    "source string, n_tok long, n_nospace long, n_grams long, "
+    "n_distinct long, n_stop long"
+)
+
+
+def _gopher_battery(batches):
+    """Per-doc Gopher counters over Arrow record batches (guide §4.2):
+    ONE regex tokenization per doc (pyarrow's RE2 `\\s+` split matches
+    the JVM/DuckDB splits byte-for-byte — equality pinned per column in
+    tests/test_round15_entries.py), then dictionary-coded numpy set
+    ops for the distinct-bigram census and a value-set membership scan
+    for stopwords. Replaces a JVM battery that re-split the text three
+    times (tokens, 2-gram shingles, lowered tokens) — measured r15
+    interleaved A/B: sf1 4.48 → 4.21 s, sf0.1 0.96 → 0.75 s, Arrow arm
+    faster in every pair and with visibly lower variance (the JVM arm's
+    regex battery is allocation-heavy). lower() commutes with the \\s+
+    split (no Unicode case mapping creates or destroys ASCII
+    whitespace), so stopwords scan the already-split tokens. NULL text
+    yields NULL counters, matching size(split(NULL)) semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    stop_arr = pa.array(sorted(T.STOPWORDS))
+    for b in batches:
+        text = b.column(b.schema.get_field_index("text"))
+        src = b.column(b.schema.get_field_index("source"))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        n_tok = (offs[1:] - offs[:-1]).astype("int64")
+        n_nospace = (
+            pc.utf8_length(pc.replace_substring(text, " ", ""))
+            .to_numpy(zero_copy_only=False)
+            .astype("int64")
+        )
+        n_grams = np.maximum(n_tok - 1, 0)
+        # distinct adjacent bigrams per row: dictionary-encode tokens →
+        # int codes, pair adjacent codes, drop row-boundary pairs,
+        # count distinct (row, pair) keys.
+        flat = toks.values
+        codes = (
+            pc.dictionary_encode(flat)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype("int64")
+        )
+        n = len(codes)
+        if n > 1:
+            pair = codes[:-1] * (codes.max() + 1) + codes[1:]
+            pos = np.arange(n - 1)
+            row_of = np.searchsorted(offs, pos, side="right") - 1
+            valid = pos + 1 < offs[row_of + 1]  # pair must not cross rows
+            rp = np.unique(np.stack([row_of[valid], pair[valid]]), axis=1)
+            n_distinct = np.bincount(rp[0], minlength=len(n_tok)).astype("int64")
+        else:
+            n_distinct = np.zeros(len(n_tok), dtype="int64")
+        isstop = pc.is_in(pc.utf8_lower(flat), value_set=stop_arr).to_numpy(
+            zero_copy_only=False
+        )
+        cum = np.concatenate([[0], np.cumsum(isstop.astype("int64"))])
+        n_stop = cum[offs[1:]] - cum[offs[:-1]]
+        cols = [pa.array(c) for c in (n_tok, n_nospace, n_grams, n_distinct, n_stop)]
+        if text.null_count:
+            # match the JVM formulation on NULL text: size(split(NULL))
+            # is NULL (n_tok, n_nospace, n_stop), but greatest(NULL, 0)
+            # is 0 and the shingle set is empty (n_grams, n_distinct).
+            mask = pc.is_null(text)
+            nulls = pa.nulls(len(b), pa.int64())
+            for i in (0, 1, 4):
+                cols[i] = pc.if_else(mask, nulls, cols[i])
+        yield pa.record_batch(
+            [src, *cols],
+            names=["source", "n_tok", "n_nospace", "n_grams", "n_distinct", "n_stop"],
+        )
+
+
+def _gopher_per_doc(docs: DataFrame) -> DataFrame:
+    """(source, n_tok, n_nospace, n_grams, n_distinct, n_stop) per doc
+    — explicit select() first so the opaque map never widens the scan
+    (guide §4.1)."""
+    return docs.select("source", "text").mapInArrow(
+        _gopher_battery, _GOPHER_PER_DOC_SCHEMA
+    )
+
 
 @register(
     "text_gopher_quality_filters",
@@ -67,26 +152,14 @@ def text_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-shape rule filters, aggregated per source: token-count
     band, mean-word-length band, duplicate-2-gram fraction, stopword
     presence. One narrow scan + one partial-aggregated groupBy — the
-    whole rule battery runs map-side at 100 TB."""
+    whole rule battery runs map-side at 100 TB. r15: the per-doc
+    counter battery moved from JVM expressions (three regex splits of
+    every doc) to one Arrow-batched pass (_gopher_battery — guide §4.2;
+    interleaved A/B sf1 4.48 → 4.21 s, sf0.1 0.96 → 0.75 s, every pair
+    faster; per-doc equality vs the JVM form pinned in
+    tests/test_round15_entries.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    n_tok = F.size(toks).cast("long")
-    n_nospace = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
-    n_grams = F.greatest(F.size(toks) - 1, F.lit(0)).cast("long")
-    n_distinct = F.size(T.word_shingles("text", n=2)).cast("long")
-    sw = F.array(*[F.lit(s) for s in T.STOPWORDS])
-    n_stop = F.size(
-        F.filter(T.tokens(F.lower(F.col("text"))), lambda w: F.array_contains(sw, w))
-    ).cast("long")
-
-    per_doc = docs.select(
-        "source",
-        n_tok.alias("n_tok"),
-        n_nospace.alias("n_nospace"),
-        n_grams.alias("n_grams"),
-        n_distinct.alias("n_distinct"),
-        n_stop.alias("n_stop"),
-    ).select(
+    per_doc = _gopher_per_doc(docs).select(
         "source",
         (F.col("n_tok").between(20, 5000)).alias("pass_len"),
         (
